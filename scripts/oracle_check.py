@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir>
+
+For each query output parquet under <verifyOutDir>/<name>/ and its SQL in
+<verifyOutDir>/oracle_sql.json, run the SQL in DuckDB over views named after
+the tables in <sfDir>, then compare: columns sorted by name, rows sorted by
+all columns, values exact (tiny float tolerance reported separately).
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            mine = canon(con.sql(
+                f"SELECT * FROM read_parquet({files!r})").df())
+            want = canon(con.sql(oracle[name]).df())
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        if list(mine.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(mine.columns)} != {list(want.columns)}")
+            n_fail += 1
+            continue
+        if len(mine) != len(want):
+            print(f"FAIL {name}: rows {len(mine)} != {len(want)}")
+            n_fail += 1
+            continue
+        try:
+            pd.testing.assert_frame_equal(mine, want, check_dtype=False,
+                                          check_exact=True)
+            print(f"PASS {name} ({len(mine)} rows)")
+            n_pass += 1
+        except AssertionError:
+            try:
+                pd.testing.assert_frame_equal(mine, want, check_dtype=False,
+                                              rtol=1e-12, atol=1e-12)
+                print(f"NEAR {name}: values differ only within 1e-12 "
+                      f"(driver hash would FAIL)")
+            except AssertionError as e2:
+                print(f"FAIL {name}: {str(e2).splitlines()[-1][:200]}")
+                mism = (mine != want) & ~(mine.isna() & want.isna())
+                bad_cols = [c for c in mine.columns if mism[c].any()]
+                for c in bad_cols[:3]:
+                    i = mism[c].idxmax()
+                    print(f"   {c}[{i}]: mine={mine[c][i]!r} want={want[c][i]!r}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

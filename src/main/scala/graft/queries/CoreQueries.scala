@@ -1,0 +1,297 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.ColumnOps
+import graft.functions.IsoDuration
+
+/** Core relational + scalar-function query pack, each paired with an ANSI-SQL
+  * oracle the driver runs in DuckDB (SURVEY.md §2.2-2.8 coverage).
+  *
+  * Cross-engine exactness rules used throughout:
+  *  - sums/avgs of doubles go through DECIMAL casts (exact in both engines),
+  *    then cast back to DOUBLE for a stable output schema;
+  *  - no raw timestamps in outputs (parquet tz-annotation differences) —
+  *    epoch seconds or formatted strings instead;
+  *  - every computed column is aliased identically in Spark and SQL.
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1/A2: grouped aggregation with map-side partial agg; the filter is
+    // pushed to the parquet scan (PushedFilters) and only 7 of 11 columns
+    // are read (ReadSchema pruning).
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // P2/P4: projection + compound predicate — entirely pushed down.
+    "q02_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_quantity") > 45 &&
+          col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+    }),
+
+    // J1/J2-shape: fact-to-dims star join; dims are broadcast so the only
+    // shuffle is the final groupBy (and AQE usually folds that too).
+    "q03_star_join_agg" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region")
+      orders
+        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // J4: left-anti — customers that never ordered.
+    "q04_anti_join" -> ((s, dir) => {
+      val customer = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // left-semi — customers with at least one open order.
+    "q05_semi_join" -> ((s, dir) => {
+      val customer = t(s, dir, "customer")
+      val open = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      customer.join(open, customer("c_custkey") === open("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }),
+
+    // W1: row_number latest-per-key snapshot (the CDC dedup window),
+    // deterministic via the unique event_id tiebreak.
+    "q06_latest_per_key" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+    }),
+
+    // A4/Q1-shape: duplicate-key counting (the DQ 'unique' rule denominator).
+    "q07_dup_count" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1)
+    }),
+
+    // U1/U4: union of two branches + distinct.
+    "q08_union_dedup" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val a = orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val b = orders.filter(col("o_totalprice") > 200000.0)
+        .select(col("o_orderkey"), col("o_custkey"))
+      a.unionByName(b).dropDuplicates()
+    }),
+
+    // O1: global top-k with a unique-key tiebreak (TakeOrderedAndProject —
+    // no full sort, each partition keeps k rows then the driver merges).
+    "q09_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .limit(20)
+    }),
+
+    // F3/F4/F12/F17: scalar string surface — nvl, null-if-blank, md5
+    // content hash, casing, length.
+    "q10_scalar_strings" -> ((s, dir) => {
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        ColumnOps.nvl(ColumnOps.nullIfBlank(col("c_name")), "-").as("name_nvl"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        ColumnOps.contentHash(col("c_name"), col("c_mktsegment")).as("content_hash"),
+        length(col("c_name")).as("name_len"))
+    }),
+
+    // F13/F15-shape: datetime parts + formatted output (no raw timestamps
+    // in the result — parquet tz annotations differ between engines).
+    "q11_datetime_parts" -> ((s, dir) => {
+      t(s, dir, "events").select(
+        col("event_id"),
+        year(col("ts")).as("y"),
+        month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("d"),
+        hour(col("ts")).as("h"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day_str"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
+    }),
+
+    // A3: group + HAVING (post-aggregation filter).
+    "q16_having" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+        .filter(col("total_qty") > 24000.0)
+    }),
+
+    // A6: word count — split/explode/count (the RDD demo, DataFrame-native).
+    "q17_wordcount" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    }),
+
+    // Streaming-semantics batch check: tumbling 1-hour window per type.
+    // The same groupBy(window(...)) runs unchanged under readStream with a
+    // watermark (graft.streaming); epoch seconds keep the oracle exact.
+    "q18_tumbling_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("window_epoch"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    }),
+
+    // F8/F9 + custom Catalyst expressions: ISO-8601 duration parse → add →
+    // integer-micros avg → ISO format at the string boundary.
+    "q19_iso_duration" -> ((s, dir) => {
+      val withIso = t(s, dir, "events").select(
+        col("event_type"),
+        concat(lit("PT"), (col("user_id") % 120).cast("string"), lit("M")).as("iso_m"),
+        concat(lit("PT"), (col("event_id") % 50).cast("string"), lit("S")).as("iso_s"))
+      withIso
+        .withColumn("total_micros",
+          IsoDuration.durationMicros(col("iso_m")) + IsoDuration.durationMicros(col("iso_s")))
+        .groupBy(col("event_type"))
+        .agg(sum(col("total_micros")).as("sum_micros"), count(lit(1)).as("n"))
+        .select(col("event_type"),
+          IsoDuration.formatDuration(floor(col("sum_micros") / col("n"))).as("avg_duration"))
+    })
+  )
+
+  /** ISO-duration formatter as DuckDB SQL over integer microseconds. */
+  private def isoSql(m: String): String =
+    s"""CASE WHEN $m = 0 THEN 'P0D' ELSE
+       |'P' || CASE WHEN ($m // 86400000000) > 0 THEN ($m // 86400000000)::VARCHAR || 'D' ELSE '' END ||
+       |CASE WHEN ($m % 86400000000) > 0 THEN 'T' ||
+       |  CASE WHEN ($m % 86400000000 // 3600000000) > 0 THEN ($m % 86400000000 // 3600000000)::VARCHAR || 'H' ELSE '' END ||
+       |  CASE WHEN ($m % 3600000000 // 60000000) > 0 THEN ($m % 3600000000 // 60000000)::VARCHAR || 'M' ELSE '' END ||
+       |  CASE WHEN ($m % 60000000) > 0 THEN
+       |    CASE WHEN ($m % 1000000) = 0 THEN ($m % 60000000 // 1000000)::VARCHAR
+       |         ELSE ($m % 60000000 // 1000000)::VARCHAR || '.' || rtrim(format('{:06d}', $m % 1000000), '0') END || 'S'
+       |  ELSE '' END
+       |ELSE '' END END""".stripMargin.replace("\n", " ")
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity > 45
+        |  AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'""".stripMargin,
+
+    "q03_star_join_agg" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q04_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin,
+
+    "q06_latest_per_key" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        | SELECT user_id, event_id, event_type, value,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1""".stripMargin,
+
+    "q07_dup_count" ->
+      """SELECT o_custkey, COUNT(*) AS cnt FROM orders
+        |GROUP BY o_custkey HAVING COUNT(*) > 1""".stripMargin,
+
+    "q08_union_dedup" ->
+      """SELECT DISTINCT o_orderkey, o_custkey FROM (
+        | SELECT o_orderkey, o_custkey FROM orders WHERE o_orderstatus = 'F'
+        | UNION ALL
+        | SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 200000.0)""".stripMargin,
+
+    "q09_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "q10_scalar_strings" ->
+      """SELECT c_custkey,
+        | COALESCE(NULLIF(TRIM(c_name), ''), '-') AS name_nvl,
+        | UPPER(c_mktsegment) AS seg_upper,
+        | md5(concat_ws('~', c_name, c_mktsegment)) AS content_hash,
+        | LENGTH(c_name) AS name_len
+        |FROM customer""".stripMargin,
+
+    "q11_datetime_parts" ->
+      """SELECT event_id,
+        | year(ts) AS y, month(ts) AS m, dayofmonth(ts) AS d, hour(ts) AS h,
+        | strftime(ts, '%Y-%m-%d') AS day_str,
+        | epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch
+        |FROM events""".stripMargin,
+
+    "q16_having" ->
+      """SELECT l_suppkey,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 24000.0""".stripMargin,
+
+    "q17_wordcount" ->
+      """SELECT word, COUNT(*) AS n FROM (
+        | SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+        |WHERE word <> '' GROUP BY word""".stripMargin,
+
+    "q18_tumbling_window" ->
+      """SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_epoch, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q19_iso_duration" -> {
+      // CAST: DuckDB SUM(int) yields HUGEINT, which format('{:06d}') rejects.
+      val avg = "CAST(SUM((user_id % 120) * 60000000 + (event_id % 50) * 1000000) // COUNT(*) AS BIGINT)"
+      s"""SELECT event_type, ${isoSql(s"($avg)")} AS avg_duration
+         |FROM events GROUP BY event_type""".stripMargin
+    }
+  )
+}
