@@ -1,0 +1,152 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ColumnOps, TextOps}
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard — each designed for the 100 TB shape, not the
+  * 500-row test shape:
+  *
+  *  - signatures are computed **per row with higher-order array functions**
+  *    (no explode → no shuffle) so the only shuffles are the ones inherent to
+  *    the algorithm: one groupBy per LSH band bucket / inverted-index term;
+  *  - candidate generation is **bucket-join**, never all-pairs: the self-join
+  *    key is (band, bandHash) or shingle, so cost is Σ bucket², not n²;
+  *  - all hashes are md5-derived (deterministic across engines/partitionings,
+  *    see [[TextOps.h31]]) so dedup decisions are reproducible run-to-run.
+  */
+object Dedup {
+
+  import TextOps.P31
+
+  // ---- exact -------------------------------------------------------------
+
+  /** Exact dedup by content hash: one row per distinct content with the
+    * smallest id kept and the duplicate count. A single hash-groupBy —
+    * map-side partial aggregation makes this the cheapest possible dedup at
+    * scale (reference's full-row `dropDuplicates`, change_data_capture.py:74,
+    * generalized to chosen key columns).
+    */
+  def exactDupGroups(df: DataFrame, idCol: String, contentCols: Column*): DataFrame =
+    df.groupBy(ColumnOps.contentHash(contentCols: _*).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---- MinHash + LSH -----------------------------------------------------
+
+  /** Universal-hash parameters for permutation i — simple affine formulas so
+    * the DuckDB oracle can restate them literally. */
+  def permA(i: Int): Long = 2L * i + 3
+  def permB(i: Int): Long = 7919L * i + 1
+
+  /** MinHash signature (array of `numPerms` longs) over word-`shingleN`-gram
+    * shingles, computed entirely per-row: for each permutation, the min of
+    * (a·h31(shingle)+b) mod P over the shingle set. Null signature for docs
+    * too short to shingle. */
+  def minhashSignature(text: Column, numPerms: Int, shingleN: Int): Column = {
+    val hashes = transform(TextOps.wordShingles(text, shingleN), s => TextOps.h31(s))
+    transform(sequence(lit(0), lit(numPerms - 1)),
+      i => array_min(transform(hashes,
+        h => (h * (i * 2L + 3L) + (i * 7919L + 1L)) % P31)))
+  }
+
+  /** LSH band keys: split the signature into `bands` bands of `rowsPerBand`
+    * and hash each band to a string bucket key. Docs agreeing on ANY band
+    * land in the same bucket. */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat_ws("_", b.cast("string"),
+        concat_ws("_", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))))
+
+  /** MinHash signatures as a DataFrame (id, sig array) via the industrial
+    * formulation: explode shingles, hash each ONCE, then take `numPerms`
+    * `min()` aggregates with map-side partial aggregation. One shuffle of
+    * (id, 16 longs) — versus the per-row array formulation whose md5s the
+    * optimizer may inline (and thus recompute) into every permutation lambda
+    * and every downstream operator. The aggregation is also a materialization
+    * barrier, so self-joins downstream reference attributes, not recomputed
+    * expression trees. Docs with < shingleN tokens drop out (no shingles).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numPerms: Int, shingleN: Int): DataFrame = {
+    val hashed = df
+      .select(col(idCol).as("id"),
+        explode(TextOps.wordShingles(col(textCol), shingleN)).as("shingle"))
+      .select(col("id"), TextOps.h31(col("shingle")).as("h"))
+    val mins = (0 until numPerms).map(i =>
+      min((col("h") * permA(i) + permB(i)) % P31).as(s"m$i"))
+    hashed.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numPerms).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Candidate near-dup pairs via MinHash LSH: band the signatures, self-join
+    * on the bucket, keep each (a<b) pair once with its signature-estimated
+    * similarity. The join key (band bucket) keeps the shuffle proportional to
+    * Σ bucket² — at 100 TB, skewed buckets (boilerplate docs) are the risk;
+    * `spark.sql.adaptive.skewJoin` or a bucket-size cap handles them. */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                            numPerms: Int = 16, bands: Int = 4,
+                            shingleN: Int = 3): DataFrame = {
+    val rows = numPerms / bands
+    val sigs = minhashSignatures(df, idCol, textCol, numPerms, shingleN)
+    val buckets = sigs.select(col("id"), col("sig"),
+      explode(lshBandKeys(col("sig"), bands, rows)).as("bucket"))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), e => e))
+          .cast("double") / numPerms.toDouble).as("est_jaccard"))
+      .distinct()
+  }
+
+  // ---- exact n-gram Jaccard via inverted index ---------------------------
+
+  /** Exact Jaccard near-dup pairs above `threshold`, using an inverted
+    * shingle index for candidate generation: a pair is only compared if it
+    * shares ≥1 shingle (join on shingle, then group by pair counting shared
+    * shingles) — |A∩B| falls out of the group count, |A∪B| = |A|+|B|−|A∩B|.
+    * No all-pairs product anywhere; the shuffle is on shingle then pair. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        TextOps.wordShingles(col(textCol), shingleN).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("id"), size(col("shingles")).as("n_sh"),
+        explode(col("shingles")).as("shingle"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double")
+          / (col("na") + col("nb") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ---- SimHash -----------------------------------------------------------
+
+  /** Bit-position weights 2^0..2^30 (h31 is 31-bit, so bit 31+ never set). */
+  private val Pow2: Seq[Long] = (0 until 31).map(j => 1L << j)
+
+  /** 31-bit SimHash over distinct whitespace tokens, computed per-row with
+    * no shuffle: bit j is set iff more token hashes have bit j set than not
+    * (bit test via `h mod 2e >= e`, which both engines evaluate identically —
+    * no shift builtins needed inside lambdas). Near-dup pairs are then
+    * `bit_count(xor) <= d` within LSH-style bucket joins on simhash bytes.
+    */
+  def simhash31(text: Column): Column = {
+    val hashes = transform(array_distinct(TextOps.tokens(text)), t => TextOps.h31(t))
+    val n = size(hashes)
+    aggregate(
+      typedlit(Pow2),
+      lit(0L),
+      (acc, e) => acc + when(
+        size(filter(hashes, h => h % (e * 2L) >= e)) * 2 > n, e).otherwise(0L))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface for large-scale training-data pipelines: tokenizing,
+  * shingling, quality scoring, language ID, and document fingerprinting.
+  *
+  * Everything here is a pure `Column => Column` composition of codegen'd
+  * built-ins (higher-order array functions, regexes, md5) — no UDFs, so the
+  * whole surface runs inside whole-stage codegen and scales per-row with no
+  * shuffle. Hashes are md5-derived (not `hash`/`xxhash64`) so results are
+  * deterministic across engines and partitionings — required for the DuckDB
+  * oracle and for reproducible dedup at 100 TB.
+  *
+  * Extends the reference's text handling (word count, utils/Utilities.py:30-36)
+  * to the dedup/quality operators a training-data pipeline needs.
+  */
+object TextOps {
+
+  /** Mersenne prime 2^31-1: all hash arithmetic stays below 2^62 (no silent
+    * Spark overflow / loud DuckDB overflow divergence). */
+  val P31 = 2147483647L
+
+  /** Whitespace tokens, empties removed. */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+
+  /** BPE-ish subword proxy: runs of letters, runs of digits, or single
+    * punctuation marks each count as one token. */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** Stable 31-bit hash of a string column (md5-derived, engine-agnostic). */
+  def h31(c: Column): Column = ColumnOps.stable64(c) % P31
+
+  /** Distinct word n-gram shingles as strings; empty array when the doc has
+    * fewer than n tokens (sequence() would otherwise run backwards). */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /** Polynomial rolling hash of the full string, mod P31 — the classic
+    * Karp-Rabin document fingerprint. Left fold, so cross-engine exact. */
+  def rollingHash(c: Column): Column =
+    aggregate(transform(split(c, ""), ch => ascii(ch)),
+      lit(0L), (acc, x) => (acc * 31L + x) % P31)
+
+  /** Winnowing-style min-fingerprint: the minimum rolling hash over word
+    * n-gram shingles. Two documents sharing any low-hash shingle collide —
+    * a cheap near-dup prefilter. Null for docs shorter than n tokens. */
+  def minShingleFingerprint(c: Column, n: Int): Column =
+    array_min(transform(wordShingles(c, n), s => rollingHash(s)))
+
+  // ---- quality scoring ---------------------------------------------------
+
+  /** Small English stopword list used by ratio features (deterministic,
+    * mirrors the oracle SQL literally). */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "or", "in", "on", "to", "is")
+
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(filter(toks, t => t.isInCollection(Stopwords))).cast("double")
+        / size(toks).cast("double"))
+  }
+
+  /** Fraction of characters that are neither alphanumeric nor whitespace. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, 0.0)
+      .otherwise(length(regexp_replace(c, "[a-zA-Z0-9\\s]", "")).cast("double")
+        / length(c).cast("double"))
+
+  /** Composite heuristic quality score in [0,1]: rewards reasonable length,
+    * penalizes stopword stuffing and punctuation noise. Plain double
+    * arithmetic (division + multiplication only) → cross-engine exact. */
+  def qualityScore(c: Column): Column = {
+    val toks = size(tokens(c)).cast("double")
+    val lenTerm = least(toks / 100.0, lit(1.0))
+    round(lenTerm * 0.5 + (lit(1.0) - stopwordRatio(c)) * 0.3
+      + (lit(1.0) - punctRatio(c)) * 0.2, 6)
+  }
+
+  // ---- language ID -------------------------------------------------------
+
+  /** Marker unigrams per language — a tiny n-gram profile classifier. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "les", "et", "une"))
+
+  /** Predicted language: argmax of marker-token counts, `und` (undetermined)
+    * when every profile scores zero. Ties break by profile order (en first) —
+    * the oracle SQL encodes the same order. */
+  def langId(c: Column): Column = {
+    val toks = tokens(c)
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isInCollection(markers)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), els) =>
+      when(s === best && best > 0, lang).otherwise(els)
+    }
+  }
+}

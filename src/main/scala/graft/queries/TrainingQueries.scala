@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.functions.TextOps
+import graft.similarity.Similarity
+
+/** Training-data pipeline query pack: dedup (exact / MinHash-LSH / SimHash /
+  * n-gram Jaccard), similarity search (brute-force + IVF), and text analysis
+  * (tokens, quality, language-ID, fingerprints) — each paired with a DuckDB
+  * oracle that restates the same deterministic md5-based hash math.
+  */
+object TrainingQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: single hash-groupBy with map-side combine.
+    "q20_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDupGroups(t(s, dir, "documents"), "doc_id", col("text"))),
+
+    // Token statistics: whitespace + BPE-ish counts, mean token length.
+    "q21_token_stats" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        round(aggregate(transform(toks, tk => length(tk)), lit(0L), (a, x) => a + x)
+          .cast("double") / size(toks).cast("double"), 6).as("avg_token_len"))
+    }),
+
+    // Quality scoring: stopword/punct ratios + composite score.
+    "q22_quality_score" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        round(TextOps.stopwordRatio(col("text")), 6).as("stop_ratio"),
+        round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
+        TextOps.qualityScore(col("text")).as("quality"))),
+
+    // Language ID: marker-profile argmax vs the labeled lang column.
+    "q23_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang").as("actual_lang"), TextOps.langId(col("text")).as("predicted_lang"))
+        .groupBy(col("actual_lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n"))),
+
+    // MinHash + LSH near-dup candidates (16 perms, 4 bands × 4 rows).
+    "q24_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)),
+
+    // Exact n-gram Jaccard near-dups via inverted shingle index.
+    "q25_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.5)),
+
+    // Per-document 31-bit SimHash + popcount.
+    "q26_simhash" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        Dedup.simhash31(col("text")).as("simhash"),
+        bit_count(Dedup.simhash31(col("text"))).cast("int").as("n_bits"))),
+
+    // Brute-force cosine top-5 for 10 query vectors (ANN baseline).
+    "q27_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+    }),
+
+    // IVF bucket assignment to 8 seed centroids (the ANN scale path).
+    "q28_ivf_assign" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      Similarity.ivfAssign(emb, centroids)
+        .select(col("vec_id"), col("cluster_id"), col("cluster_dist"))
+    }),
+
+    // Document fingerprints: Karp-Rabin rolling hash + winnowing min-hash.
+    "q29_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.rollingHash(col("text")).as("doc_hash"),
+        TextOps.minShingleFingerprint(col("text"), 3).as("min_shingle_hash")))
+  )
+
+  // ---- oracle SQL --------------------------------------------------------
+
+  /** DuckDB restatement of [[TextOps.h31]]. */
+  private def h31(e: String): String =
+    s"(('0x' || substr(md5($e), 1, 15))::BIGINT % 2147483647)"
+
+  /** DuckDB: distinct word 3-gram shingles of column `text`. */
+  private val shingles3 =
+    """list_distinct(CASE WHEN len(string_split_regex(text,'\s+')) < 3 THEN []::VARCHAR[]
+      | ELSE [array_to_string(list_slice(string_split_regex(text,'\s+'), i, i+2), ' ')
+      |        for i in range(1, len(string_split_regex(text,'\s+')) - 1)] END)""".stripMargin
+
+  /** DuckDB: Karp-Rabin rolling hash of string expression `e` (BIGINT fold —
+    * int32 would overflow loudly in DuckDB). */
+  private def rollSql(e: String): String =
+    s"""list_reduce([0]::BIGINT[] || list_transform(string_split($e, ''), ch -> ascii(ch)::BIGINT),
+       | (acc, x) -> (acc * 31 + x) % 2147483647)""".stripMargin
+
+  /** DuckDB: sequential-left-fold dot product of DOUBLE[] a·b (bit-identical
+    * to Spark's aggregate(zip_with(...))). */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce([0.0]::DOUBLE[] || list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]),
+       | (acc, x) -> acc + x)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q20_exact_dedup" ->
+      """SELECT md5(concat_ws('~', text)) AS content_hash,
+        | MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q21_token_stats" ->
+      """SELECT doc_id,
+        | len(list_filter(string_split_regex(text,'\s+'), t -> t <> '')) AS n_tokens,
+        | len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
+        | round(list_sum(list_transform(list_filter(string_split_regex(text,'\s+'), t -> t <> ''), t -> length(t)))::DOUBLE
+        |   / len(list_filter(string_split_regex(text,'\s+'), t -> t <> ''))::DOUBLE, 6) AS avg_token_len
+        |FROM documents""".stripMargin,
+
+    "q22_quality_score" ->
+      """WITH q AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(text,'\s+'), t -> t <> '') AS toks,
+        |  length(text) AS n_chars,
+        |  length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct
+        | FROM documents)
+        |SELECT doc_id,
+        | round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |   len(list_filter(toks, t -> t IN ('the','a','an','of','and','or','in','on','to','is')))::DOUBLE / len(toks)::DOUBLE END, 6) AS stop_ratio,
+        | round(CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct::DOUBLE / n_chars::DOUBLE END, 6) AS punct_ratio,
+        | round(least(len(toks)::DOUBLE / 100.0, 1.0) * 0.5
+        |   + (1.0 - CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |       len(list_filter(toks, t -> t IN ('the','a','an','of','and','or','in','on','to','is')))::DOUBLE / len(toks)::DOUBLE END) * 0.3
+        |   + (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct::DOUBLE / n_chars::DOUBLE END) * 0.2, 6) AS quality
+        |FROM q""".stripMargin,
+
+    "q23_lang_id" ->
+      """WITH s AS (
+        | SELECT lang AS actual_lang,
+        |  len(list_filter(string_split_regex(text,'\s+'), t -> t IN ('the','a','of','and'))) AS s_en,
+        |  len(list_filter(string_split_regex(text,'\s+'), t -> t IN ('el','la','de','que'))) AS s_es,
+        |  len(list_filter(string_split_regex(text,'\s+'), t -> t IN ('der','die','und','das'))) AS s_de,
+        |  len(list_filter(string_split_regex(text,'\s+'), t -> t IN ('le','les','et','une'))) AS s_fr
+        | FROM documents)
+        |SELECT actual_lang,
+        | CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+        |      WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+        |      WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+        |      WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+        |      ELSE 'fr' END AS predicted_lang,
+        | COUNT(*) AS n
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q24_minhash_lsh" ->
+      s"""WITH sh AS (
+         | SELECT doc_id, $shingles3 AS shingles FROM documents),
+         |sig AS (
+         | SELECT doc_id,
+         |  list_transform(range(0, 16), i -> list_min(list_transform(
+         |    list_transform(shingles, sg -> ${h31("sg")}),
+         |    h -> (h * (2*i + 3) + (7919*i + 1)) % 2147483647))) AS sig
+         | FROM sh WHERE len(shingles) > 0),
+         |bk AS (
+         | SELECT doc_id, sig, unnest(list_transform(range(0, 4),
+         |   b -> md5(concat_ws('_', b::VARCHAR, array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), '_'))))) AS bucket
+         | FROM sig)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         | len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i]))::DOUBLE / 16.0 AS est_jaccard
+         |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |WHERE len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i]))::DOUBLE / 16.0 >= 0.5""".stripMargin,
+
+    "q25_ngram_jaccard" ->
+      s"""WITH s AS (
+         | SELECT doc_id, $shingles3 AS shingles FROM documents),
+         |e AS (
+         | SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+         | FROM s WHERE len(shingles) > 0)
+         |SELECT id_a, id_b, jaccard FROM (
+         | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(COUNT(*)::DOUBLE / (a.n_sh + b.n_sh - COUNT(*))::DOUBLE, 6) AS jaccard
+         | FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         | GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh)
+         |WHERE jaccard >= 0.5""".stripMargin,
+
+    "q26_simhash" -> {
+      val powers = (0 until 31).map(j => 1L << j).mkString("[", ", ", "]")
+      s"""WITH h AS (
+         | SELECT doc_id,
+         |  list_transform(list_distinct(list_filter(string_split_regex(text,'\\s+'), t -> t <> '')),
+         |    tk -> ${h31("tk")}) AS hs
+         | FROM documents)
+         |SELECT doc_id,
+         | list_sum(list_transform($powers::BIGINT[],
+         |   e -> CASE WHEN 2 * len(list_filter(hs, v -> v % (e * 2) >= e)) > len(hs) THEN e ELSE 0 END))::BIGINT AS simhash,
+         | bit_count(list_sum(list_transform($powers::BIGINT[],
+         |   e -> CASE WHEN 2 * len(list_filter(hs, v -> v % (e * 2) >= e)) > len(hs) THEN e ELSE 0 END))::BIGINT)::INT AS n_bits
+         |FROM h""".stripMargin
+    },
+
+    "q27_ann_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         |s AS (
+         | SELECT query_id, e.vec_id AS neighbor_id,
+         |  round(${dotSql("qv", "e.v")} / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("e.v", "e.v")})), 6) AS cos_sim
+         | FROM e CROSS JOIN q WHERE e.vec_id <> query_id)
+         |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+         | SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+         | FROM s) WHERE rank <= 5""".stripMargin,
+
+    "q28_ivf_assign" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |d AS (
+         | SELECT e.vec_id, c.cid,
+         |  list_reduce([0.0]::DOUBLE[] || list_transform(range(1, len(e.v) + 1), i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),
+         |   (acc, x) -> acc + x) AS dist
+         | FROM e CROSS JOIN c)
+         |SELECT vec_id, cid AS cluster_id, round(dist, 6) AS cluster_dist FROM (
+         | SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+         | FROM d) WHERE rn = 1""".stripMargin,
+
+    "q29_fingerprint" ->
+      s"""SELECT doc_id,
+         | ${rollSql("text")} AS doc_hash,
+         | list_min(list_transform($shingles3, sg -> ${rollSql("sg")})) AS min_shingle_hash
+         |FROM documents""".stripMargin
+  )
+}
