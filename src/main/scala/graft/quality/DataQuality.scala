@@ -1,0 +1,136 @@
+package graft.quality
+
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ColumnOps
+
+/** Data-quality rule engine: unique / not-null / arbitrary-SQL rules executed
+  * against a DataFrame, with a structured result set and an HTML report.
+  *
+  * Reference semantics (src/com/vitthalmirji/utils/data_quality.py:50-223):
+  *  - `unique`: count of key groups appearing more than once; pass iff 0;
+  *  - `not null`: rows where ANY listed column is null or blank; pass iff 0;
+  *  - `query`: rule SQL runs against the DataFrame registered as view
+  *    `temp`; pass iff the query returns zero rows.
+  *
+  * Each rule is one Spark action over a declarative plan, so Catalyst pushes
+  * filters/pruning into the scan; at 100 TB, prefer [[summarize]] which
+  * fuses all unique+not-null rules into a single pass.
+  */
+object DataQuality {
+
+  sealed trait Rule { def id: String; def name: String }
+  final case class UniqueRule(id: String, name: String, columns: Seq[String]) extends Rule
+  final case class NotNullRule(id: String, name: String, columns: Seq[String]) extends Rule
+  final case class QueryRule(id: String, name: String, sql: String) extends Rule
+
+  final case class RuleResult(ruleId: String, ruleName: String, ruleType: String,
+                              violations: Long, passed: Boolean,
+                              error: Option[String] = None)
+
+  final case class DqReport(dqId: String, results: Seq[RuleResult]) {
+    def overallPassed: Boolean = results.forall(_.passed)
+  }
+
+  /** Duplicated-key group count (reference: data_quality.py:64-65). */
+  def duplicateKeyGroups(df: DataFrame, cols: Seq[String]): Long =
+    df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).count()
+
+  /** Rows where any listed column is null/blank (data_quality.py:70-87). */
+  def nullOrBlankRows(df: DataFrame, cols: Seq[String]): Long =
+    df.filter(cols.map(c => ColumnOps.isNullOrBlank(col(c))).reduce(_ || _)).count()
+
+  def runRule(spark: SparkSession, df: DataFrame, rule: Rule): RuleResult = {
+    val attempt = Try(rule match {
+      case UniqueRule(_, _, cols) => duplicateKeyGroups(df, cols)
+      case NotNullRule(_, _, cols) => nullOrBlankRows(df, cols)
+      case QueryRule(_, _, sql) =>
+        df.createOrReplaceTempView("temp")
+        spark.sql(sql).count()
+    })
+    val rtype = rule match {
+      case _: UniqueRule => "unique"
+      case _: NotNullRule => "not null"
+      case _: QueryRule => "query"
+    }
+    attempt match {
+      case Success(v) => RuleResult(rule.id, rule.name, rtype, v, v == 0)
+      case Failure(e) => RuleResult(rule.id, rule.name, rtype, -1, passed = false,
+        error = Some(e.getMessage))
+    }
+  }
+
+  def run(spark: SparkSession, df: DataFrame, dqId: String,
+          rules: Seq[Rule]): DqReport =
+    DqReport(dqId, rules.map(r => runRule(spark, df, r)))
+
+  /** Single-pass fused check: all unique + not-null rules evaluated in ONE
+    * aggregation over the data (conditional-count columns), instead of one
+    * job per rule. At scale this is the difference between k scans and 1.
+    * Unique rules are approximated exactly via count-distinct deltas:
+    * duplicate key groups = countDistinct(keys with count>1) needs a group
+    * pass, so uniques here report `rows − distinct keys` (excess rows), which
+    * is 0 exactly when the rule passes — same pass/fail decision.
+    */
+  def summarize(df: DataFrame, uniques: Seq[UniqueRule],
+                notNulls: Seq[NotNullRule]): DataFrame = {
+    val aggs =
+      uniques.map(r =>
+        (count(lit(1)) - count_distinct(struct(r.columns.map(col): _*)))
+          .as(s"excess_${r.id}")) ++
+      notNulls.map(r =>
+        sum(when(r.columns.map(c => ColumnOps.isNullOrBlank(col(c))).reduce(_ || _), 1L)
+          .otherwise(0L)).as(s"nullblank_${r.id}"))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  // ---- JSON config (reference: conf/data-quality/rules/*.json) -----------
+
+  /** Parse `{dq_id, rules:[{rule_id,name,rule_type,columns?|query?}]}` using
+    * Spark's bundled Jackson. */
+  def rulesFromJson(json: String): (String, Seq[Rule]) = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val root = new ObjectMapper().readTree(json)
+    val dqId = Option(root.get("dq_id")).map(_.asText).getOrElse("dq")
+    val it = root.get("rules").elements()
+    val rules = Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).map { r =>
+      val id = r.get("rule_id").asText
+      val name = Option(r.get("name")).map(_.asText).getOrElse(id)
+      def cols = {
+        val ce = r.get("columns").elements()
+        Iterator.continually(ce).takeWhile(_.hasNext).map(_.next().asText).toSeq
+      }
+      r.get("rule_type").asText match {
+        case "unique" => UniqueRule(id, name, cols)
+        case "not null" => NotNullRule(id, name, cols)
+        case "query" => QueryRule(id, name, r.get("query").asText)
+        case other => throw new IllegalArgumentException(s"Unknown rule_type '$other'")
+      }
+    }.toSeq
+    (dqId, rules)
+  }
+
+  /** HTML report (reference: data_quality.py:137-223). */
+  def htmlReport(report: DqReport): String = {
+    def table(title: String, rows: Seq[RuleResult]): String =
+      if (rows.isEmpty) ""
+      else s"""<h2>$title</h2><table border="1"><tr><th>rule</th><th>name</th><th>type</th><th>violations</th></tr>""" +
+        rows.map(r => s"<tr><td>${r.ruleId}</td><td>${r.ruleName}</td><td>${r.ruleType}</td><td>${r.violations}</td></tr>").mkString +
+        "</table>"
+    val (pass, fail) = report.results.partition(_.passed)
+    s"""<html><body><h1>Data quality report: ${report.dqId} — ${if (report.overallPassed) "PASSED" else "FAILED"}</h1>
+       |${table("Failed rules", fail)}
+       |${table("Passed rules", pass)}
+       |</body></html>""".stripMargin
+  }
+
+  def writeHtmlReport(report: DqReport, path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(p, htmlReport(report))
+  }
+}
