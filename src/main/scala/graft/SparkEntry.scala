@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, TrainingQueries, WarehouseQueries}
+import graft.queries.{CoreQueries, MapperQueries, MetaQueries, TrainingQueries, WarehouseQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,10 +18,12 @@ object SparkEntry {
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ TrainingQueries.queries ++ WarehouseQueries.queries
+    CoreQueries.queries ++ TrainingQueries.queries ++ WarehouseQueries.queries ++
+      MetaQueries.queries ++ MapperQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ TrainingQueries.oracles ++ WarehouseQueries.oracles
+    CoreQueries.oracles ++ TrainingQueries.oracles ++ WarehouseQueries.oracles ++
+      MetaQueries.oracles ++ MapperQueries.oracles
 }

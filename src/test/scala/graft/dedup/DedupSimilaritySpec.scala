@@ -1,0 +1,99 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.similarity.Similarity
+
+class DedupSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+      (3L, "completely different content about spark shuffles and partitions"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again today") // exact dup of 1
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactDupGroups collapses identical content") {
+    val got = rows(Dedup.exactDupGroups(docs, "doc_id", col("text"))
+      .orderBy(col("keep_id")))
+    assert(got.length == 3)
+    val g1 = got.find(_.getAs[Long]("keep_id") == 1L).get
+    assert(g1.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash LSH surfaces the near-dup pair with high estimated jaccard") {
+    val pairs = rows(Dedup.minhashCandidatePairs(docs, "doc_id", "text"))
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("est_jaccard")))
+    // 1-2 (near-dup) and 1-4 (exact) must both surface; exact pair estimates 1.0
+    assert(pairs.exists { case (a, b, _) => a == 1L && b == 4L })
+    assert(pairs.find { case (a, b, _) => a == 1L && b == 4L }.get._3 == 1.0)
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j >= 0.5 })
+  }
+
+  test("jaccardPairs computes exact set similarity above threshold") {
+    val got = rows(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5))
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard")))
+    assert(got.find { case (a, b, _) => a == 1L && b == 4L }.get._3 == 1.0)
+    assert(got.exists { case (a, b, j) => a == 1L && b == 2L && j > 0.5 && j < 1.0 })
+    assert(!got.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+
+  test("simhash: identical docs collide, near-dups are hamming-close") {
+    import spark.implicits._
+    val sh = rows(docs.select(col("doc_id"), Dedup.simhash31(col("text")).as("s")))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+
+  test("cosine: self-similarity is 1, orthogonal is 0") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+      .toDF("a", "b", "c")
+    val got = rows(df.select(
+      Similarity.cosine(Similarity.toDoubleVec(col("a")), Similarity.toDoubleVec(col("b"))).as("self"),
+      Similarity.cosine(Similarity.toDoubleVec(col("a")), Similarity.toDoubleVec(col("c"))).as("orth"))).head
+    assert(got.getDouble(0) == 1.0 && got.getDouble(1) == 0.0)
+  }
+
+  test("bruteForceTopK returns k ranked neighbors per query") {
+    val emb = graft.core.Tables.load(spark, sf, "embeddings")
+    val got = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 2), emb, 3)
+    val byQ = rows(got).groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == Set(0L, 1L))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted == Seq(1, 2, 3))
+      val sims = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(sims == sims.sorted.reverse, "ranks must follow descending similarity")
+    }
+  }
+
+  test("ivfAssign puts every centroid in its own cluster at distance 0") {
+    val emb = graft.core.Tables.load(spark, sf, "embeddings")
+    val centroids = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val assigned = Similarity.ivfAssign(emb, centroids)
+    val own = rows(assigned.filter(col("vec_id") < 4))
+    own.foreach { r =>
+      assert(r.getAs[Long]("cluster_id") == r.getAs[Long]("vec_id"))
+      assert(r.getAs[Double]("cluster_dist") == 0.0)
+    }
+    // ivfTopK only scores within the query's bucket
+    val q = assigned.filter(col("vec_id") < 4)
+    val topk = rows(Similarity.ivfTopK(assigned, q, 2))
+    val clusters = rows(assigned).map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    topk.foreach { r =>
+      assert(clusters(r.getAs[Long]("neighbor_id")) == clusters(r.getAs[Long]("query_id")))
+    }
+  }
+}

@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Edge-case specs mirroring the reference's unit tests (FIXTURES.md §9:
+  * tests/test_helpers.py:25-66, tests/test_recipe_tasks.py:71-90). */
+class IsoDurationSpec extends SparkSpec {
+
+  test("parse edge cases match isodate semantics") {
+    assert(IsoDuration.parseMicros("PT") == 0L)
+    assert(IsoDuration.parseMicros("P0D") == 0L)
+    assert(IsoDuration.parseMicros("PT100M") == 100L * 60 * 1000000)
+    assert(IsoDuration.parseMicros("PT2H5M") == (2L * 3600 + 5 * 60) * 1000000)
+    assert(IsoDuration.parseMicros("P1W") == 7L * 86400 * 1000000)
+    assert(IsoDuration.parseMicros("PT0.5S") == 500000L)
+    assert(IsoDuration.parseMicros("-PT1M") == -60L * 1000000)
+    assert(IsoDuration.tryParseMicros("").isEmpty)
+    assert(IsoDuration.tryParseMicros("ABC").isEmpty)
+    intercept[IllegalArgumentException](IsoDuration.parseMicros("ABC"))
+  }
+
+  test("format reproduces isodate.duration_isoformat exactly") {
+    assert(IsoDuration.format(0L) == "P0D")
+    assert(IsoDuration.format(100L * 60 * 1000000) == "PT1H40M")
+    // golden-file shapes (BASELINE.md): fractional seconds, 6dp, zero-trimmed
+    assert(IsoDuration.format(425086705L) == "PT7M5.086705S")
+    assert(IsoDuration.format(9817105263L) == "PT2H43M37.105263S")
+    assert(IsoDuration.format(2513288136L) == "PT41M53.288136S")
+    assert(IsoDuration.format(86400L * 1000000) == "P1D")
+    assert(IsoDuration.format(1500000L) == "PT1.5S")
+  }
+
+  test("round-trip parse∘format is identity on micros") {
+    for (m <- Seq(0L, 1L, 999999L, 60000000L, 3600000000L, 90061000001L))
+      assert(IsoDuration.parseMicros(IsoDuration.format(m)) == m)
+  }
+
+  test("difficulty classifier boundaries (30/60 min exact)") {
+    import spark.implicits._
+    val df = Seq(29L, 30L, 60L, 61L).map(_ * 60 * 1000000)
+      .toDF("total_micros")
+      .select(IsoDuration.difficulty(col("total_micros")).as("d"))
+    assert(rows(df).map(_.getString(0)) == Seq("easy", "medium", "medium", "hard"))
+    val nullRow = Seq(Option.empty[Long]).toDF("total_micros")
+      .select(IsoDuration.difficulty(col("total_micros")).as("d"))
+    assert(rows(nullRow).head.getString(0) == "unknown")
+  }
+
+  test("avgDuration aggregator matches timedelta-mean semantics") {
+    import spark.implicits._
+    val df = Seq("PT1M", "PT2M", "PT4M").toDF("iso")
+      .select(IsoDuration.durationMicros(col("iso")).as("m"))
+      .agg(IsoDuration.avgDuration(col("m")).as("avg"))
+    assert(rows(df).head.getString(0) == "PT2M20S")
+  }
+
+  test("catalyst expressions: parse is null-safe, strict throws") {
+    import spark.implicits._
+    val df = Seq("PT1M", "junk", null).toDF("iso")
+      .select(IsoDuration.durationMicros(col("iso")).as("m"))
+    assert(rows(df).map(r => if (r.isNullAt(0)) null else r.getLong(0)) ==
+      Seq(60000000L, null, null))
+  }
+}
+
+class ColumnOpsSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  test("nvl / nullIfBlank / isNullOrBlank") {
+    import spark.implicits._
+    val df = Seq("x", " ", "", null).toDF("c").select(
+      ColumnOps.nvl(ColumnOps.nullIfBlank(col("c")), "-").as("nvl"),
+      ColumnOps.isNullOrBlank(col("c")).as("blank"))
+    assert(rows(df) == Seq(Row("x", false), Row("-", true), Row("-", true), Row("-", true)))
+  }
+
+  test("string hygiene: singleSpace, removeNonWord") {
+    import spark.implicits._
+    val df = Seq("  a   b\t c ").toDF("c").select(
+      ColumnOps.singleSpace(col("c")).as("s"),
+      ColumnOps.removeAllWhitespace(col("c")).as("r"))
+    assert(rows(df).head == Row("a b c", "abc"))
+  }
+
+  test("lookup maps ;-separated codes through a broadcast-literal map") {
+    import spark.implicits._
+    val df = Seq("A;B;Z").toDF("c")
+      .select(ColumnOps.lookup(col("c"), Map("A" -> "Alpha", "B" -> "Beta")).as("l"))
+    assert(rows(df).head.getString(0) == "Alpha;Beta;Z")
+  }
+
+  test("stable64 is deterministic and non-negative") {
+    import spark.implicits._
+    val df = Seq("x", "x", "y").toDF("c").select(ColumnOps.stable64(col("c")).as("h"))
+    val hs = rows(df).map(_.getLong(0))
+    assert(hs(0) == hs(1) && hs(0) != hs(2) && hs.forall(_ >= 0))
+  }
+
+  test("datetimeToGmt converts LA local time to UTC") {
+    import spark.implicits._
+    val df = Seq("2024-01-15 10:00:00").toDF("c")
+      .select(ColumnOps.datetimeToGmt(col("c"), "yyyy-MM-dd HH:mm:ss").cast("string").as("utc"))
+    assert(rows(df).head.getString(0) == "2024-01-15 18:00:00")
+  }
+}
+
+class TextOpsSpec extends SparkSpec {
+
+  test("wordShingles: distinct n-grams; short docs yield empty") {
+    import spark.implicits._
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(TextOps.wordShingles(col("text"), 3).as("sh"))
+    val got = rows(df).map(_.getSeq[String](0))
+    assert(got.head == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty)
+  }
+
+  test("rollingHash matches a reference implementation") {
+    import spark.implicits._
+    def ref(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 2147483647L)
+    val df = Seq("hello world").toDF("text").select(TextOps.rollingHash(col("text")).as("h"))
+    assert(rows(df).head.getLong(0) == ref("hello world"))
+  }
+
+  test("langId picks marker-profile argmax, und when no markers") {
+    import spark.implicits._
+    val df = Seq("the cat of the house", "el gato de la casa que", "xyzzy plugh")
+      .toDF("text").select(TextOps.langId(col("text")).as("l"))
+    assert(rows(df).map(_.getString(0)) == Seq("en", "es", "und"))
+  }
+
+  test("qualityScore is bounded and penalizes stuffing") {
+    import spark.implicits._
+    val df = Seq("the the the the", "informative content with varied words here")
+      .toDF("text").select(TextOps.qualityScore(col("text")).as("q"))
+    val Seq(stuffed, real) = rows(df).map(_.getDouble(0))
+    assert(stuffed < real && real <= 1.0 && stuffed >= 0.0)
+  }
+}

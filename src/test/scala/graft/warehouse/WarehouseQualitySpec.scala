@@ -1,0 +1,102 @@
+package graft.warehouse
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.quality.DataQuality
+import graft.quality.DataQuality._
+
+class CdcSpec extends SparkSpec {
+
+  private def oldDf = {
+    import spark.implicits._
+    Cdc.addContentHash(Seq(
+      (1L, "a", 1), (2L, "b", 1), (3L, "c", 1), (3L, "c-old", 0) // dup key, older
+    ).toDF("id", "payload", "ts"), Seq("id", "payload"))
+  }
+
+  private def newDf = {
+    import spark.implicits._
+    Cdc.addContentHash(Seq(
+      (2L, "b", 2),        // unchanged payload
+      (3L, "c2", 2),       // updated payload
+      (4L, "d", 2)         // brand new
+    ).toDF("id", "payload", "ts"), Seq("id", "payload"))
+  }
+
+  test("snapshot keeps the newest row per key") {
+    val snap = rows(Cdc.snapshot(oldDf, Seq("id"), Seq("ts")))
+    assert(snap.length == 3)
+    assert(snap.find(_.getLong(0) == 3L).get.getString(1) == "c")
+  }
+
+  test("snapshot refuses empty partition keys (global-window hazard)") {
+    intercept[IllegalArgumentException](Cdc.snapshot(oldDf, Nil, Seq("ts")))
+  }
+
+  test("classifyChanges tags inserts and hash-diff updates") {
+    val old = Cdc.snapshot(oldDf, Seq("id"), Seq("ts"))
+    val got = rows(Cdc.classifyChanges(old, newDf, Seq("id")))
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("change_type")).toMap
+    assert(got == Map(4L -> "I", 3L -> "U")) // id 2 unchanged → absent
+  }
+
+  test("mergeClassify partitions keys into I/U/D/N") {
+    val old = Cdc.snapshot(oldDf, Seq("id"), Seq("ts"))
+    val got = rows(Cdc.mergeClassify(old, newDf, Seq("id")))
+      .map(r => Option(r.getAs[Any]("id")).map(_.asInstanceOf[Long]) ->
+        r.getAs[String]("change_type"))
+    assert(got.toMap == Map(Some(4L) -> "I", Some(3L) -> "U",
+      Some(2L) -> "N", None -> "D")) // id 1 only in old → null new-side key
+  }
+}
+
+class DataQualitySpec extends SparkSpec {
+
+  private def df = {
+    import spark.implicits._
+    Seq((1, "x"), (1, "y"), (2, ""), (3, null.asInstanceOf[String]))
+      .toDF("id", "name")
+  }
+
+  test("unique / not-null / query rules compute violations") {
+    val report = DataQuality.run(spark, df, "t", Seq(
+      UniqueRule("u1", "ids unique", Seq("id")),
+      NotNullRule("n1", "name present", Seq("name")),
+      QueryRule("q1", "no id over 10", "SELECT * FROM temp WHERE id > 10")))
+    val byId = report.results.map(r => r.ruleId -> r).toMap
+    assert(byId("u1").violations == 1 && !byId("u1").passed) // id=1 dup group
+    assert(byId("n1").violations == 2 && !byId("n1").passed) // blank + null
+    assert(byId("q1").violations == 0 && byId("q1").passed)
+    assert(!report.overallPassed)
+  }
+
+  test("summarize fuses all rules into one aggregation with same verdicts") {
+    val got = rows(DataQuality.summarize(df,
+      Seq(UniqueRule("u1", "", Seq("id"))), Seq(NotNullRule("n1", "", Seq("name"))))).head
+    assert(got.getAs[Long]("excess_u1") == 1L)
+    assert(got.getAs[Long]("nullblank_n1") == 2L)
+  }
+
+  test("JSON rule config round-trips") {
+    val (dqId, parsed) = DataQuality.rulesFromJson(
+      """{"dq_id":"demo","rules":[
+        |{"rule_id":"r1","name":"u","rule_type":"unique","columns":["id"]},
+        |{"rule_id":"r2","name":"nn","rule_type":"not null","columns":["name","id"]},
+        |{"rule_id":"r3","name":"q","rule_type":"query","query":"SELECT 1 FROM temp WHERE false"}
+        |]}""".stripMargin)
+    assert(dqId == "demo")
+    assert(parsed == Seq(
+      UniqueRule("r1", "u", Seq("id")),
+      NotNullRule("r2", "nn", Seq("name", "id")),
+      QueryRule("r3", "q", "SELECT 1 FROM temp WHERE false")))
+  }
+
+  test("HTML report renders pass/fail sections") {
+    val report = DqReport("demo", Seq(
+      RuleResult("r1", "u", "unique", 0, passed = true),
+      RuleResult("r2", "nn", "not null", 5, passed = false)))
+    val html = DataQuality.htmlReport(report)
+    assert(html.contains("FAILED") && html.contains("r2") && html.contains("Passed rules"))
+  }
+}
