@@ -1,0 +1,54 @@
+package graft.launcher
+
+import java.time.LocalDate
+import java.time.temporal.ChronoUnit
+
+/** Operational edge: spark-submit command rendering and date-range chunking
+  * for backfills (reference: utils/spark_submit_utils.py:57-80,
+  * Utilities.py:382-457). Thin driver-side strings — not engine code; kept
+  * for surface parity. */
+object Launcher {
+
+  final case class SubmitConf(
+      appName: String,
+      mainClass: String,
+      jar: String,
+      master: String = "yarn",
+      deployMode: String = "cluster",
+      driverMemory: String = "1g",
+      executorMemory: String = "1g",
+      numExecutors: Int = 2,
+      executorCores: Int = 1,
+      conf: Map[String, String] = Map.empty,
+      args: Seq[String] = Nil)
+
+  /** Render the spark-submit command line (reference parity with
+    * sbin/execute-tasks-spark-submit.sh:40-52 defaults). */
+  def renderSubmit(c: SubmitConf): String = {
+    val confs = (Map(
+      "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer",
+      "spark.dynamicAllocation.enabled" -> "false",
+      "spark.yarn.maxAppAttempts" -> "1") ++ c.conf)
+      .toSeq.sortBy(_._1).map { case (k, v) => s"--conf $k=$v" }.mkString(" ")
+    (Seq("spark-submit",
+      s"--master ${c.master}", s"--deploy-mode ${c.deployMode}",
+      s"--name ${c.appName}", s"--class ${c.mainClass}",
+      s"--driver-memory ${c.driverMemory}", s"--executor-memory ${c.executorMemory}",
+      s"--num-executors ${c.numExecutors}", s"--executor-cores ${c.executorCores}",
+      confs, c.jar) ++ c.args).mkString(" ")
+  }
+
+  /** Split [start, end] into chunks of at most `days` days — one backfill
+    * run each (reference: Utilities.py:382-407). Inclusive bounds. */
+  def dateChunks(start: LocalDate, end: LocalDate, days: Int): Seq[(LocalDate, LocalDate)] = {
+    require(days > 0 && !end.isBefore(start), s"bad range [$start, $end] / $days")
+    Iterator.iterate(start)(_.plusDays(days))
+      .takeWhile(!_.isAfter(end))
+      .map(s => s -> Seq(s.plusDays(days - 1L), end).min(Ordering.by((d: LocalDate) => d.toEpochDay)))
+      .toSeq
+  }
+
+  /** Total days in an inclusive range (chunk sizing helper). */
+  def rangeDays(start: LocalDate, end: LocalDate): Long =
+    ChronoUnit.DAYS.between(start, end) + 1
+}

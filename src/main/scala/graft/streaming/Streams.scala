@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface of the engine. The reference has no
+  * streaming at all (SURVEY.md §2.10 — its "CDC" is incremental batch over
+  * staged files), so this module is green-field Spark design: the SAME
+  * transformations used by the batch queries (tumbling windows = q18, dedup =
+  * CDC snapshot) run under `readStream` with watermarks bounding state.
+  *
+  * Everything below returns plans, not started queries — callers pick sink,
+  * trigger, and checkpoint location (those are deployment decisions).
+  */
+object Streams {
+
+  /** File-based event stream with the events-table schema; `maxFilesPerTrigger`
+    * bounds micro-batch size (backpressure knob at scale). */
+  def readEventStream(spark: SparkSession, dir: String,
+                      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Tumbling-window counts/sums per event type — the streaming twin of
+    * batch q18. Watermark bounds window state: late rows beyond it are
+    * dropped, windows older than it are finalized and evicted. */
+  def tumblingStats(events: DataFrame, window: String = "1 hour",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+  /** Streaming dedup by key within the watermark horizon — the streaming
+    * form of the CDC latest-per-key snapshot. State is bounded: a key's
+    * entry is dropped once the watermark passes it. */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                           watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  // ---- custom state: sessionization --------------------------------------
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(nEvents: Long, sumValue: Double, lastTs: Long)
+  final case class SessionOut(user_id: Long, nEvents: Long, sumValue: Double,
+                              closedAtMs: Long)
+
+  /** Per-user session aggregation with an EVENT-TIME idle gap — the
+    * `flatMapGroupsWithState` pattern for state Spark's built-in windows
+    * can't express (variable-length sessions). A session closes when the
+    * watermark passes `lastTs + gap`: deterministic and replayable, unlike
+    * wall-clock ProcessingTimeTimeout (which also never lets
+    * `processAllAvailable` settle in tests). State is bounded by the
+    * watermark — no session outlives `gap + watermarkDelay`. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000,
+                 watermarkDelay: String = "10 seconds"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.nEvents, s.sumValue,
+              state.getCurrentWatermarkMs()))
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            val buf = rows.toSeq
+            val next = SessionState(
+              prev.nEvents + buf.size,
+              prev.sumValue + buf.map(_.value).sum,
+              math.max(prev.lastTs, buf.map(_.ts.getTime).maxOption.getOrElse(0L)))
+            state.update(next)
+            state.setTimeoutTimestamp(next.lastTs + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Run a streaming plan to completion against a memory sink and return the
+    * collected result — the standard harness for asserting streaming
+    * semantics in tests without a long-running query. */
+  def runToMemory(spark: SparkSession, plan: DataFrame, name: String,
+                  outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = plan.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,40 @@
+package graft.tools
+
+import graft.core.{Sessions, Tables}
+import graft.pipelines.Recipes
+import graft.streaming.Streams
+
+/** CLI surface for the flagship pipelines:
+  *   runMain graft.tools.RunPipelines recipes <inputDir> <outDir>
+  *   runMain graft.tools.RunPipelines streaming <eventsParquetDir>
+  */
+object RunPipelines {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local("graft-pipelines")
+    args.headOption match {
+      case Some("recipes") =>
+        val in = args.lift(1).getOrElse("/root/reference/resources/data/recipes/input")
+        val out = args.lift(2).getOrElse(
+          java.nio.file.Files.createTempDirectory("graft-recipes").toString)
+        Recipes.task1(spark, in, s"$out/task1")
+        println(s"task1 rows=${spark.read.parquet(s"$out/task1").count()} -> $out/task1")
+        val t2 = Recipes.task2(spark, s"$out/task1", s"$out/task2")
+        t2.collect().foreach(r => println(s"task2 ${r.mkString(",")}"))
+        println(s"task2 csv -> $out/task2")
+      case Some("streaming") =>
+        val dir = args.lift(1).getOrElse {
+          val d = java.nio.file.Files.createTempDirectory("graft-stream").toString
+          Tables.load(spark, "/root/testdata/sf0.001", "events")
+            .coalesce(1).write.mode("overwrite").parquet(d)
+          d
+        }
+        val mem = Streams.runToMemory(spark,
+          Streams.tumblingStats(Streams.readEventStream(spark, dir)), "cli_tumbling")
+        println(s"streaming tumbling windows rows=${mem.count()}")
+        mem.orderBy("window").show(5, truncate = false)
+      case other =>
+        System.err.println(s"usage: recipes|streaming, got $other"); sys.exit(2)
+    }
+    spark.stop()
+  }
+}

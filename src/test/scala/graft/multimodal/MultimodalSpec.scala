@@ -1,0 +1,53 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import graft.multimodal.Multimodal._
+
+class MultimodalSpec extends SparkSpec {
+
+  /** Binary payloads synthesized deterministically from document text. */
+  private lazy val media = {
+    import spark.implicits._
+    graft.core.Tables.load(spark, sf, "documents")
+      .limit(20).collect().toSeq
+      .map { r =>
+        val bytes = r.getAs[String]("text").getBytes("UTF-8")
+        MediaRecord(r.getAs[Long]("doc_id"),
+          MediaMeta("image/fake", s"mem://doc/${r.getAs[Long]("doc_id")}", bytes.length),
+          bytes)
+      }.toDS()
+  }
+
+  test("decodeImages: batch shape, schema, and determinism") {
+    val out1 = rows(decodeImages(media, featureDim = 16).toDF())
+    val out2 = rows(decodeImages(media, featureDim = 16).toDF())
+    assert(out1.length == 20)
+    val r = out1.head
+    assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("channels") == 3)
+    assert(r.getSeq[Float](r.fieldIndex("features")).length == 16)
+    // deterministic across runs and partitionings
+    assert(out1.map(_.toString).sorted == out2.map(_.toString).sorted)
+  }
+
+  test("feature vectors are unit-norm (contract for cosine ANN downstream)") {
+    val feats = rows(decodeImages(media, featureDim = 16).toDF())
+      .map((r => r.getSeq[Float](r.fieldIndex("features"))))
+    feats.foreach { f =>
+      val norm = math.sqrt(f.map(x => x * x.toDouble).sum)
+      assert(math.abs(norm - 1.0) < 1e-4, s"norm was $norm")
+    }
+  }
+
+  test("sampleFrames yields stride-spaced offsets") {
+    val out = rows(sampleFrames(media, stride = 100).toDF())
+    val r = out.head
+    val offsets = r.getSeq[Long](r.fieldIndex("frameOffsets"))
+    assert(offsets.zip(offsets.tail).forall { case (a, b) => b - a == 100 })
+    assert(r.getAs[Int]("nFrames") == offsets.length)
+  }
+
+  test("media schema matches the declared contract") {
+    assert(media.toDF().schema("content").dataType.typeName == "binary")
+    assert(media.toDF().schema("meta").dataType.typeName == "struct")
+  }
+}

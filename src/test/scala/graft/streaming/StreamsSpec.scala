@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+class StreamsSpec extends SparkSpec {
+
+  /** Stage the sf0.001 events as a one-file stream source. */
+  private lazy val streamDir: String = {
+    val d = Files.createTempDirectory("graft-stream").toString
+    graft.core.Tables.load(spark, sf, "events")
+      .coalesce(1).write.mode("overwrite").parquet(d)
+    d
+  }
+
+  test("streaming tumbling window equals the batch q18 plan") {
+    val stream = Streams.readEventStream(spark, streamDir)
+    val got = Streams.runToMemory(spark,
+      Streams.tumblingStats(stream), "tumbling_test")
+      .select(unix_timestamp(col("window.start")).as("w"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    val want = graft.core.Tables.load(spark, sf, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("w"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("dedupWithinWatermark keeps one row per key") {
+    val stream = Streams.readEventStream(spark, streamDir)
+    val got = Streams.runToMemory(spark,
+      Streams.dedupWithinWatermark(stream, Seq("user_id")), "dedup_test",
+      OutputMode.Append())
+    val users = graft.core.Tables.load(spark, sf, "events")
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(got.count() == users)
+  }
+
+  test("sessionize closes a session when the watermark passes the idle gap") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Streams.Event]
+    val base = 1700000000000L
+    def ev(id: Long, user: Long, v: Double, tsMs: Long) =
+      Streams.Event(id, new java.sql.Timestamp(tsMs), user, "t", v)
+
+    val q = Streams.sessionize(ms.toDS(), gapMs = 60000, watermarkDelay = "1 second")
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(1, 100L, 1.5, base), ev(2, 100L, 2.5, base + 1000))
+      q.processAllAvailable() // session open, nothing emitted yet
+      // An event 1h later pushes the watermark far past user 100's gap.
+      ms.addData(ev(3, 200L, 9.0, base + 3600000))
+      q.processAllAvailable()
+      val got = rows(spark.table("sess_test"))
+        .map(r => r.getAs[Long]("user_id") -> (r.getAs[Long]("nEvents"), r.getAs[Double]("sumValue")))
+      assert(got.contains(100L -> (2L, 4.0)))
+    } finally q.stop()
+  }
+}
