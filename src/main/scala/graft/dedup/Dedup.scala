@@ -104,27 +104,43 @@ object Dedup {
 
   // ---- exact n-gram Jaccard via inverted index ---------------------------
 
-  /** Exact Jaccard near-dup pairs above `threshold`, using an inverted
-    * shingle index for candidate generation: a pair is only compared if it
-    * shares ≥1 shingle (join on shingle, then group by pair counting shared
-    * shingles) — |A∩B| falls out of the group count, |A∪B| = |A|+|B|−|A∩B|.
-    * No all-pairs product anywhere; the shuffle is on shingle then pair. */
+  /** Exact Jaccard near-dup pairs above `threshold`, two-phase:
+    *
+    *  1. CANDIDATES from an inverted shingle index restricted to
+    *     *informative* shingles — document frequency in [2, maxDocFreq].
+    *     Ultra-common (boilerplate) shingles are excluded because the
+    *     per-shingle self-join is Σ df², which a single hot shingle turns
+    *     quadratic at scale; singletons can't produce a pair at all.
+    *  2. VERIFY each candidate pair exactly over the FULL shingle sets
+    *     (array_intersect), so the reported Jaccard is not affected by the
+    *     candidate-phase pruning.
+    *
+    * A pair whose overlap is exclusively df>maxDocFreq boilerplate is
+    * missed — the standard recall trade every production near-dup pipeline
+    * makes; raise maxDocFreq to trade cost for recall. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   shingleN: Int, threshold: Double): DataFrame = {
+                   shingleN: Int, threshold: Double,
+                   maxDocFreq: Int = 50): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
         TextOps.wordShingles(col(textCol), shingleN).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .select(col("id"), size(col("shingles")).as("n_sh"),
-        explode(col("shingles")).as("shingle"))
-    val a = sh.as("a")
-    val b = sh.as("b")
-    a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        round(col("inter").cast("double")
-          / (col("na") + col("nb") - col("inter")).cast("double"), 6))
+    val postings = sh.select(col("id"), explode(col("shingles")).as("shingle"))
+    val informative = postings.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDocFreq)
+      .select(col("shingle"))
+    val indexed = postings.join(informative, "shingle")
+    val cand = indexed.as("a")
+      .join(indexed.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val setsA = sh.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val setsB = sh.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    cand.join(setsA, "id_a").join(setsB, "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -148,5 +164,29 @@ object Dedup {
       lit(0L),
       (acc, e) => acc + when(
         size(filter(hashes, h => h % (e * 2L) >= e)) * 2 > n, e).otherwise(0L))
+  }
+
+  /** SimHash as a DataFrame (id, simhash) via the aggregation formulation:
+    * explode distinct tokens, hash each ONCE, then 31 conditional-sum
+    * aggregates (+1 bit set / −1 unset; bit j of the result is set iff the
+    * sum is positive, ⇔ strictly more than half the tokens set it — same
+    * decision as [[simhash31]]). Prefer this for whole-corpus runs: the
+    * per-row HOF version's md5s get inlined into every bit lambda (31×
+    * recompute), while here hashing is linear and the aggregation is a
+    * materialization barrier with map-side partial aggregation. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+      .select(col("id"), TextOps.h31(col("tok")).as("h"))
+    val bitAggs = Pow2.zipWithIndex.map { case (e, j) =>
+      sum(when(col("h") % (e * 2L) >= e, 1L).otherwise(-1L)).as(s"b$j")
+    }
+    hashed.groupBy(col("id"))
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("id"),
+        Pow2.zipWithIndex.map { case (e, j) =>
+          when(col(s"b$j") > 0, e).otherwise(0L)
+        }.reduce(_ + _).as("simhash"))
   }
 }
