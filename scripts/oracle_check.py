@@ -48,6 +48,18 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: columns {list(mine.columns)} != {list(want.columns)}")
             n_fail += 1
             continue
+        # Driver hashes the *encoded* values, so a dtype mismatch (e.g. DuckDB
+        # HUGEINT vs Spark BIGINT) fails its gate even when values compare
+        # equal — surface it here instead of discovering it in VERDICT.
+        # Width differences (int32 vs int64) hash identically; kind
+        # differences (int vs float/object, e.g. HUGEINT) do not.
+        dt_mism = [(c, str(mine[c].dtype), str(want[c].dtype))
+                   for c in mine.columns
+                   if mine[c].dtype.kind != want[c].dtype.kind]
+        if dt_mism:
+            print(f"FAIL {name}: dtype mismatch {dt_mism}")
+            n_fail += 1
+            continue
         if len(mine) != len(want):
             print(f"FAIL {name}: rows {len(mine)} != {len(want)}")
             n_fail += 1

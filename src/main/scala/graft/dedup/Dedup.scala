@@ -45,10 +45,13 @@ object Dedup {
     * (a·h31(shingle)+b) mod P over the shingle set. Null signature for docs
     * too short to shingle. */
   def minhashSignature(text: Column, numPerms: Int, shingleN: Int): Column = {
-    val hashes = transform(TextOps.wordShingles(text, shingleN), s => TextOps.h31(s))
-    transform(sequence(lit(0), lit(numPerms - 1)),
-      i => array_min(transform(hashes,
-        h => (h * (i * 2L + 3L) + (i * 7919L + 1L)) % P31)))
+    // Shingle hashes bound via single-element array so the md5s are computed
+    // once per row, not once per permutation (HOF lambdas don't hoist
+    // loop-invariant subtrees — see TextOps.wordShingles).
+    flatten(transform(array(transform(TextOps.wordShingles(text, shingleN), s => TextOps.h31(s))),
+      hashes => transform(sequence(lit(0), lit(numPerms - 1)),
+        i => array_min(transform(hashes,
+          h => (h * (i * 2L + 3L) + (i * 7919L + 1L)) % P31)))))
   }
 
   /** LSH band keys: split the signature into `bands` bands of `rowsPerBand`
@@ -89,6 +92,10 @@ object Dedup {
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             numPerms: Int = 16, bands: Int = 4,
                             shingleN: Int = 3): DataFrame = {
+    require(numPerms % bands == 0,
+      s"numPerms ($numPerms) must be a multiple of bands ($bands): integer " +
+        "division would silently drop trailing signature positions from every " +
+        "band, reducing recall while est_jaccard still uses the full signature")
     val rows = numPerms / bands
     val sigs = minhashSignatures(df, idCol, textCol, numPerms, shingleN)
     val buckets = sigs.select(col("id"), col("sig"),
@@ -104,43 +111,46 @@ object Dedup {
 
   // ---- exact n-gram Jaccard via inverted index ---------------------------
 
-  /** Exact Jaccard near-dup pairs above `threshold`, two-phase:
+  /** Exact Jaccard near-dup pairs above `threshold` via one inverted-index
+    * self-join: explode distinct shingles (carrying each doc's shingle-set
+    * size), self-join on the shingle, and count matches per (id_a, id_b) —
+    * the count IS the intersection size, so jaccard = inter/(n_a+n_b-inter)
+    * needs no second pass over the shingle sets. Shingling runs once per
+    * side (2 scans total) and everything after the explode is codegen'd
+    * joins/aggs. Singleton shingles (df = 1) can't produce a pair, so the
+    * self-join prunes them for free.
     *
-    *  1. CANDIDATES from an inverted shingle index restricted to
-    *     *informative* shingles — document frequency in [2, maxDocFreq].
-    *     Ultra-common (boilerplate) shingles are excluded because the
-    *     per-shingle self-join is Σ df², which a single hot shingle turns
-    *     quadratic at scale; singletons can't produce a pair at all.
-    *  2. VERIFY each candidate pair exactly over the FULL shingle sets
-    *     (array_intersect), so the reported Jaccard is not affected by the
-    *     candidate-phase pruning.
-    *
-    * A pair whose overlap is exclusively df>maxDocFreq boilerplate is
-    * missed — the standard recall trade every production near-dup pipeline
-    * makes; raise maxDocFreq to trade cost for recall. */
+    * `maxDocFreq` (default: unbounded = exact) caps shingle document
+    * frequency for the 100 TB shape: the self-join is Σ df², which a single
+    * hot boilerplate shingle turns quadratic. Capping drops those shingles
+    * from BOTH candidate generation and intersection counts — pairs whose
+    * overlap is exclusively boilerplate are missed and reported jaccard for
+    * surviving pairs can undercount; the standard recall/cost trade. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int, threshold: Double,
-                   maxDocFreq: Int = 50): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
+                   maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
         TextOps.wordShingles(col(textCol), shingleN).as("shingles"))
       .filter(size(col("shingles")) > 0)
-    val postings = sh.select(col("id"), explode(col("shingles")).as("shingle"))
-    val informative = postings.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= maxDocFreq)
-      .select(col("shingle"))
-    val indexed = postings.join(informative, "shingle")
-    val cand = indexed.as("a")
+    val postings = base.select(col("id"), size(col("shingles")).as("n_sh"),
+      explode(col("shingles")).as("shingle"))
+    val indexed =
+      if (maxDocFreq == Int.MaxValue) postings
+      else {
+        val informative = postings.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDocFreq)
+          .select(col("shingle"))
+        postings.join(informative, "shingle")
+      }
+    indexed.as("a")
       .join(indexed.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    val setsA = sh.select(col("id").as("id_a"), col("shingles").as("sh_a"))
-    val setsB = sh.select(col("id").as("id_b"), col("shingles").as("sh_b"))
-    cand.join(setsA, "id_a").join(setsB, "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", round(col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"), 6))
+        (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -157,13 +167,17 @@ object Dedup {
     * `bit_count(xor) <= d` within LSH-style bucket joins on simhash bytes.
     */
   def simhash31(text: Column): Column = {
-    val hashes = transform(array_distinct(TextOps.tokens(text)), t => TextOps.h31(t))
-    val n = size(hashes)
-    aggregate(
-      typedlit(Pow2),
-      lit(0L),
-      (acc, e) => acc + when(
-        size(filter(hashes, h => h % (e * 2L) >= e)) * 2 > n, e).otherwise(0L))
+    // Token hashes bound once (single-element-array trick) — referencing the
+    // md5 chain inside the per-bit lambda would recompute every token hash
+    // 31 times per row.
+    element_at(transform(
+      array(transform(array_distinct(TextOps.tokens(text)), t => TextOps.h31(t))),
+      hashes => aggregate(
+        typedlit(Pow2),
+        lit(0L),
+        (acc, e) => acc + when(
+          size(filter(hashes, h => h % (e * 2L) >= e)) * 2 > size(hashes), e)
+          .otherwise(0L))), 1)
   }
 
   /** SimHash as a DataFrame (id, simhash) via the aggregation formulation:

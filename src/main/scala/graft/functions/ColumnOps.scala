@@ -89,8 +89,15 @@ object ColumnOps {
     * detector (reference: datawarehousing/change_data_capture.py:9-15
     * hashes raw XML text; we hash post-parse columns instead, which is both
     * cheaper and stable under field reordering).
+    *
+    * Each column is null-canonicalized to a NUL sentinel before joining:
+    * bare concat_ws silently skips NULLs, so ('a',NULL,'b') and ('a','b',NULL)
+    * would hash identically and CDC could misreport a real update as
+    * unchanged. The oracle SQL mirrors this as COALESCE(CAST(c AS VARCHAR),
+    * chr(0)).
     */
-  def contentHash(cols: Column*): Column = md5(concat_ws("~", cols: _*))
+  def contentHash(cols: Column*): Column =
+    md5(concat_ws("~", cols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*))
 
   /** Stable 60-bit non-negative hash derived from md5 — deterministic across
     * engines and partitionings (unlike `hash`/`xxhash64` whose seeds are

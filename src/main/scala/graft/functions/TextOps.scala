@@ -35,14 +35,19 @@ object TextOps {
   def h31(c: Column): Column = ColumnOps.stable64(c) % P31
 
   /** Distinct word n-gram shingles as strings; empty array when the doc has
-    * fewer than n tokens (sequence() would otherwise run backwards). */
-  def wordShingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
-  }
+    * fewer than n tokens (sequence() would otherwise run backwards).
+    *
+    * The token array is bound through a single-element array + lambda so it
+    * is evaluated ONCE per row: referencing `tokens(c)` directly inside the
+    * position lambda would re-split the whole document for every shingle
+    * position (higher-order functions are interpreted and do not hoist
+    * loop-invariant subtrees), turning shingling O(len²). */
+  def wordShingles(c: Column, n: Int): Column =
+    flatten(transform(array(tokens(c)), ts =>
+      when(size(ts) < n, array().cast("array<string>"))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), size(ts) - (n - 1)),
+          i => concat_ws(" ", slice(ts, i, lit(n))))))))
 
   /** Polynomial rolling hash of the full string, mod P31 — the classic
     * Karp-Rabin document fingerprint. Left fold, so cross-engine exact. */

@@ -73,6 +73,13 @@ object Planner {
     * of this table) so the join fold can still see them; they're dropped
     * after the joins. Key columns are aliased `__key_<table>_<col>` to avoid
     * colliding with target columns or other tables' keys. */
+  /** UDFs whose null-defaulting must run AFTER the join fold: for LEFT-joined
+    * parent tables an unmatched row yields NULL in the target column, and the
+    * intended (oracle) semantics are post-join COALESCE — applying them here
+    * would leave those NULLs undefaulted. [[transform]] re-applies them after
+    * [[joinAll]]. */
+  val postJoinUdfs: Set[String] = Set("nvl")
+
   def projectWithKeys(df: DataFrame, table: String, rows: Seq[MetaResult],
                       model: Map[String, TableNode]): DataFrame = {
     val filters = rows.flatMap(m => m.srcColFilter.map(f =>
@@ -80,7 +87,7 @@ object Planner {
     val filtered = filters.foldLeft(df)((d, p) => d.filter(p))
     val targetCols = rows.map { m =>
       val base = col(m.srcCol)
-      val withUdf = m.udf.map { u =>
+      val withUdf = m.udf.filterNot(u => postJoinUdfs(u.toLowerCase)).map { u =>
         udfRegistry.getOrElse(u.toLowerCase,
           throw new IllegalArgumentException(s"Unknown udf '$u'"))(base, m.udfArguments)
       }.getOrElse(base)
@@ -159,7 +166,16 @@ object Planner {
         val only = projected.values.head
         only.drop(only.columns.filter(_.startsWith("__key_")): _*)
       } else joinAll(projected, catalog.model, mainTable)
-    aggregate(joined, rows)
+    // Post-join null-defaulting (see [[postJoinUdfs]]): COALESCE semantics
+    // must see the NULLs produced by unmatched LEFT-join parents.
+    val defaulted = rows.filter(_.udf.exists(u => postJoinUdfs(u.toLowerCase)))
+      .foldLeft(joined) { (d, m) =>
+        val dt = toDataType(m.targetColDatatype)
+        d.withColumn(m.targetCol,
+          coalesce(col(m.targetCol),
+            lit(m.udfArguments.headOption.getOrElse("-")).cast(dt)))
+      }
+    aggregate(defaulted, rows)
   }
 
   /** End-to-end: load catalog CSVs, bind sources, transform every target.

@@ -48,9 +48,15 @@ object DataQuality {
     val attempt = Try(rule match {
       case UniqueRule(_, _, cols) => duplicateKeyGroups(df, cols)
       case NotNullRule(_, _, cols) => nullOrBlankRows(df, cols)
-      case QueryRule(_, _, sql) =>
-        df.createOrReplaceTempView("temp")
-        spark.sql(sql).count()
+      case QueryRule(id, _, sql) =>
+        // Unique per-run view name: a hardcoded 'temp' would clobber any
+        // session view of that name and break interleaved DQ runs. Rule SQL
+        // references the table as `temp` (reference contract,
+        // data_quality.py:102); we rewrite that token to the unique name.
+        val view = s"dq_${id.replaceAll("[^A-Za-z0-9_]", "_")}_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        df.createOrReplaceTempView(view)
+        try spark.sql(sql.replaceAll("\\btemp\\b", view)).count()
+        finally spark.catalog.dropTempView(view)
     })
     val rtype = rule match {
       case _: UniqueRule => "unique"

@@ -259,7 +259,7 @@ object CoreQueries {
       """SELECT c_custkey,
         | COALESCE(NULLIF(TRIM(c_name), ''), '-') AS name_nvl,
         | UPPER(c_mktsegment) AS seg_upper,
-        | md5(concat_ws('~', c_name, c_mktsegment)) AS content_hash,
+        | md5(concat_ws('~', COALESCE(c_name, chr(0)), COALESCE(c_mktsegment, chr(0)))) AS content_hash,
         | LENGTH(c_name) AS name_len
         |FROM customer""".stripMargin,
 

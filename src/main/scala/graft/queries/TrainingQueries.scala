@@ -59,12 +59,20 @@ object TrainingQueries {
     "q25_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.5)),
 
-    // Per-document 31-bit SimHash + popcount.
-    "q26_simhash" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        Dedup.simhash31(col("text")).as("simhash"),
-        bit_count(Dedup.simhash31(col("text"))).cast("int").as("n_bits"))),
+    // Per-document 31-bit SimHash + popcount, via the explode/aggregate
+    // formulation (hash each token once, codegen'd bit aggregates) — the
+    // per-row HOF variant interprets 31 bit-lambdas per row. Docs with no
+    // tokens (no exploded rows) rejoin with simhash 0, matching simhash31's
+    // empty-input value.
+    "q26_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+      docs.select(col("doc_id")).join(sigs, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("simhash"), lit(0L)).as("simhash"),
+          bit_count(coalesce(col("simhash"), lit(0L))).cast("int").as("n_bits"))
+    }),
 
     // Brute-force cosine top-5 for 10 query vectors (ANN baseline).
     "q27_ann_topk" -> ((s, dir) => {
@@ -119,7 +127,7 @@ object TrainingQueries {
 
   val oracles: Map[String, String] = Map(
     "q20_exact_dedup" ->
-      """SELECT md5(concat_ws('~', text)) AS content_hash,
+      """SELECT md5(concat_ws('~', COALESCE(text, chr(0)))) AS content_hash,
         | MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
 

@@ -78,10 +78,14 @@ object WarehouseQueries {
     })
   )
 
+  /** Null-canonicalized hash input, mirroring [[graft.functions.ColumnOps.contentHash]]. */
+  private val hashExpr =
+    "md5(concat_ws('~', COALESCE(CAST(o_orderkey AS VARCHAR), chr(0)), COALESCE(CAST(o_custkey AS VARCHAR), chr(0)), COALESCE(o_orderstatus, chr(0)), COALESCE(CAST(p AS VARCHAR), chr(0))))"
+
   private val oldCte =
-    """base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+    s"""base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
       |  CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
-      |old AS (SELECT *, md5(concat_ws('~', o_orderkey, o_custkey, o_orderstatus, p)) AS hashcode
+      |old AS (SELECT *, $hashExpr AS hashcode
       |  FROM base WHERE o_orderkey % 3 <> 0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -89,7 +93,7 @@ object WarehouseQueries {
       s"""WITH $oldCte,
          |neww AS (SELECT o_orderkey, o_custkey, o_orderstatus,
          |  CAST(CASE WHEN o_orderkey % 7 = 0 THEN p + 10 ELSE p END AS DECIMAL(18,2)) AS p FROM base),
-         |newh AS (SELECT *, md5(concat_ws('~', o_orderkey, o_custkey, o_orderstatus, p)) AS hashcode FROM neww)
+         |newh AS (SELECT *, $hashExpr AS hashcode FROM neww)
          |SELECT n.o_orderkey, n.o_custkey, n.o_orderstatus,
          |  CAST(n.p AS DOUBLE) AS o_totalprice, 'I' AS change_type
          |FROM newh n WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.o_orderkey = n.o_orderkey)
@@ -103,7 +107,7 @@ object WarehouseQueries {
          |neww AS (SELECT o_orderkey, o_custkey, o_orderstatus,
          |  CAST(CASE WHEN o_orderkey % 7 = 0 THEN p + 10 ELSE p END AS DECIMAL(18,2)) AS p
          |  FROM base WHERE o_orderkey % 5 <> 0),
-         |newh AS (SELECT *, md5(concat_ws('~', o_orderkey, o_custkey, o_orderstatus, p)) AS hashcode FROM neww)
+         |newh AS (SELECT *, $hashExpr AS hashcode FROM neww)
          |SELECT change_type, COUNT(*) AS n FROM (
          | SELECT CASE WHEN o.o_orderkey IS NULL THEN 'I'
          |             WHEN n.o_orderkey IS NULL THEN 'D'
@@ -112,21 +116,24 @@ object WarehouseQueries {
          | FROM newh n FULL OUTER JOIN old o ON n.o_orderkey = o.o_orderkey)
          |GROUP BY change_type""".stripMargin,
 
+    // Every `violations` branch is CAST to BIGINT: DuckDB's SUM returns
+    // HUGEINT and the UNION ALL would widen all branches to HUGEINT,
+    // hash-mismatching Spark's long even when values are identical.
     "q32_dq_rules" ->
       """SELECT 'unique_orderkey' AS rule_id, 'unique' AS rule_type,
-        | (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS violations,
+        | CAST((SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS BIGINT) AS violations,
         | (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)) = 0 AS passed
         |UNION ALL
         |SELECT 'unique_custkey', 'unique',
-        | (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1)),
+        | CAST((SELECT COUNT(*) FROM (SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1)) AS BIGINT),
         | (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1)) = 0
         |UNION ALL
         |SELECT 'notnull_status', 'not null',
-        | (SELECT COALESCE(SUM(CASE WHEN o_orderstatus IS NULL OR TRIM(o_orderstatus) = '' THEN 1 ELSE 0 END), 0) FROM orders),
+        | CAST((SELECT COALESCE(SUM(CASE WHEN o_orderstatus IS NULL OR TRIM(o_orderstatus) = '' THEN 1 ELSE 0 END), 0) FROM orders) AS BIGINT),
         | (SELECT COALESCE(SUM(CASE WHEN o_orderstatus IS NULL OR TRIM(o_orderstatus) = '' THEN 1 ELSE 0 END), 0) FROM orders) = 0
         |UNION ALL
         |SELECT 'unique_lineitem_pk', 'unique',
-        | (SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1)),
+        | CAST((SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1)) AS BIGINT),
         | (SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1)) = 0""".stripMargin
   )
 }
