@@ -155,6 +155,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  // ---- embedding-cosine near-dup -----------------------------------------
+
+  /** Embedding-cosine near-duplicate pairs: every (a < b) pair with cosine
+    * similarity >= `threshold`. Exact all-pairs via a broadcast nested-loop
+    * join — the correctness baseline, O(n²) scores but zero shuffle of the
+    * corpus (the smaller side broadcasts). For the 100 TB shape, cut the
+    * pair space first: [[graft.similarity.Similarity.ivfAssign]] and compare
+    * only within a cluster ([[embeddingNearDupsIvf]]), or LSH-bucket by
+    * hyperplane signs — both trade recall near the threshold boundary. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double): DataFrame = {
+    import graft.similarity.Similarity
+    val a = df.select(col(idCol).as("id_a"), Similarity.toDoubleVec(col(vecCol)).as("va"))
+    val b = df.select(col(idCol).as("id_b"), Similarity.toDoubleVec(col(vecCol)).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("va"), col("vb")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** The scale path: near-dup pairs only within the same IVF cluster —
+    * pair cost drops from O(n²) to Σ cluster², and the join shuffles on
+    * cluster_id so AQE can split skewed clusters. Pairs straddling a
+    * cluster boundary are missed (recall/cost trade; raise nlist quality or
+    * probe neighboring clusters to recover). */
+  def embeddingNearDupsIvf(df: DataFrame, centroids: Array[(Long, Array[Double])],
+                           threshold: Double, idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    import graft.similarity.Similarity
+    val assigned = Similarity.ivfAssign(df, centroids, idCol, vecCol)
+    val a = assigned.select(col(idCol).as("id_a"), col("cluster_id"),
+      Similarity.toDoubleVec(col(vecCol)).as("va"))
+    val b = assigned.select(col(idCol).as("id_b"), col("cluster_id"),
+      Similarity.toDoubleVec(col(vecCol)).as("vb"))
+    a.join(b, Seq("cluster_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("va"), col("vb")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   // ---- SimHash -----------------------------------------------------------
 
   /** Bit-position weights 2^0..2^30 (h31 is 31-bit, so bit 31+ never set). */
@@ -188,6 +229,29 @@ object Dedup {
     * per-row HOF version's md5s get inlined into every bit lambda (31×
     * recompute), while here hashing is linear and the aggregation is a
     * materialization barrier with map-side partial aggregation. */
+  /** SimHash near-duplicate pairs via byte-band LSH over the 31-bit
+    * signature: docs sharing ANY of the 4 bands meet in a bucket join
+    * (Σ bucket² cost, never n²), then the exact Hamming distance filters to
+    * `maxHamming`. Pairs differing in every band are missed — with 4 bands
+    * that's only possible for hamming >= 4, so recall is perfect for
+    * maxHamming <= 3 and degrades gracefully above. */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int): DataFrame = {
+    val sigs = simhashSignatures(df, idCol, textCol)
+    val bandCols = (0 until 4).map(k =>
+      concat_ws("_", lit(k.toString),
+        (shiftright(col("simhash"), 8 * k) % 256).cast("string")))
+    val bands = sigs.select(col("id"), col("simhash"),
+      explode(array(bandCols: _*)).as("band"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hashed = df
       .select(col(idCol).as("id"),

@@ -98,7 +98,34 @@ object TrainingQueries {
       t(s, dir, "documents").select(
         col("doc_id"),
         TextOps.rollingHash(col("text")).as("doc_hash"),
-        TextOps.minShingleFingerprint(col("text"), 3).as("min_shingle_hash")))
+        TextOps.minShingleFingerprint(col("text"), 3).as("min_shingle_hash"))),
+
+    // Embedding-cosine near-dup pairs (exact all-pairs baseline; threshold
+    // 0.4 is the demo knob for this synthetic near-orthogonal corpus — real
+    // embedding dedup runs ~0.95). The IVF-bucketed scale path is
+    // Dedup.embeddingNearDupsIvf, exercised in DedupSimilaritySpec.
+    "q39_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
+
+    // SimHash near-dup pairs via 4-byte-band LSH bucket join + exact
+    // Hamming verify (maxHamming 1 keeps perfect band recall).
+    "q40_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text", 1)),
+
+    // IVF search path: assign corpus to 8 seed centroids, then cosine top-5
+    // scored only within each query's own cluster (nprobe=1).
+    "q41_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      val assigned = Similarity.ivfAssign(emb, centroids)
+      val queries = assigned.filter(col("vec_id") < 10)
+      Similarity.ivfTopK(assigned, queries, 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+    })
   )
 
   // ---- oracle SQL --------------------------------------------------------
@@ -246,6 +273,59 @@ object TrainingQueries {
       s"""SELECT doc_id,
          | ${rollSql("text")} AS doc_hash,
          | list_min(list_transform($shingles3, sg -> ${rollSql("sg")})) AS min_shingle_hash
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+
+    "q39_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (
+         | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${dotSql("a.v", "b.v")} / (sqrt(${dotSql("a.v", "a.v")}) * sqrt(${dotSql("b.v", "b.v")})), 6) AS cos_sim
+         | FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= 0.4""".stripMargin,
+
+    "q40_simhash_neardup" -> {
+      val powers = (0 until 31).map(j => 1L << j).mkString("[", ", ", "]")
+      s"""WITH h AS (
+         | SELECT doc_id,
+         |  list_transform(list_distinct(list_filter(string_split_regex(text,'\\s+'), t -> t <> '')),
+         |    tk -> ${h31("tk")}) AS hs
+         | FROM documents),
+         |sig AS (
+         | SELECT doc_id, list_sum(list_transform($powers::BIGINT[],
+         |   e -> CASE WHEN 2 * len(list_filter(hs, v -> v % (e * 2) >= e)) > len(hs) THEN e ELSE 0 END))::BIGINT AS simhash
+         | FROM h),
+         |bands AS (
+         | SELECT doc_id, simhash, unnest(list_transform(range(0, 4),
+         |   k -> k::VARCHAR || '_' || ((simhash // (256**k)::BIGINT) % 256)::VARCHAR)) AS band
+         | FROM sig)
+         |SELECT id_a, id_b, hamming FROM (
+         | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+         | FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+         |WHERE hamming <= 1""".stripMargin
+    },
+
+    "q41_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |d AS (
+         | SELECT e.vec_id, c.cid,
+         |  list_reduce([0.0]::DOUBLE[] || list_transform(range(1, len(e.v) + 1), i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),
+         |   (acc, x) -> acc + x) AS dist
+         | FROM e CROSS JOIN c),
+         |asg AS (
+         | SELECT vec_id, cid AS cluster_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM d)
+         | WHERE rn = 1),
+         |q AS (SELECT e.vec_id AS query_id, e.v AS qv, a.cluster_id AS qc
+         |      FROM e JOIN asg a ON e.vec_id = a.vec_id WHERE e.vec_id < 10),
+         |s AS (
+         | SELECT q.query_id, e.vec_id AS neighbor_id,
+         |  round(${dotSql("q.qv", "e.v")} / (sqrt(${dotSql("q.qv", "q.qv")}) * sqrt(${dotSql("e.v", "e.v")})), 6) AS cos_sim
+         | FROM e JOIN asg a ON e.vec_id = a.vec_id
+         | JOIN q ON a.cluster_id = q.qc AND e.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+         | SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+         | FROM s) WHERE rank <= 5""".stripMargin
   )
 }

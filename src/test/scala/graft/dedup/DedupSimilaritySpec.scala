@@ -42,6 +42,34 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("simhashNearDupPairs surfaces exact and near dups via band join") {
+    val got = rows(Dedup.simhashNearDupPairs(docs, "doc_id", "text", 3))
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("hamming")))
+    assert(got.exists { case (a, b, h) => a == 1L && b == 4L && h == 0 })
+    // each surviving pair reports exact hamming <= 3 and no duplicates
+    assert(got.distinct.length == got.length)
+    assert(got.forall(_._3 <= 3))
+  }
+
+  test("embeddingNearDups finds the planted high-cosine pair, IVF variant agrees in-cluster") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.14f, 0.0f)), // near-dup of 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val exact = rows(Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.9))
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(exact == Seq((0L, 1L)))
+    // IVF-bucketed path: centroids at 0 and 2 — pair (0,1) shares cluster 0
+    val centroids = Array(
+      (0L, Array(1.0, 0.0, 0.0)), (2L, Array(0.0, 1.0, 0.0)))
+    val ivf = rows(Dedup.embeddingNearDupsIvf(emb, centroids, 0.9))
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(ivf == Seq((0L, 1L)))
+  }
+
   test("simhash: identical docs collide, near-dups are hamming-close") {
     import spark.implicits._
     val sh = rows(docs.select(col("doc_id"), Dedup.simhash31(col("text")).as("s")))
