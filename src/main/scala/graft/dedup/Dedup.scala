@@ -167,11 +167,15 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double): DataFrame = {
     import graft.similarity.Similarity
+    // Norms computed once per row (not per pair) — identical float-op
+    // sequence to cosine(), so still oracle-exact.
     val a = df.select(col(idCol).as("id_a"), Similarity.toDoubleVec(col(vecCol)).as("va"))
+      .withColumn("na", Similarity.norm(col("va")))
     val b = df.select(col(idCol).as("id_b"), Similarity.toDoubleVec(col(vecCol)).as("vb"))
+      .withColumn("nb", Similarity.norm(col("vb")))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("va"), col("vb")).as("cos_sim"))
+        Similarity.cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 

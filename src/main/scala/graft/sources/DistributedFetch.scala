@@ -1,0 +1,62 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.util.LongAccumulator
+
+/** Distributed ingestion fan-out (SURVEY.md §2.1 S9): a (small) list of
+  * source URIs is parallelized and each partition of URIs is fetched **on
+  * executors**, writing payloads straight to the destination filesystem —
+  * the driver never sees a payload byte (reference:
+  * clinical_trial_etl.py:128-140 `sc.parallelize(urls).foreach(download)`).
+  *
+  * The fetcher is injectable: production uses an HTTP/S3 client initialized
+  * once per partition; tests use `file:` URIs. Shared job parameters travel
+  * as a broadcast value exactly like the reference's `sc.broadcast(params)`
+  * (clinical_trial_etl.py:85-90).
+  */
+object DistributedFetch {
+
+  /** One fetch outcome (small — safe to collect for reporting). */
+  final case class FetchResult(uri: String, dest: String, bytes: Long,
+                               ok: Boolean, error: Option[String])
+
+  /** Default fetcher: any java.net.URL-readable URI (file:, http:, ...). */
+  def urlFetcher(uri: String): Array[Byte] = {
+    val in = new java.net.URI(uri).toURL.openStream()
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** Fetch every URI into `destDir/<basename>`, executor-side, with
+    * per-partition parallelism = `parallelism` tasks. Returns per-URI
+    * outcomes (collected — result rows are tiny) and counts successes via
+    * an accumulator so progress is visible mid-job. */
+  def fetchToDir(spark: SparkSession, uris: Seq[String], destDir: String,
+                 fetcher: String => Array[Byte] = urlFetcher,
+                 parallelism: Int = 8): Seq[FetchResult] = {
+    import spark.implicits._
+    val okCount: LongAccumulator = spark.sparkContext.longAccumulator("fetch_ok")
+    val dest = spark.sparkContext.broadcast(destDir)
+    val n = math.max(1, math.min(parallelism, uris.size))
+    spark.createDataset(uris).repartition(n)
+      .mapPartitions { it =>
+        // per-partition client init would go here (amortized across URIs)
+        it.map { uri =>
+          try {
+            val bytes = fetcher(uri)
+            val name = uri.substring(uri.lastIndexOf('/') + 1)
+            val target = Paths.get(dest.value, name)
+            Files.createDirectories(target.getParent)
+            Files.write(target, bytes)
+            okCount.add(1)
+            FetchResult(uri, target.toString, bytes.length.toLong, ok = true, None)
+          } catch {
+            case e: Exception =>
+              FetchResult(uri, "", 0L, ok = false, Some(e.toString))
+          }
+        }
+      }
+      .collect().toSeq
+  }
+}

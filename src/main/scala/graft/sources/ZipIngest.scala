@@ -1,0 +1,84 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.util.zip.ZipInputStream
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Zip/binary ingestion (SURVEY.md §2.1 S8): archives land as opaque binary
+  * files, members are extracted **on executors** inside `mapPartitions` —
+  * the archive bytes never cross a shuffle and never collect to the driver
+  * (the reference unzips driver-side from (path, bytes) pairs,
+  * reference: utils/Utilities.py:184-236).
+  *
+  * Member filtering (prefix / suffix / contains) happens during the streamed
+  * extraction, so non-matching members are skipped without materializing
+  * their bytes.
+  */
+object ZipIngest {
+
+  final case class ZipMember(archive: String, member: String, sizeBytes: Long,
+                             content: Array[Byte])
+
+  /** Name predicate combinator mirroring the reference's prefix/suffix/
+    * contains filters (Utilities.py:203-218). Empty criteria match all. */
+  final case class NameFilter(prefix: Option[String] = None,
+                              suffix: Option[String] = None,
+                              contains: Option[String] = None) extends Serializable {
+    def matches(name: String): Boolean =
+      prefix.forall(name.startsWith) && suffix.forall(name.endsWith) &&
+        contains.forall(name.contains)
+  }
+
+  private def extract(archive: String, bytes: Array[Byte],
+                      filter: NameFilter): Iterator[ZipMember] = {
+    val out = ArrayBuffer.empty[ZipMember]
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory && filter.matches(e.getName))
+          out += ZipMember(archive, e.getName, e.getSize, zin.readAllBytes())
+        zin.closeEntry()
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    out.iterator
+  }
+
+  /** All matching members of every archive under `dir`, extracted
+    * executor-side. One task per archive split — at scale, small-archive
+    * skew is handled by binaryFile's own file packing. */
+  def readZipMembers(spark: SparkSession, dir: String,
+                     filter: NameFilter = NameFilter()): Dataset[ZipMember] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.zip")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (p, b) => extract(p, b, filter) })
+  }
+
+  /** Member names only (reference: get_file_names_in_zip) — content bytes
+    * are still streamed but dropped immediately, no row carries them. */
+  def listZipMembers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    readZipMembers(spark, dir).select("archive", "member", "sizeBytes").toDF()
+  }
+
+  /** Text members decoded to (archive, member, line) rows — the zip-to-
+    * DataFrame path the reference's zip_extract_read_files provides. */
+  def readZipText(spark: SparkSession, dir: String,
+                  filter: NameFilter = NameFilter(),
+                  charset: String = "UTF-8"): DataFrame = {
+    import spark.implicits._
+    readZipMembers(spark, dir, filter)
+      .flatMap(m => new String(m.content, charset).linesIterator
+        .map(l => (m.archive, m.member, l)))
+      .toDF("archive", "member", "line")
+  }
+}

@@ -1,0 +1,64 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.SparkSpec
+
+class ChecksSpec extends SparkSpec {
+
+  private def df = {
+    import spark.implicits._
+    Seq((1L, "a", "a"), (2L, "b", "b"), (3L, "c", "C")).toDF("id", "x", "y")
+  }
+
+  test("requireColumns passes/throws with the missing names") {
+    Checks.requireColumns(df, Seq("id", "x"))
+    val e = intercept[Checks.MissingColumnsException](
+      Checks.requireColumns(df, Seq("id", "nope")))
+    assert(e.missing == Seq("nope"))
+  }
+
+  test("requireColumnsAbsent throws when a forbidden column exists") {
+    Checks.requireColumnsAbsent(df, Seq("z"))
+    intercept[Checks.UnexpectedColumnsException](
+      Checks.requireColumnsAbsent(df, Seq("x")))
+  }
+
+  test("requireSchemaSubset checks name AND type") {
+    Checks.requireSchemaSubset(df, StructType.fromDDL("id BIGINT, x STRING"))
+    intercept[Checks.SchemaMismatchException](
+      Checks.requireSchemaSubset(df, StructType.fromDDL("id INT")))
+  }
+
+  test("column extracts collect driver-side views") {
+    assert(Checks.columnToList[Long](df, "id") == Seq(1L, 2L, 3L))
+    assert(Checks.twoColumnsToMap[Long, String](df, "id", "x") ==
+      Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    val maps = Checks.toListOfMaps(df.select(col("id"), col("x")))
+    assert(maps.head == Map("id" -> 1L, "x" -> "a"))
+  }
+
+  test("assertColumnsEqual counts mismatches distributed") {
+    Checks.assertColumnsEqual(df.filter(col("id") < 3), "x", "y")
+    val e = intercept[Checks.ColumnMismatchException](
+      Checks.assertColumnsEqual(df, "x", "y"))
+    assert(e.getMessage.contains("1 rows"))
+  }
+}
+
+class JobContextSpec extends SparkSpec {
+
+  test("counters accumulate from executor-side code and report as a table") {
+    import spark.implicits._
+    val ctx = new JobContext(spark)
+    val rowsRead = ctx.counter("rows_read")
+    val odd = ctx.counter("odd_rows")
+    spark.createDataset(1 to 100).foreachPartition { (it: Iterator[Int]) =>
+      it.foreach { i => rowsRead.add(1); if (i % 2 == 1) odd.add(1) }
+    }
+    assert(ctx.value("rows_read") == 100L)
+    assert(ctx.value("odd_rows") == 50L)
+    assert(ctx.report.contains("rows_read") && ctx.report.contains("100"))
+  }
+}
