@@ -155,6 +155,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  // ---- dup-cluster resolution (connected components) ---------------------
+
+  /** Resolve near-dup PAIRS into clusters: connected components by
+    * iterative min-label propagation, returning (id, cluster_id) where
+    * cluster_id = the smallest id in the component (the canonical survivor
+    * every dedup pipeline keeps). Converges in O(component diameter)
+    * rounds — near-dup components are shallow (stars around a template),
+    * so 3-5 rounds covers real corpora; each round is one shuffle of the
+    * label table. `localCheckpoint` truncates the iterative lineage so the
+    * plan doesn't grow with rounds (the classic iterative-algorithm trap).
+    */
+  def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                  maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.as("l")
+        .join(neighborMin.as("n"), col("l.id") === col("n.src"), "left")
+        .select(col("l.id").as("id"), col("l.label").as("old_label"),
+          least(col("l.label"), coalesce(col("n.nlabel"), col("l.label"))).as("label"))
+        .localCheckpoint()
+      converged = updated.filter(col("label") =!= col("old_label")).isEmpty
+      labels = updated.select(col("id"), col("label"))
+      i += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
   // ---- embedding-cosine near-dup -----------------------------------------
 
   /** Embedding-cosine near-duplicate pairs: every (a < b) pair with cosine

@@ -112,6 +112,14 @@ object TrainingQueries {
     "q40_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text", 1)),
 
+    // Dup-cluster resolution: exact-Jaccard near-dup pairs (q25) collapsed
+    // into connected components; cluster_id = smallest doc_id in the
+    // component (the canonical survivor).
+    "q44_dup_clusters" -> ((s, dir) =>
+      Dedup.dupClusters(
+          Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.5))
+        .withColumnRenamed("id", "doc_id")),
+
     // IVF search path: assign corpus to 8 seed centroids, then cosine top-5
     // scored only within each query's own cluster (nprobe=1).
     "q41_ivf_topk" -> ((s, dir) => {
@@ -304,6 +312,28 @@ object TrainingQueries {
          | FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
          |WHERE hamming <= 1""".stripMargin
     },
+
+    // Transitive closure over the q25 pair set; label = min reachable id.
+    "q44_dup_clusters" ->
+      s"""WITH RECURSIVE
+         |s AS (SELECT doc_id, $shingles3 AS shingles FROM documents),
+         |e AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+         |      FROM s WHERE len(shingles) > 0),
+         |pairs AS (
+         | SELECT id_a, id_b FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |   round(COUNT(*)::DOUBLE / (a.n_sh + b.n_sh - COUNT(*))::DOUBLE, 6) AS jaccard
+         |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh)
+         | WHERE jaccard >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |closure(a, b) AS (
+         | SELECT src, dst FROM edges
+         | UNION
+         | SELECT c.a, ed.dst FROM closure c JOIN edges ed ON c.b = ed.src)
+         |SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id
+         |FROM closure GROUP BY a""".stripMargin,
 
     "q41_ivf_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

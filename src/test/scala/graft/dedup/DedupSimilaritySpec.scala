@@ -51,6 +51,17 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_._3 <= 3))
   }
 
+  test("dupClusters resolves pairs into min-id connected components") {
+    import spark.implicits._
+    // chain 1-2-3 (via two pairs), isolated pair 7-9, transitive 4-5-6
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (5L, 6L), (4L, 6L))
+      .toDF("id_a", "id_b")
+    val got = rows(Dedup.dupClusters(pairs))
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L))
+  }
+
   test("embeddingNearDups finds the planted high-cosine pair, IVF variant agrees in-cluster") {
     import spark.implicits._
     val emb = Seq(
