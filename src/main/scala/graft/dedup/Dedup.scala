@@ -168,8 +168,20 @@ object Dedup {
     */
   def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                   maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    // Materialize the edge list once — every propagation round joins it,
+    // and without the checkpoint each round would re-execute the (often
+    // expensive) pair-generation plan feeding this operator. Near-dup edge
+    // sets are tiny relative to the corpus, so also right-size the
+    // per-round shuffle width to the data (≈500k edges/partition) instead
+    // of inheriting the session default — 10 rounds × 32 near-empty
+    // partitions is pure scheduler overhead at bench scale, while big edge
+    // sets still fan out.
+    val edges0 = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .localCheckpoint()
+    val parts = math.max(1, math.min(edges0.rdd.getNumPartitions,
+      (edges0.count() / 500000L).toInt + 1))
+    val edges = edges0.repartition(parts).localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()

@@ -67,6 +67,48 @@ object Cdc {
     inserts.unionByName(updates).dropDuplicates()
   }
 
+  /** SCD Type-2 history merge — the warehouse pattern the reference's CDC
+    * stops short of (it only emits the delta; history tracking is left to
+    * the target). `history` carries `effective_from`/`effective_to`/
+    * `is_current` + `hashcode`; `updates` carries the same business columns
+    * + `hashcode` (via [[addContentHash]]). For batch `asOf`:
+    *
+    *  - keys whose current hash differs from the update: current row closes
+    *    (`effective_to = asOf`, `is_current = false`), a new version opens;
+    *  - unseen keys: a first version opens;
+    *  - unchanged keys and already-closed history pass through untouched.
+    *
+    * Two hash-equi-joins on the PK, no window — scales like the CDC joins
+    * and AQE picks broadcast per batch size. Deletes are intentionally NOT
+    * closed here (absence from a batch ≠ deletion in incremental feeds);
+    * close them explicitly from a [[mergeClassify]] 'D' set if the feed is
+    * a full snapshot. */
+  def scd2Merge(history: DataFrame, updates: DataFrame, pks: Seq[String],
+                asOf: Long): DataFrame = {
+    val cur = history.filter(col("is_current"))
+    val closed = history.filter(!col("is_current"))
+    val curHashes = cur.select((pks.map(col) :+ col("hashcode").as("cur_hashcode")): _*)
+    // rows to open: brand-new keys ∪ changed keys
+    val opened = updates.join(curHashes, pks, "left")
+      .filter(col("cur_hashcode").isNull || col("cur_hashcode") =!= col("hashcode"))
+      .drop("cur_hashcode")
+      .withColumn("effective_from", lit(asOf))
+      .withColumn("effective_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true))
+    // current rows to close: key present in updates with a different hash
+    val updHashes = updates.select((pks.map(col) :+ col("hashcode").as("new_hashcode")): _*)
+    val withUpd = cur.join(updHashes, pks, "left")
+    val closing = withUpd.filter(col("new_hashcode").isNotNull &&
+        col("new_hashcode") =!= col("hashcode"))
+      .drop("new_hashcode")
+      .withColumn("effective_to", lit(asOf))
+      .withColumn("is_current", lit(false))
+    val stillCurrent = withUpd.filter(col("new_hashcode").isNull ||
+        col("new_hashcode") === col("hashcode"))
+      .drop("new_hashcode")
+    closed.unionByName(stillCurrent).unionByName(closing).unionByName(opened)
+  }
+
   /** Delta-style merge classification over a full-outer join: every key
     * becomes exactly one of I (new only), U (both, hash differs),
     * D (old only), N (unchanged). One shuffle on the PK; downstream writers

@@ -34,6 +34,35 @@ class CdcSpec extends SparkSpec {
     intercept[IllegalArgumentException](Cdc.snapshot(oldDf, Nil, Seq("ts")))
   }
 
+  test("scd2Merge opens/closes versions across two batches") {
+    import spark.implicits._
+    def batch(rows: (Long, String)*) =
+      Cdc.addContentHash(rows.toSeq.toDF("id", "payload"), Seq("id", "payload"))
+    val empty = batch().withColumn("effective_from", lit(0L))
+      .withColumn("effective_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true))
+      .limit(0)
+    // batch 1: two keys open
+    val h1 = Cdc.scd2Merge(empty, batch(1L -> "a", 2L -> "b"), Seq("id"), asOf = 10L)
+    assert(h1.count() == 2 && h1.filter(col("is_current")).count() == 2)
+    // batch 2: key 1 changes, key 2 unchanged, key 3 new
+    val h2 = Cdc.scd2Merge(h1, batch(1L -> "a2", 2L -> "b", 3L -> "c"), Seq("id"), asOf = 20L)
+    val byKey = rows(h2).groupBy(_.getAs[Long]("id"))
+    assert(h2.count() == 4)
+    // key 1: closed v1 (10..20) + open v2 (20..)
+    val k1 = byKey(1L).sortBy(_.getAs[Long]("effective_from"))
+    assert(k1.map(_.getAs[String]("payload")) == Seq("a", "a2"))
+    assert(!k1.head.getAs[Boolean]("is_current") &&
+      k1.head.getAs[Long]("effective_to") == 20L)
+    assert(k1.last.getAs[Boolean]("is_current") && k1.last.isNullAt(
+      k1.last.fieldIndex("effective_to")))
+    // key 2: single still-current version from batch 1
+    assert(byKey(2L).map(r => (r.getAs[Boolean]("is_current"),
+      r.getAs[Long]("effective_from"))) == Seq((true, 10L)))
+    // key 3: opened at 20
+    assert(byKey(3L).map(_.getAs[Long]("effective_from")) == Seq(20L))
+  }
+
   test("classifyChanges tags inserts and hash-diff updates") {
     val old = Cdc.snapshot(oldDf, Seq("id"), Seq("ts"))
     val got = rows(Cdc.classifyChanges(old, newDf, Seq("id")))
