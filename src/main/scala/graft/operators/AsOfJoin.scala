@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — an operator Spark's built-ins don't name,
+  * composed scalably from union + window instead of an inequality join:
+  * for every left row, attach the latest right row with the same key whose
+  * timestamp is at-or-before the left timestamp.
+  *
+  * Why not `l.join(r, keys && r.ts <= l.ts)` + max-per-group? That
+  * inequality join explodes to Σ (left_key × right_key) rows before the
+  * reduction — quadratic per key. Here both sides are UNIONED, shuffled
+  * once on the key, sorted by (ts, side), and each left row reads the
+  * running `last(right_payload, ignoreNulls)` over rows-unbounded-preceding
+  * — one shuffle + sort, linear in rows, with running window state (no
+  * re-scan per row). This is the plan a native ASOF operator produces;
+  * DuckDB's `ASOF JOIN` is the oracle for it (q45).
+  *
+  * Ties: a right row AT the left timestamp matches (`>=` semantics — the
+  * right side sorts before the left at equal ts). Right rows should be
+  * unique per (key, ts); pre-dedupe with [[latestPerKeyTs]] for
+  * deterministic results (any engine's ASOF is otherwise free to pick
+  * either duplicate).
+  */
+object AsOfJoin {
+
+  /** Deduplicate `df` to one row per (keys, ts): the one with the greatest
+    * `tiebreak` value. */
+  def latestPerKeyTs(df: DataFrame, keys: Seq[String], ts: String,
+                     tiebreak: String): DataFrame = {
+    val w = Window.partitionBy((keys :+ ts).map(col): _*)
+      .orderBy(col(tiebreak).desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Left as-of join: every `left` row, plus `right`'s payload columns from
+    * the latest right row at-or-before the left timestamp (nulls when no
+    * right row precedes). `rightCols` are the payload columns to carry and
+    * must not collide with left's columns. */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKeys: Seq[String], rightKeys: Seq[String],
+               leftTs: String, rightTs: String,
+               rightCols: Seq[String]): DataFrame = {
+    require(leftKeys.length == rightKeys.length, "key arity mismatch")
+    val leftOut = left.columns.toSeq
+    // Key struct fields named positionally so unionByName sees the same
+    // nested names on both sides.
+    def keyStruct(keys: Seq[String]) =
+      struct(keys.zipWithIndex.map { case (c, i) => col(c).as(s"k$i") }: _*)
+    val rSel = right.select(
+      keyStruct(rightKeys).as("__k"),
+      col(rightTs).as("__ts"),
+      lit(0).as("__side"),
+      struct(rightCols.map(col): _*).as("__p"))
+    val payloadType = rSel.schema("__p").dataType
+    val lSel = left.select(
+      (leftOut.map(col) :+
+        keyStruct(leftKeys).as("__k") :+
+        col(leftTs).as("__ts") :+
+        lit(1).as("__side") :+
+        lit(null).cast(payloadType).as("__p")): _*)
+    val rAligned = rSel.select(
+      (leftOut.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col("__k"), col("__ts"), col("__side"), col("__p"))): _*)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lSel.unionByName(rAligned)
+      .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((leftOut.map(col) ++ rightCols.map(c => col(s"__match.$c").as(c))): _*)
+  }
+}

@@ -171,6 +171,26 @@ object CoreQueries {
           col("event_type"), col("n_events"), col("sum_value"))
     }),
 
+    // As-of (point-in-time) join: each event picks the latest order of the
+    // same customer at-or-before the event time — union+window plan (one
+    // key shuffle, linear), never an inequality join. Right side deduped
+    // per (key, ts) so both engines' ASOF pick the same row.
+    "q45_asof_join" -> ((s, dir) => {
+      import graft.operators.AsOfJoin
+      val events = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val orders = AsOfJoin.latestPerKeyTs(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_orderdate"),
+          col("o_orderkey"), col("o_totalprice")),
+        Seq("o_custkey"), "o_orderdate", "o_orderkey")
+      AsOfJoin.asofJoin(events, orders,
+          leftKeys = Seq("user_id"), rightKeys = Seq("o_custkey"),
+          leftTs = "ts", rightTs = "o_orderdate",
+          rightCols = Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"),
+          col("o_totalprice"))
+    }),
+
     // F8/F9 + custom Catalyst expressions: ISO-8601 duration parse → add →
     // integer-micros avg → ISO format at the string boundary.
     "q19_iso_duration" -> ((s, dir) => {
@@ -286,6 +306,16 @@ object CoreQueries {
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q45_asof_join" ->
+      """WITH o AS (
+        | SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |                               ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
 
     "q19_iso_duration" -> {
       // CAST: DuckDB SUM(int) yields HUGEINT, which format('{:06d}') rejects.
