@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join — points to enclosing intervals — via time
+  * bucketing, the standard trick that turns an inequality join into an
+  * equi-join Spark can hash/sort-merge:
+  *
+  *  - each point maps to ONE bucket of width `bucketMicros`;
+  *  - each interval explodes to the buckets it covers;
+  *  - the join key becomes (business key, bucket) — an equi-join with
+  *    partition-able shuffle — and the exact `start <= ts < end` predicate
+  *    filters residually inside the join.
+  *
+  * A raw `ts >= start AND ts < end` join condition would force a
+  * broadcast-nested-loop (quadratic per key); bucketing makes the cost
+  * |points| + Σ interval-spans, and each (point, interval) pair meets
+  * exactly once because a point lives in exactly one bucket. Pick
+  * `bucketMicros` near the median interval length: too small explodes the
+  * interval side, too large degrades the equi-join's selectivity.
+  */
+object RangeJoin {
+
+  /** Inner join: every point row with every same-key interval containing
+    * its timestamp (`start <= ts < end`). Carries all point columns plus
+    * `intervalCols` from the interval side (names must not collide).
+    * Intervals with `end <= start` are empty and dropped. */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      pointKeys: Seq[String], intervalKeys: Seq[String],
+                      tsCol: String, startCol: String, endCol: String,
+                      intervalCols: Seq[String],
+                      bucketMicros: Long = 3600L * 1000000L): DataFrame = {
+    require(pointKeys.length == intervalKeys.length, "key arity mismatch")
+    val p = points
+      .withColumn("__bucket", floor(unix_micros(col(tsCol)) / bucketMicros))
+    val iv = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__bucket", explode(sequence(
+        floor(unix_micros(col(startCol)) / bucketMicros),
+        floor((unix_micros(col(endCol)) - 1) / bucketMicros))))
+      .select((intervalKeys.map(col) :+ col("__bucket") :+
+        col(startCol) :+ col(endCol)) ++ intervalCols.map(col): _*)
+    val keyCond = pointKeys.zip(intervalKeys)
+      .map { case (pk, ik) => p(pk) === iv(ik) }
+      .reduce(_ && _)
+    p.join(iv,
+        keyCond && p("__bucket") === iv("__bucket") &&
+          p(tsCol) >= iv(startCol) && p(tsCol) < iv(endCol))
+      .select(points.columns.map(p(_)) ++ intervalCols.map(iv(_)): _*)
+  }
+}

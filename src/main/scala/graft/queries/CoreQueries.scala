@@ -191,6 +191,25 @@ object CoreQueries {
           col("o_totalprice"))
     }),
 
+    // Range (interval) join: every 10th event opens a 1-hour window; the
+    // other events join into same-user windows containing their timestamp.
+    // Bucketed equi-join formulation — never an inequality BNLJ.
+    "q46_range_join" -> ((s, dir) => {
+      import graft.operators.RangeJoin
+      val e = t(s, dir, "events")
+      val points = e.filter(col("event_id") % 10 =!= 0)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val intervals = e.filter(col("event_id") % 10 === 0)
+        .select(col("user_id").as("iv_user"), col("event_id").as("interval_id"),
+          col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("end_ts"))
+      RangeJoin.pointInInterval(points, intervals,
+          pointKeys = Seq("user_id"), intervalKeys = Seq("iv_user"),
+          tsCol = "ts", startCol = "start_ts", endCol = "end_ts",
+          intervalCols = Seq("interval_id"))
+        .select(col("event_id"), col("user_id"), col("interval_id"))
+    }),
+
     // F8/F9 + custom Catalyst expressions: ISO-8601 duration parse → add →
     // integer-micros avg → ISO format at the string boundary.
     "q19_iso_duration" -> ((s, dir) => {
@@ -316,6 +335,16 @@ object CoreQueries {
         |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+
+    "q46_range_join" ->
+      """WITH iv AS (
+        | SELECT user_id AS iv_user, event_id AS interval_id,
+        |        ts AS start_ts, ts + INTERVAL 1 HOUR AS end_ts
+        | FROM events WHERE event_id % 10 = 0),
+        |pt AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 10 <> 0)
+        |SELECT pt.event_id, pt.user_id, iv.interval_id
+        |FROM pt JOIN iv ON pt.user_id = iv.iv_user
+        |  AND pt.ts >= iv.start_ts AND pt.ts < iv.end_ts""".stripMargin,
 
     "q19_iso_duration" -> {
       // CAST: DuckDB SUM(int) yields HUGEINT, which format('{:06d}') rejects.
