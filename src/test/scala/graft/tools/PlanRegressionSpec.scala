@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSession}
+
+/** Plan-shape regression guards: the properties that make these queries
+  * scale are asserted, not just observed — a future edit that silently
+  * un-pushes a filter, turns a broadcast star join into a sort-merge
+  * cascade, or degrades top-k into a global sort fails here, at test time,
+  * instead of at 100 TB.
+  *
+  * AQE is disabled for plan inspection only (under AQE, codegen collapse
+  * and join finalization happen per stage at runtime); production sessions
+  * keep it on.
+  */
+class PlanRegressionSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    TestSession.spark
+    val s = TestSession.spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01/q02: filters reach the parquet scan (PushedFilters)") {
+    assert(plan("q01_pricing_summary").contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    val p2 = plan("q02_filter_project")
+    assert(p2.contains("PushedFilters:") && p2.contains("EqualTo(l_returnflag,R)"))
+  }
+
+  test("q02: scan reads only the projected columns (ReadSchema pruning)") {
+    val p = plan("q02_filter_project")
+    val schema = "ReadSchema: [^\n]*".r.findFirstIn(p).get
+    // 4 output + filter columns only — never the full 11-column lineitem
+    assert(!schema.contains("l_extendedprice") && !schema.contains("l_comment"))
+  }
+
+  test("q03: star join broadcasts every dimension, no sort-merge join") {
+    val p = plan("q03_star_join_agg")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q04/q05: anti and semi joins stay anti/semi in the physical plan") {
+    assert(plan("q04_anti_join").toLowerCase.contains("leftanti"))
+    assert(plan("q05_semi_join").toLowerCase.contains("leftsemi"))
+  }
+
+  test("q09: global top-k is TakeOrderedAndProject, not a full sort") {
+    val p = plan("q09_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Sort ["))
+  }
+
+  test("q45/q46: as-of and range joins never plan a nested-loop join") {
+    assert(!plan("q45_asof_join").contains("NestedLoop"))
+    assert(!plan("q46_range_join").contains("NestedLoop"))
+  }
+
+  test("q01: aggregation is two-phase (partial before the exchange)") {
+    val p = plan("q01_pricing_summary")
+    val firstHashAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstHashAgg >= 0 && exchange >= 0,
+      "expected hash aggregate + exchange in plan")
+    // partial aggregate appears below (after in tree print) the exchange
+    assert(p.lastIndexOf("HashAggregate") > exchange,
+      "map-side partial aggregation missing")
+  }
+}
