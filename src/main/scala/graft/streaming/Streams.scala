@@ -44,6 +44,51 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-stream interval join: `probe` rows match `build` rows of the
+    * same key whose event time falls within [probe.ts, probe.ts + within].
+    * Both sides carry watermarks, so join state is bounded: a buffered row
+    * is evicted once the other side's watermark passes its eligibility
+    * window — the non-negotiable ingredient for an unbounded join at scale.
+    * Column names must be disambiguated by the caller (prefix one side). */
+  def intervalJoin(probe: DataFrame, build: DataFrame,
+                   probeKey: String, buildKey: String,
+                   probeTs: String, buildTs: String,
+                   within: String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame = {
+    val p = probe.withWatermark(probeTs, watermark)
+    val b = build.withWatermark(buildTs, watermark)
+    p.join(b, expr(
+      s"$probeKey = $buildKey AND " +
+        s"$buildTs >= $probeTs AND $buildTs <= $probeTs + interval $within"))
+  }
+
+  /** Micro-batch CDC upsert sink (`foreachBatch`): every micro-batch merges
+    * into a parquet target by PK, newest `orderCol` wins — streaming upsert
+    * without a table format. Parquet has no row-level ops, so the merge
+    * rewrites the target (materialized first — Spark can't overwrite a path
+    * it is lazily reading); at warehouse scale swap the body for a
+    * MERGE-capable format (Delta/Iceberg) — the resolution logic
+    * ([[graft.warehouse.Cdc.snapshot]]) is identical. */
+  def upsertSink(stream: DataFrame, targetDir: String, checkpointDir: String,
+                 pks: Seq[String], orderCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          if (new java.io.File(targetDir).exists())
+            spark.read.schema(batch.schema).parquet(targetDir)
+          else batch.limit(0)
+        val merged = graft.warehouse.Cdc.snapshot(
+          existing.unionByName(batch), pks, Seq(orderCol)).persist()
+        merged.count() // materialize before overwriting the source path
+        merged.write.mode("overwrite").parquet(targetDir)
+        merged.unpersist()
+        ()
+      }
+
   // ---- custom state: sessionization --------------------------------------
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -42,6 +42,54 @@ class StreamsSpec extends SparkSpec {
     assert(got.count() == users)
   }
 
+  test("intervalJoin matches same-user events within the time bound") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]
+    val base = 1700000000000L
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+
+    val joined = Streams.intervalJoin(
+      clicks.toDS().toDF("c_user", "c_ts"),
+      buys.toDS().toDF("b_user", "b_ts"),
+      "c_user", "b_user", "c_ts", "b_ts", within = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("ivj_test")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, t(base)), (2L, t(base)))
+      buys.addData((1L, t(base + 60000)),        // within the hour -> match
+        (2L, t(base + 2 * 3600000)),             // beyond -> no match
+        (3L, t(base + 1000)))                    // no click -> no match
+      q.processAllAvailable()
+      val got = rows(spark.table("ivj_test"))
+        .map(r => r.getAs[Long]("c_user")).sorted
+      assert(got == Seq(1L))
+    } finally q.stop()
+  }
+
+  test("upsertSink merges micro-batches into the parquet target by key") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long)]
+    val base = Files.createTempDirectory("graft_upsert")
+    val target = s"$base/target"
+    val q = Streams.upsertSink(
+      ms.toDS().toDF("id", "payload", "version"),
+      target, s"$base/ckpt", Seq("id"), "version").start()
+    try {
+      ms.addData((1L, "a", 1L), (2L, "b", 1L))
+      q.processAllAvailable()
+      ms.addData((1L, "a2", 2L), (3L, "c", 1L))
+      q.processAllAvailable()
+      val got = spark.read.parquet(target).collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[String]("payload")).toMap
+      assert(got == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+    } finally q.stop()
+  }
+
   test("sessionize closes a session when the watermark passes the idle gap") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
