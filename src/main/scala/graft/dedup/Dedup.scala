@@ -190,10 +190,20 @@ object Dedup {
     while (!converged && i < maxIter) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      // Pointer jumping: also adopt the label OF my label (labels form a
+      // pointer forest toward component minima), so label distances halve
+      // each round — O(log diameter) rounds instead of O(diameter).
+      val viaLabel = labels.as("a")
+        .join(labels.as("b"), col("a.label") === col("b.id"), "left")
+        .select(col("a.id").as("jid"),
+          coalesce(col("b.label"), col("a.label")).as("jlabel"))
       val updated = labels.as("l")
         .join(neighborMin.as("n"), col("l.id") === col("n.src"), "left")
+        .join(viaLabel.as("j"), col("l.id") === col("j.jid"), "left")
         .select(col("l.id").as("id"), col("l.label").as("old_label"),
-          least(col("l.label"), coalesce(col("n.nlabel"), col("l.label"))).as("label"))
+          least(col("l.label"),
+            coalesce(col("n.nlabel"), col("l.label")),
+            coalesce(col("j.jlabel"), col("l.label"))).as("label"))
         .localCheckpoint()
       converged = updated.filter(col("label") =!= col("old_label")).isEmpty
       labels = updated.select(col("id"), col("label"))
