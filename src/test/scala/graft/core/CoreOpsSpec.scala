@@ -47,6 +47,24 @@ class ChecksSpec extends SparkSpec {
   }
 }
 
+class ObservedSpec extends SparkSpec {
+
+  test("observe metrics ride the query and arrive via the listener") {
+    import org.apache.spark.sql.functions._
+    val listener = Observed.attach(spark)
+    try {
+      val df = Observed.withMetrics(
+        graft.core.Tables.load(spark, sf, "orders"), "orders_obs",
+        count(lit(1)).as("rows"),
+        sum(when(col("o_totalprice") > 100000.0, 1L).otherwise(0L)).as("big"))
+      val total = df.count()
+      val m = listener.await("orders_obs")
+      assert(m.getAs[Long]("rows") == total)
+      assert(m.getAs[Long]("big") > 0 && m.getAs[Long]("big") < total)
+    } finally spark.listenerManager.unregister(listener)
+  }
+}
+
 class JobContextSpec extends SparkSpec {
 
   test("counters accumulate from executor-side code and report as a table") {
