@@ -51,4 +51,36 @@ object Launcher {
   /** Total days in an inclusive range (chunk sizing helper). */
   def rangeDays(start: LocalDate, end: LocalDate): Long =
     ChronoUnit.DAYS.between(start, end) + 1
+
+  final case class RunResult(command: Seq[String], exitCode: Int,
+                             stdout: String, stderr: String) {
+    /** First YARN application id in the output, if any (reference parses
+      * submit stderr for it, Utilities.py:417-437). */
+    def yarnAppId: Option[String] =
+      "application_\\d+_\\d+".r.findFirstIn(stderr + "\n" + stdout)
+  }
+
+  /** Execute commands in a bounded process pool (reference:
+    * Utilities.py:440-457 multiprocess spark-submit pool) — `parallelism`
+    * concurrent edge-node processes, full output capture per command,
+    * original ordering preserved. */
+  def runPool(commands: Seq[Seq[String]], parallelism: Int = 4): Seq[RunResult] = {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = commands.map { cmd =>
+        Future {
+          val pb = new ProcessBuilder(cmd: _*)
+          val proc = pb.start()
+          val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+          val err = new String(proc.getErrorStream.readAllBytes(), "UTF-8")
+          RunResult(cmd, proc.waitFor(), out, err)
+        }
+      }
+      Await.result(Future.sequence(futures), Duration.Inf)
+    } finally pool.shutdown()
+  }
 }
