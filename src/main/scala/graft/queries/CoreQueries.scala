@@ -210,6 +210,44 @@ object CoreQueries {
         .select(col("event_id"), col("user_id"), col("interval_id"))
     }),
 
+    // TPC-H Q3 shape: segment-filtered 3-way join, grouped revenue, top-10
+    // by revenue. Dims broadcast; the only wide shuffle is the final group.
+    "q47_shipping_priority" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val orders = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("2000-06-30").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("2000-06-30").cast("timestamp"))
+      li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderpriority"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: 6-way join down the region axis — customer and
+    // supplier must sit in the same nation (the classic co-location
+    // predicate), revenue per nation.
+    "q48_local_supplier_volume" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val orders = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val supp = t(s, dir, "supplier")
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .join(cust, orders("o_custkey") === cust("c_custkey"))
+        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .filter(cust("c_nationkey") === supp("s_nationkey"))
+        .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+    }),
+
     // F8/F9 + custom Catalyst expressions: ISO-8601 duration parse → add →
     // integer-micros avg → ISO format at the string boundary.
     "q19_iso_duration" -> ((s, dir) => {
@@ -335,6 +373,30 @@ object CoreQueries {
         |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+
+    "q47_shipping_priority" ->
+      """SELECT l_orderkey, o_orderpriority,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '2000-06-30 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '2000-06-30 00:00:00'
+        |GROUP BY l_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q48_local_supplier_volume" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+        |GROUP BY n_name""".stripMargin,
 
     "q46_range_join" ->
       """WITH iv AS (
