@@ -73,6 +73,22 @@ class ReadWriteSpec extends SparkSpec {
     intercept[IllegalArgumentException](FileType.fromString("avro-ish"))
   }
 
+  test("dynamic partition overwrite replaces only the touched partitions") {
+    import spark.implicits._
+    val path = s"$tmp/dyn_overwrite"
+    val v1 = Seq(("a", 1), ("a", 2), ("b", 10)).toDF("part", "v")
+    DataWriter.write(v1, FileType.Parquet, path, partitionBy = Seq("part"))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // overwrite ONLY partition a; b must survive (static mode would drop it)
+      DataWriter.write(Seq(("a", 99)).toDF("part", "v"), FileType.Parquet,
+        path, partitionBy = Seq("part"))
+      val back = spark.read.parquet(path)
+        .collect().map(r => r.getAs[String]("part") -> r.getAs[Int]("v")).sorted
+      assert(back.toSeq == Seq("a" -> 99, "b" -> 10))
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+  }
+
   test("salted repartition spreads a hot key and drops the salt column") {
     import spark.implicits._
     val skewed = Seq.fill(1000)("hot").toDF("k")
