@@ -248,6 +248,40 @@ object CoreQueries {
           .cast("double").as("revenue"))
     }),
 
+    // ROLLUP subtotals (beyond the reference's flat GROUP BY): revenue per
+    // (region, nation), per region, and grand total in ONE pass — Spark
+    // expands grouping sets before the shuffle, so it's still a single
+    // aggregation, not three scans. grouping_id disambiguates subtotal
+    // NULLs from real NULLs.
+    "q49_rollup" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region")
+      orders
+        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"),
+          grouping_id(col("r_name"), col("n_name")).cast("int").as("gid"))
+    }),
+
+    // Window-frame family the reference never exposes (SURVEY §2.5): lag,
+    // lead, and a 3-row moving average per customer ordered by order date.
+    "q50_window_frames" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val frame = w.rowsBetween(-2, Window.currentRow)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        round(avg(dec(col("o_totalprice"))).over(frame).cast("double"), 6)
+          .as("moving_avg3"))
+    }),
+
     // F8/F9 + custom Catalyst expressions: ISO-8601 duration parse → add →
     // integer-micros avg → ISO format at the string boundary.
     "q19_iso_duration" -> ((s, dir) => {
@@ -373,6 +407,27 @@ object CoreQueries {
         |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+
+    "q49_rollup" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_orders,
+        | CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS gid
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "q50_window_frames" ->
+      """SELECT o_orderkey, o_custkey,
+        | lag(o_totalprice, 1) OVER w AS prev_price,
+        | lead(o_totalprice, 1) OVER w AS next_price,
+        | round(CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS moving_avg3
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
 
     "q47_shipping_priority" ->
       """SELECT l_orderkey, o_orderpriority,
