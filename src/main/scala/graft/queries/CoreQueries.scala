@@ -282,6 +282,34 @@ object CoreQueries {
           .as("moving_avg3"))
     }),
 
+    // INTERSECT / EXCEPT (absent from the reference, SURVEY §2.7): customers
+    // with both open and finished orders vs open-only, tagged and unioned
+    // into one result set.
+    "q51_set_ops" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val open = orders.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      val done = orders.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      open.intersect(done).withColumn("tag", lit("both"))
+        .unionByName(open.except(done).withColumn("tag", lit("open_only")))
+    }),
+
+    // Pivot (wide conditional aggregation): order counts per market segment
+    // by order status — Spark's pivot with pinned values compiles to the
+    // same single-pass conditional aggregate the SQL restates.
+    "q52_pivot" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      orders.join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        // absent (segment, status) combos pivot to null; the SQL FILTER
+        // restatement counts them as 0 — align.
+        .select(col("c_mktsegment"), coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+    }),
+
     // F8/F9 + custom Catalyst expressions: ISO-8601 duration parse → add →
     // integer-micros avg → ISO format at the string boundary.
     "q19_iso_duration" -> ((s, dir) => {
@@ -407,6 +435,25 @@ object CoreQueries {
         |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+
+    "q51_set_ops" ->
+      """SELECT o_custkey, 'both' AS tag FROM (
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |UNION ALL
+        |SELECT o_custkey, 'open_only' AS tag FROM (
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        | EXCEPT
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin,
+
+    "q52_pivot" ->
+      """SELECT c_mktsegment,
+        | COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+        | COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+        | COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "q49_rollup" ->
       """SELECT r_name, n_name,
