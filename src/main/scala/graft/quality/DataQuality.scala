@@ -26,6 +26,14 @@ object DataQuality {
   final case class UniqueRule(id: String, name: String, columns: Seq[String]) extends Rule
   final case class NotNullRule(id: String, name: String, columns: Seq[String]) extends Rule
   final case class QueryRule(id: String, name: String, sql: String) extends Rule
+  /** Beyond the reference's three types: value-domain check — violations =
+    * rows where `column` falls outside [min, max] (null bounds = open). */
+  final case class RangeRule(id: String, name: String, column: String,
+                             min: Option[Double], max: Option[Double]) extends Rule
+  /** Referential integrity — violations = child rows whose FK has no match
+    * in the parent (a left_anti count; orphan detection). */
+  final case class FkRule(id: String, name: String, childCols: Seq[String],
+                          parent: DataFrame, parentCols: Seq[String]) extends Rule
 
   final case class RuleResult(ruleId: String, ruleName: String, ruleType: String,
                               violations: Long, passed: Boolean,
@@ -44,10 +52,32 @@ object DataQuality {
   def nullOrBlankRows(df: DataFrame, cols: Seq[String]): Long =
     df.filter(cols.map(c => ColumnOps.isNullOrBlank(col(c))).reduce(_ || _)).count()
 
+  /** Rows outside the [min, max] domain (nulls don't violate — that's
+    * NotNullRule's job; one concern per rule). */
+  def outOfRangeRows(df: DataFrame, column: String,
+                     min: Option[Double], max: Option[Double]): Long = {
+    val c = col(column)
+    val below = min.map(m => c < m).getOrElse(lit(false))
+    val above = max.map(m => c > m).getOrElse(lit(false))
+    df.filter(below || above).count()
+  }
+
+  /** Child rows whose FK tuple has no parent match (left_anti orphans);
+    * rows with any null FK column are skipped (not referential violations). */
+  def orphanRows(child: DataFrame, childCols: Seq[String],
+                 parent: DataFrame, parentCols: Seq[String]): Long = {
+    val p = parent.select(parentCols.zip(childCols)
+      .map { case (pc, cc) => col(pc).as(cc) }: _*).distinct()
+    child.filter(childCols.map(c => col(c).isNotNull).reduce(_ && _))
+      .join(p, childCols, "left_anti").count()
+  }
+
   def runRule(spark: SparkSession, df: DataFrame, rule: Rule): RuleResult = {
     val attempt = Try(rule match {
       case UniqueRule(_, _, cols) => duplicateKeyGroups(df, cols)
       case NotNullRule(_, _, cols) => nullOrBlankRows(df, cols)
+      case RangeRule(_, _, c, mn, mx) => outOfRangeRows(df, c, mn, mx)
+      case FkRule(_, _, cc, parent, pc) => orphanRows(df, cc, parent, pc)
       case QueryRule(id, _, sql) =>
         // Unique per-run view name: a hardcoded 'temp' would clobber any
         // session view of that name and break interleaved DQ runs. Rule SQL
@@ -62,6 +92,8 @@ object DataQuality {
       case _: UniqueRule => "unique"
       case _: NotNullRule => "not null"
       case _: QueryRule => "query"
+      case _: RangeRule => "range"
+      case _: FkRule => "fk"
     }
     attempt match {
       case Success(v) => RuleResult(rule.id, rule.name, rtype, v, v == 0)
@@ -114,6 +146,10 @@ object DataQuality {
         case "unique" => UniqueRule(id, name, cols)
         case "not null" => NotNullRule(id, name, cols)
         case "query" => QueryRule(id, name, r.get("query").asText)
+        case "range" => RangeRule(id, name, r.get("column").asText,
+          Option(r.get("min")).map(_.asDouble), Option(r.get("max")).map(_.asDouble))
+        // FkRule needs a parent DataFrame — constructed programmatically,
+        // not from JSON config.
         case other => throw new IllegalArgumentException(s"Unknown rule_type '$other'")
       }
     }.toSeq

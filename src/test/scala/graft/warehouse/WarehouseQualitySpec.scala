@@ -107,6 +107,27 @@ class DataQualitySpec extends SparkSpec {
     assert(got.getAs[Long]("nullblank_n1") == 2L)
   }
 
+  test("range and fk rules catch out-of-domain values and orphans") {
+    import spark.implicits._
+    val child = Seq((1, 10.0), (2, -5.0), (3, 200.0), (9, 50.0))
+      .toDF("fk", "amount")
+    val parent = Seq(1, 2, 3).toDF("pk")
+    val report = DataQuality.run(spark, child, "t", Seq(
+      RangeRule("rg", "amount in [0,100]", "amount", Some(0.0), Some(100.0)),
+      FkRule("fk1", "fk resolves", Seq("fk"), parent, Seq("pk"))))
+    val byId = report.results.map(r => r.ruleId -> r).toMap
+    assert(byId("rg").violations == 2 && !byId("rg").passed)   // -5 and 200
+    assert(byId("fk1").violations == 1 && !byId("fk1").passed) // fk=9 orphan
+  }
+
+  test("JSON range rule parses with open bounds") {
+    val (_, rules) = DataQuality.rulesFromJson(
+      """{"dq_id":"d","rules":[
+        |{"rule_id":"r","name":"amt","rule_type":"range","column":"amount","min":0}
+        |]}""".stripMargin)
+    assert(rules == Seq(RangeRule("r", "amt", "amount", Some(0.0), None)))
+  }
+
   test("JSON rule config round-trips") {
     val (dqId, parsed) = DataQuality.rulesFromJson(
       """{"dq_id":"demo","rules":[
