@@ -61,6 +61,28 @@ object TextOps {
   def minShingleFingerprint(c: Column, n: Int): Column =
     array_min(transform(wordShingles(c, n), s => rollingHash(s)))
 
+  // ---- PII scrubbing -----------------------------------------------------
+
+  /** Cross-engine-safe redaction patterns (no lookaround, POSIX-compatible
+    * classes) — the minimum a training corpus needs before release. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+  val PhonePattern = "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"
+
+  /** Redact emails, URLs, and phone-shaped digit runs to typed placeholder
+    * tokens. Order matters: URLs first (emails can appear inside query
+    * strings), then emails, then phones. */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, UrlPattern, "<URL>"),
+        EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** Count of email-shaped tokens (pre-scrub audit metric). */
+  def emailCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(EmailPattern), lit(0)))
+
   // ---- quality scoring ---------------------------------------------------
 
   /** Small English stopword list used by ratio features (deterministic,

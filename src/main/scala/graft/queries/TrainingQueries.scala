@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.dedup.Dedup
 import graft.functions.TextOps
+import graft.sampling.Sampling
 import graft.similarity.Similarity
 
 /** Training-data pipeline query pack: dedup (exact / MinHash-LSH / SimHash /
@@ -111,6 +112,28 @@ object TrainingQueries {
     // Hamming verify (maxHamming 1 keeps perfect band recall).
     "q40_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text", 1)),
+
+    // PII scrubbing: URL/email/phone redaction to typed placeholders, with
+    // a pre-scrub email count as the audit metric. Output hashes the
+    // scrubbed text so the gate verifies every replacement byte-exactly.
+    "q53_pii_scrub" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        md5(TextOps.scrubPii(col("text"))).as("scrubbed_hash"),
+        TextOps.emailCount(col("text")).cast("int").as("n_emails"))),
+
+    // Deterministic hash sampling (20%): membership from the row key alone —
+    // reproducible across partitionings/reruns, subset-monotone in the rate.
+    "q54_hash_sample" -> ((s, dir) =>
+      Sampling.hashSample(t(s, dir, "documents"), col("doc_id"), 20)
+        .select(col("doc_id"), col("lang"))),
+
+    // Deterministic stratified quota: 20 docs per language by ascending key
+    // hash — rebalances skewed language distributions reproducibly.
+    "q55_stratified_quota" -> ((s, dir) =>
+      Sampling.stratifiedQuota(t(s, dir, "documents"), col("lang"),
+          col("doc_id"), 20)
+        .select(col("doc_id"), col("lang"))),
 
     // Dup-cluster resolution: exact-Jaccard near-dup pairs (q25) collapsed
     // into connected components; cluster_id = smallest doc_id in the
@@ -312,6 +335,26 @@ object TrainingQueries {
          | FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
          |WHERE hamming <= 1""".stripMargin
     },
+
+    "q53_pii_scrub" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |   'https?://[^\s]+', '<URL>', 'g'),
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g')) AS scrubbed_hash,
+        | len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_emails
+        |FROM documents""".stripMargin,
+
+    "q54_hash_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${h31("CAST(doc_id AS VARCHAR)")} % 100 < 20""".stripMargin,
+
+    "q55_stratified_quota" ->
+      s"""SELECT doc_id, lang FROM (
+         | SELECT doc_id, lang, row_number() OVER (
+         |   PARTITION BY lang
+         |   ORDER BY ${h31("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS rn
+         | FROM documents) WHERE rn <= 20""".stripMargin,
 
     // Transitive closure over the q25 pair set; label = min reachable id.
     "q44_dup_clusters" ->

@@ -117,6 +117,35 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1).isEmpty)
   }
 
+  test("scrubPii redacts urls, emails, and phone runs in order") {
+    import spark.implicits._
+    val df = Seq(
+      "mail me at a.b+c@ex-ample.co.uk today",
+      "see https://x.io/p?e=a@b.co for info",
+      "call +1 (555) 123-4567 now",
+      "clean text stays clean").toDF("t")
+    val got = df.select(TextOps.scrubPii(col("t")).as("s"))
+      .collect().map(_.getString(0))
+    assert(got(0) == "mail me at <EMAIL> today")
+    assert(got(1) == "see <URL> for info") // email inside URL not double-hit
+    assert(got(2) == "call <PHONE> now")
+    assert(got(3) == "clean text stays clean")
+  }
+
+  test("hash sampling is subset-monotone and stratified quota caps strata") {
+    import spark.implicits._
+    import graft.sampling.Sampling
+    val df = (1L to 500L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "s")
+    val p10 = Sampling.hashSample(df, col("id"), 10).select("id").collect().map(_.getLong(0)).toSet
+    val p30 = Sampling.hashSample(df, col("id"), 30).select("id").collect().map(_.getLong(0)).toSet
+    assert(p10.subsetOf(p30), "raising the rate must keep prior members")
+    assert(p30.size > p10.size && p10.nonEmpty)
+    val quota = Sampling.stratifiedQuota(df, col("s"), col("id"), 7)
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(quota == Map("a" -> 7L, "b" -> 7L))
+  }
+
   test("rollingHash matches a reference implementation") {
     import spark.implicits._
     def ref(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 2147483647L)
