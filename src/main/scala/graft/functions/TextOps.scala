@@ -1,7 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Text-analysis surface for large-scale training-data pipelines: tokenizing,
   * shingling, quality scoring, language ID, and document fingerprinting.
@@ -60,6 +65,29 @@ object TextOps {
     * a cheap near-dup prefilter. Null for docs shorter than n tokens. */
   def minShingleFingerprint(c: Column, n: Int): Column =
     array_min(transform(wordShingles(c, n), s => rollingHash(s)))
+
+  // ---- unicode normalization ---------------------------------------------
+
+  /** Unicode NFC normalization as a Catalyst expression — composed and
+    * decomposed renderings of the same text ("é" vs "e"+U+0301) must hash
+    * identically or every hash-based dedup silently treats them as
+    * different documents. Spark has no normalization built-in; this wraps
+    * `java.text.Normalizer` (the JDK's conformant NFC), interpreted per row
+    * (CodegenFallback — normalization cost dwarfs the call overhead). */
+  case class NormalizeNfc(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "normalize_nfc"
+    override protected def nullSafeEval(input: Any): Any =
+      UTF8String.fromString(java.text.Normalizer.normalize(
+        input.asInstanceOf[UTF8String].toString,
+        java.text.Normalizer.Form.NFC))
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def normalizeNfc(c: Column): Column =
+    Bridge.toColumn(NormalizeNfc(Bridge.toExpr(c)))
 
   // ---- PII scrubbing -----------------------------------------------------
 

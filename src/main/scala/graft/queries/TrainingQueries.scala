@@ -113,6 +113,19 @@ object TrainingQueries {
     "q40_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text", 1)),
 
+    // Unicode NFC normalization before hashing: the text is adversarially
+    // suffixed with a DECOMPOSED "é" (e + combining acute); after NFC both
+    // engines must hash the COMPOSED form identically — without
+    // normalization, hash dedup treats equal-looking strings as distinct.
+    "q56_unicode_norm" -> ((s, dir) => {
+      // decomposed suffix: 'e' + COMBINING ACUTE (U+0301); NFC composes it
+      val decomposed = concat(col("text"), lit(" cafe"), lit("\u0301"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        md5(TextOps.normalizeNfc(decomposed)).as("norm_hash"),
+        length(TextOps.normalizeNfc(decomposed)).as("norm_len"))
+    }),
+
     // PII scrubbing: URL/email/phone redaction to typed placeholders, with
     // a pre-scrub email count as the audit metric. Output hashes the
     // scrubbed text so the gate verifies every replacement byte-exactly.
@@ -335,6 +348,12 @@ object TrainingQueries {
          | FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
          |WHERE hamming <= 1""".stripMargin
     },
+
+    "q56_unicode_norm" ->
+      """SELECT doc_id,
+        | md5(nfc_normalize(text || ' cafe' || chr(769))) AS norm_hash,
+        | length(nfc_normalize(text || ' cafe' || chr(769))) AS norm_len
+        |FROM documents""".stripMargin,
 
     "q53_pii_scrub" ->
       """SELECT doc_id,
