@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.IsoDuration
+import graft.functions.{IsoDuration, TextOps}
 import graft.similarity.Similarity
 
 /** SparkSessionExtensions hook registering the engine's custom Catalyst
@@ -40,6 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - sequential-fold dot product of two array<double> (codegen'd)."),
       (children: Seq[Expression]) => Similarity.DotProduct(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("normalize_nfc"),
+      info("normalize_nfc", "normalize_nfc(str) - Unicode NFC normalization (canonical composition)."),
+      (children: Seq[Expression]) => TextOps.NormalizeNfc(children.head)))
     ext.injectFunction((
       FunctionIdentifier("l2sq_distance"),
       info("l2sq_distance", "l2sq_distance(a, b) - sequential-fold squared L2 distance of two array<double> (codegen'd)."),

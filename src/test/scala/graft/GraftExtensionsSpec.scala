@@ -44,4 +44,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(s.sql("SELECT iso_duration_micros('bogus')").collect().head.isNullAt(0))
     }
   }
+
+  test("normalize_nfc composes decomposed sequences via SQL") {
+    withExtendedSession { s =>
+      val r = s.sql("SELECT length(normalize_nfc(concat('cafe', '́')))")
+        .collect().head
+      assert(r.getInt(0) == 4) // e + combining acute composed to one char
+    }
+  }
 }
