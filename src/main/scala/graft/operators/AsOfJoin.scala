@@ -44,6 +44,9 @@ object AsOfJoin {
                leftTs: String, rightTs: String,
                rightCols: Seq[String]): DataFrame = {
     require(leftKeys.length == rightKeys.length, "key arity mismatch")
+    val reserved = Set("__k", "__ts", "__side", "__p", "__match")
+    require(!left.columns.exists(reserved), s"left columns collide with " +
+      s"asofJoin internals: ${left.columns.filter(reserved).mkString(", ")}")
     val leftOut = left.columns.toSeq
     // Key struct fields named positionally so unionByName sees the same
     // nested names on both sides.

@@ -27,6 +27,14 @@ object SkewJoin {
   def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
                  buckets: Int, joinType: String = "inner"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    // Only join types where the REPLICATED side never emits unmatched rows
+    // are salt-safe: right/full outer would surface each right row once per
+    // replica.
+    val safe = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti", "cross")
+    require(safe.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin cannot preserve '$joinType' semantics: the replicated " +
+        "side would emit unmatched rows once per salt bucket")
     val salted = skewed.withColumn("__salt",
       floor(rand(seed = 42) * buckets).cast("int"))
     val replicated = other.withColumn("__salt",

@@ -77,9 +77,13 @@ object Streams {
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // "has data" = contains parquet part files; a bare/leftover empty
+        // dir (failed first batch, eager mkdir) must read as empty, not
+        // crash the stream.
+        val targetFiles = Option(new java.io.File(targetDir).listFiles())
+          .exists(_.exists(_.getName.endsWith(".parquet")))
         val existing =
-          if (new java.io.File(targetDir).exists())
-            spark.read.schema(batch.schema).parquet(targetDir)
+          if (targetFiles) spark.read.schema(batch.schema).parquet(targetDir)
           else batch.limit(0)
         val merged = graft.warehouse.Cdc.snapshot(
           existing.unionByName(batch), pks, Seq(orderCol)).persist()
