@@ -18,9 +18,19 @@ final class JobContext(spark: SparkSession) extends Serializable {
 
   private val counters = TrieMap.empty[String, LongAccumulator]
 
-  /** Get-or-register the named counter (driver side). */
+  /** Get-or-register the named counter. Registration is DRIVER-ONLY: an
+    * accumulator must be created on the driver to be merged back from
+    * tasks. Executor-side lookup of a pre-registered name returns the
+    * serialized accumulator; an unregistered name off-driver fails fast
+    * with a clear error instead of crashing on the transient SparkContext. */
   def counter(name: String): LongAccumulator =
-    counters.getOrElseUpdate(name, spark.sparkContext.longAccumulator(name))
+    counters.getOrElse(name, {
+      if (org.apache.spark.TaskContext.get() != null)
+        throw new IllegalStateException(
+          s"JobContext counter '$name' used on an executor before being " +
+            "registered on the driver; call counter(name) driver-side first")
+      counters.getOrElseUpdate(name, spark.sparkContext.longAccumulator(name))
+    })
 
   def inc(name: String, by: Long = 1L): Unit = counter(name).add(by)
 

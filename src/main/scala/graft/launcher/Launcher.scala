@@ -75,8 +75,13 @@ object Launcher {
         Future {
           val pb = new ProcessBuilder(cmd: _*)
           val proc = pb.start()
+          // Drain stderr on its own thread: spark-submit logs mostly to
+          // stderr, and a child blocked writing a full stderr pipe while we
+          // block reading stdout is a mutual deadlock.
+          val errF = Future(new String(proc.getErrorStream.readAllBytes(), "UTF-8"))(
+            ExecutionContext.global)
           val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-          val err = new String(proc.getErrorStream.readAllBytes(), "UTF-8")
+          val err = Await.result(errF, Duration.Inf)
           RunResult(cmd, proc.waitFor(), out, err)
         }
       }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.mapper.Flattener
-import graft.sources.ZipIngest
+import graft.sources.{FsOps, ZipIngest}
 import graft.warehouse.Cdc
 
 /** The reference's second end-to-end pipeline, re-expressed Spark-first
@@ -62,9 +62,12 @@ object ClinicalTrial {
   /** Read the JSON staging area with the delta's schema; empty frame on the
     * initial load (reference: clinical_trial_etl.py:169-178). */
   def readStaging(spark: SparkSession, p: Params, like: DataFrame): DataFrame = {
-    val dir = new java.io.File(p.stagingDir)
-    val hasData = dir.exists() && Option(dir.listFiles()).exists(
-      _.exists(f => f.getName.endsWith(".json") && f.length() > 0))
+    // Hadoop FS probe so a remote stagingDir (hdfs://, s3a://) is seen —
+    // a java.io.File probe reads any non-local path as empty, making every
+    // run re-ingest the full source as "new".
+    val hasData = FsOps.list(spark, p.stagingDir)
+      .exists { case (name, isDir, size) =>
+        !isDir && name.endsWith(".json") && size > 0 }
     if (!hasData)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         like.schema)

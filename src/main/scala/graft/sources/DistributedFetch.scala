@@ -28,25 +28,46 @@ object DistributedFetch {
     try in.readAllBytes() finally in.close()
   }
 
-  /** Fetch every URI into `destDir/<basename>`, executor-side, with
-    * per-partition parallelism = `parallelism` tasks. Returns per-URI
-    * outcomes (collected — result rows are tiny) and counts successes via
-    * an accumulator so progress is visible mid-job. */
+  /** Destination filename per URI, computed driver-side over the FULL list
+    * so collisions are visible: a unique non-empty basename is kept as-is;
+    * a basename shared by several URIs (or empty — URI ending in '/') is
+    * disambiguated with a short stable hash of the full URI, so distinct
+    * sources can never silently overwrite each other in `destDir`. */
+  def destNames(uris: Seq[String]): Map[String, String] = {
+    def base(uri: String) = uri.substring(uri.lastIndexOf('/') + 1)
+    val byName = uris.groupBy(base)
+    uris.map { uri =>
+      val name = base(uri)
+      val unique = name.nonEmpty && byName(name).distinct.size == 1
+      uri -> (if (unique) name
+              else {
+                val h = Integer.toHexString(
+                  scala.util.hashing.MurmurHash3.stringHash(uri))
+                if (name.isEmpty) s"uri-$h" else s"$h-$name"
+              })
+    }.toMap
+  }
+
+  /** Fetch every URI into `destDir/<name>` (names via [[destNames]] —
+    * collision-safe), executor-side, with per-partition parallelism =
+    * `parallelism` tasks. Returns per-URI outcomes (collected — result
+    * rows are tiny) and counts successes via an accumulator so progress is
+    * visible mid-job. */
   def fetchToDir(spark: SparkSession, uris: Seq[String], destDir: String,
                  fetcher: String => Array[Byte] = urlFetcher,
                  parallelism: Int = 8): Seq[FetchResult] = {
     import spark.implicits._
     val okCount: LongAccumulator = spark.sparkContext.longAccumulator("fetch_ok")
     val dest = spark.sparkContext.broadcast(destDir)
+    val names = spark.sparkContext.broadcast(destNames(uris))
     val n = math.max(1, math.min(parallelism, uris.size))
-    spark.createDataset(uris).repartition(n)
+    spark.createDataset(uris.distinct).repartition(n)
       .mapPartitions { it =>
         // per-partition client init would go here (amortized across URIs)
         it.map { uri =>
           try {
             val bytes = fetcher(uri)
-            val name = uri.substring(uri.lastIndexOf('/') + 1)
-            val target = Paths.get(dest.value, name)
+            val target = Paths.get(dest.value, names.value(uri))
             Files.createDirectories(target.getParent)
             Files.write(target, bytes)
             okCount.add(1)

@@ -79,17 +79,22 @@ object Streams {
         val spark = batch.sparkSession
         // "has data" = contains parquet part files; a bare/leftover empty
         // dir (failed first batch, eager mkdir) must read as empty, not
-        // crash the stream.
-        val targetFiles = Option(new java.io.File(targetDir).listFiles())
-          .exists(_.exists(_.getName.endsWith(".parquet")))
+        // crash the stream. Probed through the Hadoop FS API so hdfs://,
+        // s3a://, ... targets resolve correctly (a java.io.File probe would
+        // read any remote target as absent and silently drop history).
+        val targetFiles = graft.sources.FsOps.list(spark, targetDir)
+          .exists { case (name, isDir, size) =>
+            !isDir && name.endsWith(".parquet") && size > 0 }
         val existing =
           if (targetFiles) spark.read.schema(batch.schema).parquet(targetDir)
           else batch.limit(0)
+        // localCheckpoint (eager) truncates lineage to materialized blocks:
+        // unlike persist+count, a recomputation can never re-read the target
+        // path after the overwrite below has deleted it.
         val merged = graft.warehouse.Cdc.snapshot(
-          existing.unionByName(batch), pks, Seq(orderCol)).persist()
-        merged.count() // materialize before overwriting the source path
+          existing.unionByName(batch), pks, Seq(orderCol))
+          .localCheckpoint(eager = true)
         merged.write.mode("overwrite").parquet(targetDir)
-        merged.unpersist()
         ()
       }
 

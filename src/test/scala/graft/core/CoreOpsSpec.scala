@@ -79,4 +79,17 @@ class JobContextSpec extends SparkSpec {
     assert(ctx.value("odd_rows") == 50L)
     assert(ctx.report.contains("rows_read") && ctx.report.contains("100"))
   }
+
+  test("counter registration on an executor fails fast with a clear error") {
+    import spark.implicits._
+    val ctx = new JobContext(spark)
+    val e = intercept[Exception] {
+      spark.createDataset(1 to 10).foreachPartition { (it: Iterator[Int]) =>
+        it.foreach(_ => ctx.inc("never_registered"))
+      }
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("never_registered")))
+  }
 }

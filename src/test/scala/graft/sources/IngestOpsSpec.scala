@@ -57,6 +57,38 @@ class DistributedFetchSpec extends SparkSpec {
     assert(results.count(!_.ok) == 1)
     assert(Files.readString(destDir.resolve("chunk2.xml")) == "<doc>2</doc>")
   }
+
+  test("destNames disambiguates colliding basenames and empty names") {
+    val uris = Seq(
+      "http://a.example/data/part.xml",
+      "http://b.example/data/part.xml",
+      "http://c.example/data/unique.xml",
+      "http://d.example/dir/")
+    val names = DistributedFetch.destNames(uris)
+    assert(names("http://c.example/data/unique.xml") == "unique.xml")
+    // colliding basenames get distinct hash-prefixed names
+    val collided = Seq(names(uris(0)), names(uris(1)))
+    assert(collided.distinct.size == 2)
+    assert(collided.forall(_.endsWith("-part.xml")))
+    // trailing-slash URI yields a non-empty synthesized name
+    assert(names(uris(3)).startsWith("uri-") && names(uris(3)).length > 4)
+  }
+
+  test("fetchToDir keeps both payloads when basenames collide") {
+    val srcA = Files.createTempDirectory("graft_fetch_a")
+    val srcB = Files.createTempDirectory("graft_fetch_b")
+    val destDir = Files.createTempDirectory("graft_fetch_coll")
+    Files.writeString(srcA.resolve("same.xml"), "<doc>A</doc>")
+    Files.writeString(srcB.resolve("same.xml"), "<doc>B</doc>")
+    val uris = Seq(srcA.resolve("same.xml").toUri.toString,
+      srcB.resolve("same.xml").toUri.toString)
+    val results = DistributedFetch.fetchToDir(spark, uris, destDir.toString)
+    assert(results.forall(_.ok))
+    val written = results.map(r => Files.readString(
+      java.nio.file.Paths.get(r.dest))).sorted
+    assert(written == Seq("<doc>A</doc>", "<doc>B</doc>"))
+    assert(results.map(_.dest).distinct.size == 2)
+  }
 }
 
 class FsOpsSpec extends SparkSpec {
