@@ -167,7 +167,8 @@ object Dedup {
     * plan doesn't grow with rounds (the classic iterative-algorithm trap).
     */
   def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                  maxIter: Int = 20): DataFrame = {
+                  maxIter: Int = 20,
+                  driverEdgeLimit: Long = 2000000L): DataFrame = {
     // Materialize the edge list once — every propagation round joins it,
     // and without the checkpoint each round would re-execute the (often
     // expensive) pair-generation plan feeding this operator. Near-dup edge
@@ -176,11 +177,50 @@ object Dedup {
     // of inheriting the session default — 10 rounds × 32 near-empty
     // partitions is pure scheduler overhead at bench scale, while big edge
     // sets still fan out.
-    val edges0 = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // Checkpoint the DIRECTED pairs first, then mirror: a union of two
+    // selects over the raw `pairs` plan would execute the (expensive)
+    // pair-generation twice to materialize it.
+    val p0 = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .localCheckpoint()
+    val edges0 = p0.unionByName(
+      p0.select(col("dst").as("src"), col("src").as("dst")))
+    val nEdges = 2L * p0.count()
+    // Small-edge-set fast path: near-dup edges are a vanishing fraction of
+    // the corpus (the corpus never leaves the cluster — only the PAIRS
+    // arrive here). When they fit comfortably on the driver, a single
+    // collect + union-find replaces O(log diameter) join-shuffle rounds —
+    // exact same output (component min = canonical survivor, enforced by
+    // union-by-min), at the cost of one task instead of ~5 stages. The
+    // distributed propagation below remains the path for genuinely large
+    // edge sets (threshold overridable per call).
+    val srcType = edges0.schema("src").dataType
+    val integral = srcType == org.apache.spark.sql.types.LongType ||
+      srcType == org.apache.spark.sql.types.IntegerType ||
+      srcType == org.apache.spark.sql.types.ShortType
+    if (integral && nEdges <= driverEdgeLimit) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = p0.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      return parent.keysIterator.map(k => (k, find(k))).toSeq
+        .toDF("id", "cluster_id")
+        .select(col("id").cast(srcType), col("cluster_id").cast(srcType))
+    }
     val parts = math.max(1, math.min(edges0.rdd.getNumPartitions,
-      (edges0.count() / 500000L).toInt + 1))
+      (nEdges / 500000L).toInt + 1))
     val edges = edges0.repartition(parts).localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))

@@ -60,6 +60,10 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L,
       4L -> 4L, 5L -> 4L, 6L -> 4L))
+    // distributed label-propagation path (driver fast path disabled) agrees
+    val distributed = rows(Dedup.dupClusters(pairs, driverEdgeLimit = 0L))
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(distributed == got)
   }
 
   test("embeddingNearDups finds the planted high-cosine pair, IVF variant agrees in-cluster") {
