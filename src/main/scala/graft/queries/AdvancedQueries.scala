@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Sessionize
+import graft.text.Corpus
+
+/** Round-3 query pack: multi-dimensional grouping (CUBE), correlated
+  * subqueries (Catalyst decorrelation), batch sessionization
+  * (gaps-and-islands), corpus TF-IDF, token chunking, and exact grouped
+  * percentiles — each hash-gated against a DuckDB restatement.
+  *
+  * Oracle-exactness rules applied throughout: aggregates over doubles go
+  * through DECIMAL(18,2) (order-independent sums), rankings are
+  * integer-deterministic (never ordered by derived floats), timestamp math
+  * is integer microseconds, and correlated predicates use COUNT/EXISTS
+  * (no cross-engine float aggregation in a WHERE boundary).
+  */
+object AdvancedQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // CUBE: all 2^2 grouping sets over (returnflag, linestatus) in ONE pass
+    // (Spark expands grouping sets inside a single hash-agg — no N scans),
+    // grouping_id disambiguates subtotal rows from real NULL groups.
+    "q57_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id(col("l_returnflag"), col("l_linestatus")).cast("int")
+            .as("gid"))),
+
+    // Correlated scalar subquery + EXISTS + NOT EXISTS — Catalyst
+    // decorrelates all three into aggregate/semi/anti joins (no per-row
+    // re-execution; see RewriteCorrelatedScalarSubquery / RewritePredicateSubquery).
+    // Predicates are COUNT-based or raw-column comparisons, so no float
+    // aggregation sits on a WHERE boundary.
+    "q58_subqueries" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      s.sql("""
+        SELECT o.o_orderkey, o.o_custkey,
+          (SELECT COUNT(*) FROM g_orders o2
+            WHERE o2.o_custkey = o.o_custkey) AS cust_orders
+        FROM g_orders o
+        WHERE (SELECT COUNT(*) FROM g_orders o2
+                WHERE o2.o_custkey = o.o_custkey) >= 8
+          AND EXISTS (SELECT 1 FROM g_lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+          AND NOT EXISTS (SELECT 1 FROM g_lineitem l
+                           WHERE l.l_orderkey = o.o_orderkey AND l.l_tax > 0.07)
+      """)
+    }),
+
+    // Gaps-and-islands sessionization: 30-minute idle gap, µs-exact.
+    "q59_sessionize" -> ((s, dir) =>
+      Sessionize.sessionStats(t(s, dir, "events"), "user_id", "ts", "event_id",
+        gapSec = 1800, valueCol = col("value"))),
+
+    // Corpus TF-IDF: top-3 distinctive terms per doc; integer-deterministic
+    // ranking (tf DESC, df ASC, term ASC), smoothed-log weight rounded.
+    "q60_tfidf" -> ((s, dir) =>
+      Corpus.topTerms(t(s, dir, "documents"), "doc_id", "text", 3)
+        .withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("rank", "term_rank")),
+
+    // Token chunking: 64-token training windows, 16-token overlap.
+    "q61_doc_chunks" -> ((s, dir) =>
+      Corpus.chunk(t(s, dir, "documents"), "doc_id", "text",
+          size = 64, overlap = 16)
+        .withColumnRenamed("id", "doc_id")),
+
+    // Exact grouped percentiles (linear interpolation at p(n-1)) — the
+    // correctness baseline; at 100 TB swap approx_percentile (t-digest,
+    // mergeable sketch) where a bounded error is acceptable.
+    "q64_percentiles" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5d)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9d)"), 6).as("p90"),
+          count(lit(1)).as("n")))
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q57_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n,
+        | CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q58_subqueries" ->
+      """SELECT o.o_orderkey, o.o_custkey,
+        | (SELECT COUNT(*) FROM orders o2
+        |   WHERE o2.o_custkey = o.o_custkey) AS cust_orders
+        |FROM orders o
+        |WHERE (SELECT COUNT(*) FROM orders o2
+        |        WHERE o2.o_custkey = o.o_custkey) >= 8
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |               WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |                   WHERE l.l_orderkey = o.o_orderkey AND l.l_tax > 0.07)""".stripMargin,
+
+    "q59_sessionize" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, us, value,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM ordered),
+        |sess AS (
+        |  SELECT user_id, us, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  COUNT(*) AS n_events, MIN(us) AS first_us, MAX(us) AS last_us,
+        |  MAX(us) - MIN(us) AS span_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    "q60_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, word AS term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+        |    FROM documents)
+        |  WHERE word <> '' GROUP BY doc_id, word),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    ROUND(tf.tf * LN((n.n_docs + 1)::DOUBLE / (dfreq.df + 1)::DOUBLE), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) AS INT) AS term_rank
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, tfidf, term_rank
+        |FROM ranked WHERE term_rank <= 3""".stripMargin,
+
+    "q61_doc_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |sized AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+        |idx AS (
+        |  SELECT doc_id, tk, n,
+        |    unnest(range(0, greatest(1, (n - 16 + 47) // 48))) AS chunk_idx
+        |  FROM sized)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
+        |FROM idx""".stripMargin,
+
+    "q64_percentiles" ->
+      """SELECT event_type,
+        | ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        | ROUND(quantile_cont(value, 0.9), 6) AS p90,
+        | COUNT(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin
+  )
+}

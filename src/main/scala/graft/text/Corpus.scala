@@ -1,0 +1,88 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/** Corpus-level text operators — statistics that need the whole document set
+  * (document frequency, corpus size), unlike the per-row helpers in
+  * [[graft.functions.TextOps]]. Training-data surface: TF-IDF term weighting
+  * for quality filtering / topic balancing, and fixed-size token chunking
+  * with overlap (the standard pre-tokenizer step that turns documents into
+  * training windows).
+  *
+  * Scale shape: TF is one explode + hash-agg on (doc, term) — map-side
+  * combine collapses repeats before the shuffle; DF is a second hash-agg on
+  * term; the corpus size N is a broadcast scalar. No self-joins. Chunking is
+  * purely per-row (explode over computed chunk starts) — embarrassingly
+  * parallel, no shuffle at all.
+  */
+object Corpus {
+
+  /** (id, term, tf) — term frequency per document, whitespace tokens. */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** (id, term, tf, df, tfidf): tfidf = tf * ln((N + 1) / (df + 1)) with the
+    * +1 smoothing that keeps corpus-wide terms at a small positive weight.
+    * N = number of documents (all rows of `docs`), carried as a broadcast
+    * scalar so the plan stays a chain of hash-aggs + one broadcast join. */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .select(col("id"), col("term"), col("tf"), col("df"),
+        round(col("tf").cast("double") *
+          log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")),
+          6).as("tfidf"))
+  }
+
+  /** Top-k most distinctive terms per document. Ranking is fully
+    * integer-deterministic — (tf DESC, df ASC, term ASC) — so the oracle
+    * can't diverge on a last-ulp tfidf tie; the tfidf weight itself is
+    * carried (rounded) for consumers. */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tfidf(docs, idCol, textCol)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Explode each document into fixed-size token chunks with `overlap`
+    * shared tokens between consecutive chunks (training-window shaping).
+    * Chunk starts step by (size - overlap); a trailing chunk is emitted only
+    * if it contributes tokens beyond the previous chunk's coverage:
+    * nChunks = max(1, ceil((n - overlap) / step)) — integer arithmetic only.
+    * Documents with no tokens produce no chunks. */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val step = size - overlap
+    val toks = docs.select(col(idCol).as("id"),
+        TextOps.tokens(col(textCol)).as("toks"))
+      .withColumn("n_toks", size_(col("toks")))
+      .filter(col("n_toks") > 0)
+    toks
+      .withColumn("n_chunks", greatest(lit(1L),
+        expr(s"(n_toks - $overlap + ${step - 1}) div $step")))
+      .select(col("id"), col("toks"), col("n_toks"),
+        explode(expr("sequence(0, n_chunks - 1)")).as("chunk_idx"))
+      .withColumn("start", col("chunk_idx") * step)
+      .select(col("id"), col("chunk_idx"),
+        least(lit(size.toLong), col("n_toks") - col("start")).as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(size)))
+          .as("chunk_text"))
+  }
+
+  // functions.size shadowed by the Int parameter name in chunk()
+  private def size_(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.size(c)
+}
