@@ -45,6 +45,61 @@ object StreamQueries {
       Streams.runToMemory(s, agg, name, OutputMode.Complete())
     }),
 
+    // §2.10: stream-stream interval join under the driver gate — views
+    // joined to same-user purchases within the following hour. Both sides
+    // carry watermarks (bounded state; rows evicted once the opposite
+    // watermark passes their eligibility window) and the join emits in
+    // Append mode, so the same query runs unbounded in production. Inner
+    // join + AvailableNow ⇒ output set equals the batch join, which is
+    // exactly what the DuckDB oracle restates.
+    "q62_stream_interval_join" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_q62")
+      Files.copy(Paths.get(s"$dir/events.parquet"), tmp.resolve("events.parquet"))
+      def src() = s.readStream
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING")
+        .parquet(tmp.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val views = src().filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("ts").as("v_ts"))
+      val buys = src().filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+          col("ts").as("b_ts"))
+      val joined = Streams.intervalJoin(views, buys,
+          "v_user", "b_user", "v_ts", "b_ts",
+          within = "1 hour", watermark = "2 hours")
+        .select(col("v_user").as("user_id"), col("view_id"), col("buy_id"),
+          (unix_micros(col("b_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+      val name = "q62_mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      Streams.runToMemory(s, joined, name, OutputMode.Append())
+    }),
+
+    // §2.10: foreachBatch CDC upsert driven end-to-end — the events table
+    // staged as three files, consumed one per micro-batch, each batch
+    // merged into a parquet target by PK (newest event_id wins). The final
+    // snapshot must equal the batch latest-per-key query regardless of
+    // batch order — upsert is merge-commutative — which the oracle states.
+    "q63_stream_upsert" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_q63")
+      val src = tmp.resolve("in"); val tgt = tmp.resolve("tgt")
+      Files.createDirectories(src)
+      val events = graft.core.Tables.load(s, dir, "events")
+      (0 until 3).foreach { i =>
+        events.filter(col("event_id") % 3 === i)
+          .coalesce(1).write.mode("append").parquet(src.toString)
+      }
+      val stream = s.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+      val q = Streams.upsertSink(stream, tgt.toString,
+          tmp.resolve("chk").toString, pks = Seq("user_id"), orderCol = "event_id")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(tgt.toString)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+    }),
+
     // Multimodal decode plumbing: documents' text bytes stand in for media
     // payloads; schema/batching/feature-contract are the real thing, the
     // codec is the documented deterministic stub.
@@ -73,6 +128,20 @@ object StreamQueries {
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_epoch, event_type,
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q62_stream_interval_join" ->
+      """SELECT a.user_id, a.event_id AS view_id, b.event_id AS buy_id,
+        | epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'view' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR""".stripMargin,
+
+    "q63_stream_upsert" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin
   )
 }
