@@ -78,6 +78,21 @@ object AdvancedQueries {
           size = 64, overlap = 16)
         .withColumnRenamed("id", "doc_id")),
 
+    // Random-hyperplane LSH (Charikar sign-bit sketch): 8 fixed planes →
+    // 256 buckets; high-cosine vectors collide. Per-row codegen'd dots,
+    // zero shuffle for the assignment; the window count shuffles by bucket
+    // (corpus-linear). The scale path pairing for exact q39/q27.
+    "q65_hyperplane_lsh" -> ((s, dir) => {
+      import graft.similarity.Similarity
+      val planes = Similarity.gridPlanes(k = 8, dim = 64)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          Similarity.hyperplaneBucket(
+            Similarity.toDoubleVec(col("embedding")), planes).as("bucket"))
+        .withColumn("bucket_size", count(lit(1)).over(w))
+    }),
+
     // Exact grouped percentiles (linear interpolation at p(n-1)) — the
     // correctness baseline; at 100 TB swap approx_percentile (t-digest,
     // mergeable sketch) where a bounded error is acceptable.
@@ -163,6 +178,23 @@ object AdvancedQueries {
         |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_chunk_tokens,
         |  array_to_string(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
         |FROM idx""".stripMargin,
+
+    // The oracle restates the SAME grid-plane constants (generated from the
+    // same formula) as SQL list literals; both engines fold the dot product
+    // in index order, so the sign bits agree bit-for-bit.
+    "q65_hyperplane_lsh" -> {
+      val planes = graft.similarity.Similarity.gridPlanes(k = 8, dim = 64)
+      val bits = planes.zipWithIndex.map { case (p, i) =>
+        val lit = p.map(v => f"$v%.1f").mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(dv, $lit) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH dvecs AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, CAST($bits AS BIGINT) AS bucket FROM dvecs)
+         |SELECT vec_id, bucket,
+         |  COUNT(*) OVER (PARTITION BY bucket) AS bucket_size FROM b""".stripMargin
+    },
 
     "q64_percentiles" ->
       """SELECT event_type,

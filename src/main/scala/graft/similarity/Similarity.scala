@@ -163,4 +163,42 @@ object Similarity {
       .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  // ---- random-hyperplane LSH ----------------------------------------------
+
+  /** Deterministic integer-grid hyperplanes for tests/oracles: component
+    * (i, j) = ((1 + 7i + 13j) · 2654435761) mod 2001 − 1000, a Weyl-style
+    * low-discrepancy lattice in [−1000, 1000]. Production would draw
+    * Gaussian planes from a seeded RNG; the bucketing math is identical and
+    * this formula can be restated verbatim in any SQL engine. */
+  def gridPlanes(k: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until k).map(i => (0 until dim).map(j =>
+      (((1L + 7L * i + 13L * j) * 2654435761L) % 2001L - 1000L).toDouble))
+
+  /** Sign-bit LSH bucket over `planes`: bit i set iff dot(vec, plane_i) ≥ 0.
+    * Random hyperplane LSH (Charikar, STOC'02): P[bit match] =
+    * 1 − θ/π, so high-cosine vectors collide in all K bits. Per-row,
+    * shuffle-free, sequential-fold dots — deterministic across engines. */
+  def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedLit(p)) >= 0d, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed candidate pairs: only vectors sharing the full K-bit
+    * bucket are scored — the shuffle is by bucket (corpus-linear), and the
+    * quadratic blowup is confined to within-bucket groups. The scale
+    * complement to the exact all-pairs baseline; band it (multiple plane
+    * sets, union) to trade recall vs cost like MinHash-LSH. */
+  def hyperplaneCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
+                               planes: Seq[Seq[Double]]): DataFrame = {
+    val b = df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("bucket", hyperplaneBucket(col("v"), planes))
+      .withColumn("n", norm(col("v")))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.bucket").as("bucket"),
+        cosineWithNorms(col("a.v"), col("b.v"), col("a.n"), col("b.n"))
+          .as("cos_sim"))
+  }
 }

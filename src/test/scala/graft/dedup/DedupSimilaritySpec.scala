@@ -139,4 +139,28 @@ class SimilaritySpec extends SparkSpec {
       assert(clusters(r.getAs[Long]("neighbor_id")) == clusters(r.getAs[Long]("query_id")))
     }
   }
+
+  test("hyperplane LSH: identical vectors share a bucket; opposite vectors split") {
+    import spark.implicits._
+    val planes = Similarity.gridPlanes(k = 4, dim = 3)
+    assert(planes.length == 4 && planes.forall(_.length == 3))
+    assert(planes.flatten.forall(v => v >= -1000 && v <= 1000))
+    val emb = Seq(
+      (0L, Array(1.0f, 0.2f, 0.1f)),
+      (1L, Array(1.0f, 0.2f, 0.1f)),   // exact dup of 0
+      (2L, Array(-1.0f, -0.2f, -0.1f)) // antipode: all sign bits flip
+    ).toDF("vec_id", "embedding")
+    val b = rows(emb.select(col("vec_id"),
+        Similarity.hyperplaneBucket(
+          Similarity.toDoubleVec(col("embedding")), planes).as("bucket")))
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    assert(b(0L) == b(1L))
+    // antipodal vector flips every non-zero dot → complement bucket
+    assert(b(2L) == (~b(0L) & 0xFL))
+
+    val pairs = rows(Similarity.hyperplaneCandidatePairs(emb, "vec_id", "embedding", planes))
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("cos_sim")))
+    assert(pairs.map(p => (p._1, p._2)) == Seq((0L, 1L)))
+    assert(pairs.head._3 == 1.0)
+  }
 }
