@@ -35,7 +35,11 @@ object Corpus {
     val tf = termFrequencies(docs, idCol, textCol)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
-    tf.join(broadcast(df), "term")
+    // No broadcast hint on the vocabulary join: df is "distinct terms",
+    // which at web scale is itself huge (heavy-tailed vocab) — AQE will
+    // still convert to broadcast at runtime when the measured size is
+    // small, without baking in an assumption that breaks at 100 TB.
+    tf.join(df, "term")
       .crossJoin(broadcast(n))
       .select(col("id"), col("term"), col("tf"), col("df"),
         round(col("tf").cast("double") *
