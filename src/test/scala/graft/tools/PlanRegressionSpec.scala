@@ -73,4 +73,26 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.lastIndexOf("HashAggregate") > exchange,
       "map-side partial aggregation missing")
   }
+
+  test("q57: CUBE runs as a single Expand + hash-agg pass, one exchange") {
+    val p = plan("q57_cube")
+    assert(p.contains("Expand"), "grouping sets should expand, not rescan")
+    assert("Exchange".r.findAllIn(p).size == 1)
+  }
+
+  test("q58: subquery predicates are pushed into the lineitem scans") {
+    val p = plan("q58_subqueries")
+    assert(p.contains("GreaterThan(l_quantity,45.0)"))
+    assert(p.contains("GreaterThan(l_tax,0.07)"))
+    assert(!p.contains("SortMergeJoin"), "decorrelated joins should broadcast")
+  }
+
+  test("q59/q65: sessionization and LSH histogram need exactly one exchange") {
+    assert("Exchange".r.findAllIn(plan("q59_sessionize")).size == 1)
+    assert("Exchange".r.findAllIn(plan("q65_hyperplane_lsh")).size == 1)
+  }
+
+  test("q61: token chunking is shuffle-free (zero exchanges)") {
+    assert(!plan("q61_doc_chunks").contains("Exchange"))
+  }
 }
