@@ -78,6 +78,24 @@ object AdvancedQueries {
           size = 64, overlap = 16)
         .withColumnRenamed("id", "doc_id")),
 
+    // Single-pass column profiling: every statistic for every column in ONE
+    // agg (multi-distinct via Expand), stack-unpivoted to a row per column;
+    // min/max canonicalized through DECIMAL(28,6) for engine-stable text.
+    "q66_profile" -> ((s, dir) =>
+      graft.quality.Profiler.profile(t(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))),
+
+    // Z-order (Morton) key: pure shift/mask column math, codegen'd; the
+    // clustering layout that keeps per-file min/max tight on BOTH part and
+    // supplier keys (see ZOrder.clusterByZ for the range+local-sort write).
+    "q67_zorder" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        graft.functions.ZOrder.interleave2(
+          col("l_partkey") % 1024, col("l_suppkey") % 1024, bits = 10)
+          .as("zval"))),
+
     // Random-hyperplane LSH (Charikar sign-bit sketch): 8 fixed planes →
     // 256 buckets; high-cosine vectors collide. Per-row codegen'd dots,
     // zero shuffle for the assignment; the window count shuffles by bucket
@@ -178,6 +196,28 @@ object AdvancedQueries {
         |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_chunk_tokens,
         |  array_to_string(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
         |FROM idx""".stripMargin,
+
+    "q66_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows, COUNT($c) AS n_nonnull,
+           | COUNT(DISTINCT $c) AS n_distinct,
+           | CAST(CAST(MIN($c) AS DECIMAL(28,6)) AS VARCHAR) AS min_val,
+           | CAST(CAST(MAX($c) AS DECIMAL(28,6)) AS VARCHAR) AS max_val
+           |FROM customer""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows, COUNT($c) AS n_nonnull,
+           | COUNT(DISTINCT $c) AS n_distinct,
+           | CAST(MIN($c) AS VARCHAR) AS min_val, CAST(MAX($c) AS VARCHAR) AS max_val
+           |FROM customer""".stripMargin
+      Seq(num("c_custkey"), str("c_name"), num("c_nationkey"),
+        num("c_acctbal"), str("c_mktsegment")).mkString("\nUNION ALL\n")
+    },
+
+    "q67_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         | ${graft.functions.ZOrder.interleave2Sql(
+              "(l_partkey % 1024)", "(l_suppkey % 1024)", 10)} AS zval
+         |FROM lineitem""".stripMargin,
 
     // The oracle restates the SAME grid-plane constants (generated from the
     // same formula) as SQL list literals; both engines fold the dot product

@@ -1,0 +1,32 @@
+package graft.quality
+
+import graft.SparkSpec
+
+class ProfilerSpec extends SparkSpec {
+
+  test("profile: one row per column, exact null/distinct/min/max") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), Some(2.5)),
+      (2L, None, Some(1.25)),
+      (3L, Some("b"), None),
+      (3L, Some("a"), Some(9.0))
+    ).toDF("id", "tag", "score")
+    val got = rows(Profiler.profile(df, Seq("id", "tag", "score")))
+      .map(r => r.getAs[String]("col_name") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_nonnull"),
+          r.getAs[Long]("n_distinct"), r.getAs[String]("min_val"),
+          r.getAs[String]("max_val"))).toMap
+    assert(got("id") == ((4L, 4L, 3L, "1.000000", "3.000000")))
+    assert(got("tag") == ((4L, 3L, 2L, "a", "b")))
+    assert(got("score") == ((4L, 3L, 3L, "1.250000", "9.000000")))
+  }
+
+  test("profile is a single-scan plan (no per-column unions)") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, "y")).toDF("a", "b")
+    val plan = Profiler.profile(df, Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), "profile must not union per-column scans")
+  }
+}
