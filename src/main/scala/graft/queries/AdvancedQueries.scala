@@ -78,6 +78,45 @@ object AdvancedQueries {
           size = 64, overlap = 16)
         .withColumnRenamed("id", "doc_id")),
 
+    // Native session windows (Spark's merging SessionWindow operator — the
+    // same expression runs under readStream with a watermark): windows
+    // merge while events are within the 30-min gap; end = last event + gap.
+    // Must agree with the manual gaps-and-islands q59 on session count and
+    // bounds — asserted in SessionizeSpec, and both are oracle-gated.
+    "q68_session_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"), col("sum_value"))),
+
+    // Population-stability-index drift between two dataset versions (the
+    // standard training-data distribution check): fixed value buckets,
+    // per-bucket shares of each half, PSI contribution (p−q)·ln(p/q).
+    // One scan, one hash-agg by bucket; ln on exact decimal shares.
+    "q69_psi_drift" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val bucket = floor(col("value") / 100.0).cast("long").as("bucket")
+      val tagged = e.select(bucket, (col("event_id") % 2 === 0).as("is_a"))
+      val agg = tagged.groupBy(col("bucket"))
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"))
+      val tot = agg.select(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
+      // empty-on-one-side buckets excluded (ln(0) = ±inf); production PSI
+      // smooths them — the exclusion is the deterministic oracle-safe form
+      agg.filter(col("n_a") > 0 && col("n_b") > 0)
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_a"), col("n_b"),
+          round(((col("n_a").cast("double") / col("t_a").cast("double")) -
+            (col("n_b").cast("double") / col("t_b").cast("double"))) *
+            log((col("n_a").cast("double") / col("t_a").cast("double")) /
+              (col("n_b").cast("double") / col("t_b").cast("double"))), 6)
+            .as("psi_term"))
+    }),
+
     // Single-pass column profiling: every statistic for every column in ONE
     // agg (multi-distinct via Expand), stack-unpivoted to a row per column;
     // min/max canonicalized through DECIMAL(28,6) for engine-stable text.
@@ -196,6 +235,43 @@ object AdvancedQueries {
         |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_chunk_tokens,
         |  array_to_string(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
         |FROM idx""".stripMargin,
+
+    // session_window semantics: a window is [t, t+gap); sessions merge iff
+    // the next event lands strictly inside — diff >= gap splits (note the
+    // >=, unlike q59's configurable strict->). end_us = last event + gap.
+    "q68_session_window" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, us, value,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM ordered),
+        |sess AS (
+        |  SELECT user_id, us, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sseq
+        |  FROM flagged)
+        |SELECT user_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sseq""".stripMargin,
+
+    "q69_psi_drift" ->
+      """WITH tagged AS (
+        |  SELECT CAST(floor(value / 100.0) AS BIGINT) AS bucket,
+        |    (event_id % 2 = 0) AS is_a FROM events),
+        |agg AS (SELECT bucket,
+        |  SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS n_a,
+        |  SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS n_b
+        | FROM tagged GROUP BY bucket),
+        |tot AS (SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b FROM agg)
+        |SELECT bucket, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  ROUND(((n_a::DOUBLE / t_a::DOUBLE) - (n_b::DOUBLE / t_b::DOUBLE)) *
+        |        LN((n_a::DOUBLE / t_a::DOUBLE) / (n_b::DOUBLE / t_b::DOUBLE)), 6) AS psi_term
+        |FROM agg CROSS JOIN tot
+        |WHERE n_a > 0 AND n_b > 0""".stripMargin,
 
     "q66_profile" -> {
       def num(c: String) =

@@ -42,6 +42,23 @@ class SessionizeSpec extends SparkSpec {
     assert(got(2L) == ((1L, 0L, 0.70)))
   }
 
+  test("manual gaps-and-islands agrees with Spark's native session_window") {
+    val events = graft.core.Tables.load(spark, sf, "events")
+    val manual = Sessionize.sessionStats(events, "user_id", "ts", "event_id",
+      gapSec = 1800, valueCol = col("value"))
+    val native = events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    // strict-> vs >= gap boundary semantics can only differ on exact-gap
+    // timestamps; with none present the session partitions must be equal
+    assert(manual.count() == native.count())
+    val manualSizes = rows(manual.groupBy(col("n_events")).count())
+      .map(r => r.getAs[Long]("n_events") -> r.getAs[Long]("count")).toMap
+    val nativeSizes = rows(native.groupBy(col("n_events")).count())
+      .map(r => r.getAs[Long]("n_events") -> r.getAs[Long]("count")).toMap
+    assert(manualSizes == nativeSizes)
+  }
+
   test("equal timestamps fall in one session regardless of tie order") {
     import spark.implicits._
     val events = Seq((1L, ts(0), 2L), (1L, ts(0), 1L)).toDF("user_id", "ts", "event_id")
