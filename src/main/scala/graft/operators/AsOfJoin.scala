@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -36,27 +36,42 @@ object AsOfJoin {
   }
 
   /** Left as-of join: every `left` row, plus `right`'s payload columns from
-    * the latest right row at-or-before the left timestamp (nulls when no
-    * right row precedes). `rightCols` are the payload columns to carry and
-    * must not collide with left's columns. */
+    * the nearest right row with the same key — at-or-before the left
+    * timestamp (`direction = "backward"`, default) or at-or-after it
+    * (`"forward"`); nulls when no right row qualifies. `rightCols` are the
+    * payload columns to carry and must not collide with left's columns.
+    *
+    * `toleranceUs` (µs) bounds how far the match may be from the left
+    * timestamp: a nearest row beyond it is nulled out (left-join
+    * semantics), exactly like a native ASOF ... TOLERANCE clause. The
+    * plan is unchanged — the bound is a post-window null-out, not a join
+    * condition, so it costs nothing. */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKeys: Seq[String], rightKeys: Seq[String],
                leftTs: String, rightTs: String,
-               rightCols: Seq[String]): DataFrame = {
+               rightCols: Seq[String],
+               direction: String = "backward",
+               toleranceUs: Option[Long] = None): DataFrame = {
     require(leftKeys.length == rightKeys.length, "key arity mismatch")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val reserved = Set("__k", "__ts", "__side", "__p", "__match")
     require(!left.columns.exists(reserved), s"left columns collide with " +
       s"asofJoin internals: ${left.columns.filter(reserved).mkString(", ")}")
+    require(!rightCols.contains("__rts"), "__rts is reserved in rightCols")
     val leftOut = left.columns.toSeq
     // Key struct fields named positionally so unionByName sees the same
     // nested names on both sides.
     def keyStruct(keys: Seq[String]) =
       struct(keys.zipWithIndex.map { case (c, i) => col(c).as(s"k$i") }: _*)
+    // The matched right timestamp rides inside the payload (µs) so the
+    // tolerance can be applied after the window without a second join.
+    def micros(c: Column) = unix_micros(c.cast("timestamp"))
     val rSel = right.select(
       keyStruct(rightKeys).as("__k"),
       col(rightTs).as("__ts"),
       lit(0).as("__side"),
-      struct(rightCols.map(col): _*).as("__p"))
+      struct((rightCols.map(col) :+ micros(col(rightTs)).as("__rts")): _*).as("__p"))
     val payloadType = rSel.schema("__p").dataType
     val lSel = left.select(
       (leftOut.map(col) :+
@@ -67,12 +82,28 @@ object AsOfJoin {
     val rAligned = rSel.select(
       (leftOut.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         Seq(col("__k"), col("__ts"), col("__side"), col("__p"))): _*)
+    // backward: ascending ts, running last-right ⇒ latest at-or-before;
+    // forward: descending ts, same running last ⇒ earliest at-or-after.
+    // Right sorts before left at equal ts either way (>= / <= inclusive).
+    val ord = if (direction == "backward")
+      Seq(col("__ts").asc, col("__side").asc)
+    else Seq(col("__ts").desc, col("__side").asc)
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lSel.unionByName(rAligned)
+    val matched = lSel.unionByName(rAligned)
       .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select((leftOut.map(col) ++ rightCols.map(c => col(s"__match.$c").as(c))): _*)
+    val bounded = toleranceUs match {
+      case None => matched
+      case Some(tol) =>
+        val dist =
+          if (direction == "backward") micros(col(leftTs)) - col("__match.__rts")
+          else col("__match.__rts") - micros(col(leftTs))
+        matched.withColumn("__match",
+          when(dist <= tol, col("__match")).otherwise(lit(null).cast(payloadType)))
+    }
+    bounded.select(
+      (leftOut.map(col) ++ rightCols.map(c => col(s"__match.$c").as(c))): _*)
   }
 }

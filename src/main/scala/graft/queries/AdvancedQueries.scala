@@ -78,6 +78,25 @@ object AdvancedQueries {
           size = 64, overlap = 16)
         .withColumnRenamed("id", "doc_id")),
 
+    // Forward as-of with tolerance: each event matched to the customer's
+    // NEXT order within 7 days (nulls beyond) — same union+window linear
+    // plan as backward q45, ordering reversed; tolerance is a free
+    // post-window null-out (native ASOF ... TOLERANCE semantics).
+    "q70_asof_forward" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val orders = graft.operators.AsOfJoin.latestPerKeyTs(
+        t(s, dir, "orders"), Seq("o_custkey"), "o_orderdate", "o_orderkey")
+        .select(col("o_custkey"), col("o_orderdate"),
+          col("o_orderkey"), col("o_totalprice"))
+      graft.operators.AsOfJoin.asofJoin(events, orders,
+          Seq("user_id"), Seq("o_custkey"), "ts", "o_orderdate",
+          Seq("o_orderkey", "o_totalprice"),
+          direction = "forward", toleranceUs = Some(7L * 86400L * 1000000L))
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey"), col("o_totalprice"))
+    }),
+
     // Native session windows (Spark's merging SessionWindow operator — the
     // same expression runs under readStream with a watermark): windows
     // merge while events are within the 30-min gap; end = last event + gap.
@@ -235,6 +254,22 @@ object AdvancedQueries {
         |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_chunk_tokens,
         |  array_to_string(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
         |FROM idx""".stripMargin,
+
+    // DuckDB ASOF with l.ts <= r.ts is the forward direction; the
+    // tolerance is restated as a CASE null-out on the matched distance.
+    "q70_asof_forward" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |                                ORDER BY o_orderkey DESC) AS rn
+        |   FROM orders) WHERE rn = 1)
+        |SELECT e.event_id, e.user_id,
+        |  CASE WHEN epoch_us(o.o_orderdate) - epoch_us(e.ts) <= 604800000000
+        |       THEN o.o_orderkey END AS o_orderkey,
+        |  CASE WHEN epoch_us(o.o_orderdate) - epoch_us(e.ts) <= 604800000000
+        |       THEN o.o_totalprice END AS o_totalprice
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate""".stripMargin,
 
     // session_window semantics: a window is [t, t+gap); sessions merge iff
     // the next event lands strictly inside — diff >= gap splits (note the

@@ -26,6 +26,44 @@ class AsOfJoinSpec extends SparkSpec {
       3L -> None, 4L -> None))
   }
 
+  test("forward direction picks earliest at-or-after; tolerance nulls far matches") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, 10L), // next right at 15 (gap 5)
+      (2L, 10L, 15L), // exactly at 15 -> matches it (gap 0)
+      (3L, 10L, 41L), // after all right rows -> null
+      (4L, 10L, 16L)  // next right at 40 (gap 24)
+    ).toDF("event_id", "key", "ts")
+    val right = Seq((10L, 15L, "v15"), (10L, 40L, "v40")).toDF("rkey", "rts", "payload")
+
+    val fwd = rows(AsOfJoin.asofJoin(left, right,
+        Seq("key"), Seq("rkey"), "ts", "rts", Seq("payload"),
+        direction = "forward"))
+      .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[String]("payload"))).toMap
+    assert(fwd == Map(1L -> Some("v15"), 2L -> Some("v15"),
+      3L -> None, 4L -> Some("v40")))
+
+    // long ts casts to seconds; tolerance of 10s keeps gaps 5 and 0, nulls 24
+    val tol = rows(AsOfJoin.asofJoin(left, right,
+        Seq("key"), Seq("rkey"), "ts", "rts", Seq("payload"),
+        direction = "forward", toleranceUs = Some(10L * 1000000L)))
+      .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[String]("payload"))).toMap
+    assert(tol == Map(1L -> Some("v15"), 2L -> Some("v15"),
+      3L -> None, 4L -> None))
+  }
+
+  test("backward tolerance nulls matches older than the bound") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 17L)).toDF("event_id", "key", "ts")
+    val right = Seq((10L, 15L, "v15"), (10L, 40L, "v40")).toDF("rkey", "rts", "payload")
+    val got = rows(AsOfJoin.asofJoin(left, right,
+        Seq("key"), Seq("rkey"), "ts", "rts", Seq("payload"),
+        toleranceUs = Some(5L * 1000000L)))
+      .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[String]("payload"))).toMap
+    // event 1: nearest is v40, 60s back -> nulled; event 2: v15, 2s back -> kept
+    assert(got == Map(1L -> None, 2L -> Some("v15")))
+  }
+
   test("latestPerKeyTs keeps the max-tiebreak row per (key, ts)") {
     import spark.implicits._
     val df = Seq((1L, 5L, 7L), (1L, 5L, 9L), (1L, 6L, 1L))
