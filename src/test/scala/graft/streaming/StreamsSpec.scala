@@ -90,6 +90,34 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("AvailableNow + checkpoint ingests each file exactly once across restarts") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_incr")
+    val src = base.resolve("in").toString
+    val out = base.resolve("out").toString
+    val chk = base.resolve("chk").toString
+    def run(): Unit = {
+      val q = spark.readStream.schema("id LONG, v STRING").parquet(src)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(src)
+    run()
+    assert(spark.read.parquet(out).count() == 2)
+    // second batch of files lands; the SAME checkpoint resumes and must
+    // process only the new file — no reprocessing, no loss
+    Seq((3L, "c")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(src)
+    run()
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("id")).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L), s"expected exactly-once ingest, got $got")
+  }
+
   test("sessionize closes a session when the watermark passes the idle gap") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
