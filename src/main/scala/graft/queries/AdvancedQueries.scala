@@ -78,6 +78,33 @@ object AdvancedQueries {
           size = 64, overlap = 16)
         .withColumnRenamed("id", "doc_id")),
 
+    // SCD Type-2 history, built INCREMENTALLY: three batch snapshots
+    // (event_id mod 3) folded through Cdc.scd2Merge (two PK equi-joins per
+    // batch, no window) must equal the all-at-once window reconstruction
+    // the oracle states — incremental == batch, the invariant that lets a
+    // warehouse apply daily merges instead of full-history rebuilds.
+    "q71_scd2" -> ((s, dir) => {
+      import graft.warehouse.Cdc
+      val events = t(s, dir, "events")
+      def batchSnapshot(i: Int) = Cdc.addContentHash(
+        Cdc.snapshot(
+          events.filter(col("event_id") % 3 === i)
+            .select(col("user_id"), col("event_id"), col("event_type"), col("value")),
+          Seq("user_id"), Seq("event_id"))
+          .drop("event_id"),
+        Seq("event_type", "value"))
+      val empty = batchSnapshot(0).limit(0)
+        .withColumn("effective_from", lit(null).cast("long"))
+        .withColumn("effective_to", lit(null).cast("long"))
+        .withColumn("is_current", lit(true))
+      val history = (0 until 3).foldLeft(empty) { (h, i) =>
+        Cdc.scd2Merge(h, batchSnapshot(i), Seq("user_id"), asOf = i.toLong)
+          .localCheckpoint() // truncate the per-batch lineage (iterative fold)
+      }
+      history.select(col("user_id"), col("event_type"), col("value"),
+        col("effective_from"), col("effective_to"), col("is_current"))
+    }),
+
     // Forward as-of with tolerance: each event matched to the customer's
     // NEXT order within 7 days (nulls beyond) — same union+window linear
     // plan as backward q45, ordering reversed; tolerance is a free
@@ -254,6 +281,31 @@ object AdvancedQueries {
         |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_chunk_tokens,
         |  array_to_string(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
         |FROM idx""".stripMargin,
+
+    // All-at-once SCD2 reconstruction: per-batch latest row per user,
+    // consecutive-duplicate versions collapsed (IS DISTINCT FROM = the
+    // hash-equality Spark uses), validity from lead() over version order.
+    "q71_scd2" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id % 3 AS batch, event_type, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, event_id % 3
+        |                                 ORDER BY event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |v AS (
+        |  SELECT *, lag(batch) OVER w AS pb,
+        |    lag(event_type) OVER w AS pet, lag(value) OVER w AS pv
+        |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY batch)),
+        |vers AS (
+        |  SELECT user_id, batch, event_type, value FROM v
+        |  WHERE pb IS NULL OR pet IS DISTINCT FROM event_type
+        |     OR pv IS DISTINCT FROM value)
+        |SELECT user_id, event_type, value,
+        |  CAST(batch AS BIGINT) AS effective_from,
+        |  CAST(lead(batch) OVER (PARTITION BY user_id ORDER BY batch) AS BIGINT)
+        |    AS effective_to,
+        |  (lead(batch) OVER (PARTITION BY user_id ORDER BY batch) IS NULL)
+        |    AS is_current
+        |FROM vers""".stripMargin,
 
     // DuckDB ASOF with l.ts <= r.ts is the forward direction; the
     // tolerance is restated as a CASE null-out on the matched distance.
