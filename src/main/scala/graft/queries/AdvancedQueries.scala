@@ -78,6 +78,28 @@ object AdvancedQueries {
           size = 64, overlap = 16)
         .withColumnRenamed("id", "doc_id")),
 
+    // Equi-depth histogram: ntile deciles per group (ties broken by
+    // event_id so both engines assign identical tiles), min/max/count per
+    // tile — the optimizer-statistics / data-profiling primitive.
+    "q72_histogram" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .withColumn("tile", ntile(10).over(w))
+        .groupBy(col("event_type"), col("tile"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 6).as("lo"),
+          round(max(col("value")), 6).as("hi"))
+    }),
+
+    // Deterministic weighted sample (A-ES): 100 docs, weight = n_chars.
+    "q73_weighted_sample" -> ((s, dir) =>
+      graft.sampling.Sampling.weightedSample(
+          t(s, dir, "documents"), col("doc_id"), col("n_chars"), 100)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(col("priority"), 6).as("priority"))),
+
     // SCD Type-2 history, built INCREMENTALLY: three batch snapshots
     // (event_id mod 3) folded through Cdc.scd2Merge (two PK equi-joins per
     // batch, no window) must equal the all-at-once window reconstruction
@@ -281,6 +303,25 @@ object AdvancedQueries {
         |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_chunk_tokens,
         |  array_to_string(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
         |FROM idx""".stripMargin,
+
+    "q72_histogram" ->
+      """SELECT event_type, tile, COUNT(*) AS n,
+        | ROUND(MIN(value), 6) AS lo, ROUND(MAX(value), 6) AS hi
+        |FROM (
+        |  SELECT event_type, value,
+        |    ntile(10) OVER (PARTITION BY event_type
+        |                    ORDER BY value, event_id) AS tile
+        |  FROM events WHERE value IS NOT NULL)
+        |GROUP BY event_type, tile""".stripMargin,
+
+    "q73_weighted_sample" -> {
+      val h = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2147483647)"
+      s"""SELECT doc_id, lang, n_chars, ROUND(pr, 6) AS priority FROM (
+         |  SELECT doc_id, lang, n_chars,
+         |    POW(($h + 1) / 2147483648.0, 1.0 / n_chars) AS pr
+         |  FROM documents WHERE n_chars > 0)
+         |ORDER BY pr DESC, doc_id ASC LIMIT 100""".stripMargin
+    },
 
     // All-at-once SCD2 reconstruction: per-batch latest row per user,
     // consecutive-duplicate versions collapsed (IS DISTINCT FROM = the

@@ -36,4 +36,23 @@ object Sampling {
       .filter(col("__rank") <= k)
       .drop("__rank")
   }
+
+  /** Deterministic weighted sample without replacement (Efraimidis-
+    * Spirakis A-ES): each row draws priority u^(1/w) with u a key-hash
+    * uniform in (0,1); the k highest priorities are the sample —
+    * P[selected] ∝ weight, reproducible because u comes from the key, not
+    * an RNG. The top-k executes as TakeOrderedAndProject (per-partition
+    * heads + driver merge), NOT a global sort or one-partition window —
+    * the same plan shape at 500 rows and 500 billion. Rows with
+    * non-positive weight are excluded. */
+  def weightedSample(df: DataFrame, keyCol: Column, weightCol: Column,
+                     k: Int): DataFrame = {
+    val u = (TextOps.h31(keyCol.cast("string")) + 1).cast("double") /
+      2147483648.0
+    val priority = pow(u, lit(1.0) / weightCol.cast("double"))
+    df.filter(weightCol > 0)
+      .withColumn("priority", priority)
+      .orderBy(col("priority").desc, keyCol.asc)
+      .limit(k)
+  }
 }

@@ -146,6 +146,31 @@ class TextOpsSpec extends SparkSpec {
     assert(quota == Map("a" -> 7L, "b" -> 7L))
   }
 
+  test("weightedSample favors heavy rows, excludes w<=0, plans as top-k") {
+    import spark.implicits._
+    import graft.sampling.Sampling
+    // ids 1..400 weight 1; ids 401..500 weight 1000 — heavy rows should
+    // dominate a 50-row sample overwhelmingly
+    val df = (1L to 500L).map(i => (i, if (i > 400) 1000L else 1L))
+      .toDF("id", "w")
+    val sampled = Sampling.weightedSample(df, col("id"), col("w"), 50)
+    val ids = rows(sampled).map(_.getAs[Long]("id"))
+    assert(ids.size == 50)
+    assert(ids.count(_ > 400) >= 45, s"heavy rows underrepresented: $ids")
+    // deterministic across reruns
+    val again = rows(Sampling.weightedSample(df, col("id"), col("w"), 50))
+      .map(_.getAs[Long]("id"))
+    assert(again == ids)
+    // zero/negative weights never selected
+    val withBad = df.union(Seq((501L, 0L), (502L, -5L)).toDF("id", "w"))
+    val ids2 = rows(Sampling.weightedSample(withBad, col("id"), col("w"), 600))
+      .map(_.getAs[Long]("id"))
+    assert(!ids2.contains(501L) && !ids2.contains(502L))
+    // distributed top-k, not a global sort or single-partition window
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+
   test("rollingHash matches a reference implementation") {
     import spark.implicits._
     def ref(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 2147483647L)
