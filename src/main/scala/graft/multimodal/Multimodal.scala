@@ -63,6 +63,19 @@ object Multimodal {
     def sampleFrames(bytes: Array[Byte], stride: Int): Array[Long] =
       (0L until bytes.length.toLong by stride.toLong).toArray
 
+    /** REAL IMPLEMENTATION GOES HERE (Graphics2D / native scaler).
+      * Fake: payload truncated/padded pro-rata to the target pixel count —
+      * deterministic, size-contract-faithful (RGB byte-per-channel). */
+    def resizeImage(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val target = w * h * 3
+      val out = new Array[Byte](target)
+      if (bytes.nonEmpty) {
+        var i = 0
+        while (i < target) { out(i) = bytes((i.toLong * bytes.length / target).toInt); i += 1 }
+      }
+      out
+    }
+
     def stableHash(bytes: Array[Byte]): Long = {
       var acc = 1125899906842597L
       var i = 0
@@ -83,6 +96,20 @@ object Multimodal {
         DecodedImage(r.media_id, w, h, c, Decoders.extractFeatures(r.content, featureDim))
       }
     }
+  }
+
+  /** Resize payloads to a fixed (w, h): the standard pre-training
+    * normalization step. Output keeps the binary payload (resized), so this
+    * stage chains ahead of [[decodeImages]]; payload size becomes uniform —
+    * exactly what downstream batch shapes (and shuffle sizing) want. */
+  def resizeImages(records: Dataset[MediaRecord], w: Int, h: Int)
+      : Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map { r =>
+      val resized = Decoders.resizeImage(r.content, w, h)
+      r.copy(content = resized,
+        meta = r.meta.copy(sizeBytes = resized.length.toLong))
+    })
   }
 
   /** Frame-sample "video/audio" payloads. */

@@ -50,4 +50,18 @@ class MultimodalSpec extends SparkSpec {
     assert(media.toDF().schema("content").dataType.typeName == "binary")
     assert(media.toDF().schema("meta").dataType.typeName == "struct")
   }
+
+  test("resizeImages normalizes every payload to the target size, metadata updated") {
+    val resized = rows(Multimodal.resizeImages(media, w = 8, h = 4).toDF())
+    resized.foreach { r =>
+      val content = r.getAs[Array[Byte]]("content")
+      assert(content.length == 8 * 4 * 3)
+      assert(r.getStruct(r.fieldIndex("meta"))
+        .getAs[Long]("sizeBytes") == 8 * 4 * 3)
+    }
+    // deterministic: same payload → same resized bytes
+    val again = rows(Multimodal.resizeImages(media, w = 8, h = 4).toDF())
+    assert(resized.map(_.getAs[Array[Byte]]("content").toSeq) ==
+      again.map(_.getAs[Array[Byte]]("content").toSeq))
+  }
 }
