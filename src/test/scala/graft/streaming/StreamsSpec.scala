@@ -90,6 +90,24 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamMetrics records per-batch progress for a completed query") {
+    val recorder = StreamMetrics.attach(spark)
+    try {
+      val stream = Streams.readEventStream(spark, streamDir)
+      Streams.runToMemory(spark, Streams.tumblingStats(stream), "metrics_probe")
+      // listener bus is async — wait for the progress event to fold in
+      val deadline = System.currentTimeMillis() + 20000
+      var stats = recorder.snapshot.get("metrics_probe")
+      while (stats.forall(_.totalRows == 0) && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); stats = recorder.snapshot.get("metrics_probe")
+      }
+      assert(stats.exists(_.batches >= 1), s"no progress recorded: ${recorder.snapshot}")
+      val expected = graft.core.Tables.load(spark, sf, "events").count()
+      assert(stats.exists(_.totalRows == expected))
+      assert(stats.exists(_.totalStateRows > 0), "windowed agg should carry state")
+    } finally spark.streams.removeListener(recorder)
+  }
+
   test("AvailableNow + checkpoint ingests each file exactly once across restarts") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_incr")
