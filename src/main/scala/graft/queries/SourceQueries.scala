@@ -46,6 +46,15 @@ object SourceQueries {
         .withColumn("acctbal", col("acctbal").cast("double"))
     }),
 
+    // S5/S10: ORC sink + scan — the columnar alternative; binary format,
+    // so no text-boundary canonicalization is needed (types survive).
+    "q74_orc_roundtrip" -> ((s, dir) => {
+      val out = scratch("q74")
+      val src = t(s, dir, "supplier")
+      DataWriter.write(src, FileType.Orc, out)
+      DataReader.read(s, FileType.Orc, out)
+    }),
+
     // S2/S12: JSON sink + scan with explicit schema.
     "q13_json_roundtrip" -> ((s, dir) => {
       val out = scratch("q13")
@@ -115,6 +124,10 @@ object SourceQueries {
 
     "q13_json_roundtrip" ->
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+
+    // binary columnar roundtrip: doubles survive bit-exact, no casts
+    "q74_orc_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
 
     "q14_xml_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
