@@ -115,10 +115,15 @@ object AdvancedQueries {
           Seq("user_id"), Seq("event_id"))
           .drop("event_id"),
         Seq("event_type", "value"))
-      val empty = batchSnapshot(0).limit(0)
+      // empty history built from an empty RDD, NOT from limit(0) over the
+      // batch plan: sharing the events lineage with the first merge's
+      // update side creates a self-join with conflicting references
+      val historySchema = batchSnapshot(0)
         .withColumn("effective_from", lit(null).cast("long"))
         .withColumn("effective_to", lit(null).cast("long"))
-        .withColumn("is_current", lit(true))
+        .withColumn("is_current", lit(true)).schema
+      val empty = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], historySchema)
       val history = (0 until 3).foldLeft(empty) { (h, i) =>
         Cdc.scd2Merge(h, batchSnapshot(i), Seq("user_id"), asOf = i.toLong)
           .localCheckpoint() // truncate the per-batch lineage (iterative fold)
