@@ -52,7 +52,15 @@ object StreamQueries {
     // Append mode, so the same query runs unbounded in production. Inner
     // join + AvailableNow ⇒ output set equals the batch join, which is
     // exactly what the DuckDB oracle restates.
-    "q62_stream_interval_join" -> ((s, dir) => {
+    "q62_stream_interval_join" -> ((outer, dir) => {
+      // State partition count is pinned by the first checkpoint and should
+      // be sized to stream THROUGHPUT, not inherited from the batch shuffle
+      // default: a stream-stream join keeps 4 state stores per partition,
+      // so 32 partitions = 128 store init/commits per micro-batch — pure
+      // overhead at this volume. A cloned session scopes the setting to
+      // this query (production would set it per stream job the same way).
+      val s = outer.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val tmp = Files.createTempDirectory("graft_q62")
       Files.copy(Paths.get(s"$dir/events.parquet"), tmp.resolve("events.parquet"))
       def src() = s.readStream
