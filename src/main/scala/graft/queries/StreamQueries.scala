@@ -26,7 +26,9 @@ object StreamQueries {
     // §2.10: streaming twin of q18. The file source needs a directory, so
     // the single-file events table is staged into a scratch dir (at scale
     // this IS the layout: a landing dir accruing files per micro-batch).
-    "q42_stream_tumbling" -> ((s, dir) => {
+    "q42_stream_tumbling" -> ((outer, dir) => {
+      val s = outer.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8") // state sized to stream
       val tmp = Files.createTempDirectory("graft_q42")
       Files.copy(Paths.get(s"$dir/events.parquet"), tmp.resolve("events.parquet"))
       val events = s.readStream
@@ -88,7 +90,9 @@ object StreamQueries {
     // merged into a parquet target by PK (newest event_id wins). The final
     // snapshot must equal the batch latest-per-key query regardless of
     // batch order — upsert is merge-commutative — which the oracle states.
-    "q63_stream_upsert" -> ((s, dir) => {
+    "q63_stream_upsert" -> ((outer, dir) => {
+      val s = outer.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8") // per-batch merge width
       val tmp = Files.createTempDirectory("graft_q63")
       val src = tmp.resolve("in"); val tgt = tmp.resolve("tgt")
       Files.createDirectories(src)
