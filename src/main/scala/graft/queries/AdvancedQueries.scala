@@ -78,6 +78,26 @@ object AdvancedQueries {
           size = 64, overlap = 16)
         .withColumnRenamed("id", "doc_id")),
 
+    // Train/eval contamination check: split the corpus by key hash (the
+    // q54 sampling function, so split membership is reproducible), then
+    // find EVAL documents whose content fingerprint also appears in TRAIN —
+    // exact-dup leakage via one fingerprint equi-join (no pairwise scan;
+    // near-dup variants swap in the simhash/minhash keys). The check every
+    // benchmark number silently depends on.
+    "q75_contamination" -> ((s, dir) => {
+      import graft.functions.TextOps
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          (TextOps.h31(col("doc_id").cast("string")) % 100 < 80).as("in_train"),
+          TextOps.rollingHash(TextOps.normalizeNfc(col("text"))).as("fp"))
+      val train = docs.filter(col("in_train"))
+        .select(col("fp"), col("doc_id").as("train_doc_id"))
+      val eval_ = docs.filter(!col("in_train"))
+        .select(col("fp"), col("doc_id").as("eval_doc_id"))
+      eval_.join(train, "fp")
+        .select(col("eval_doc_id"), col("train_doc_id"), col("fp"))
+    }),
+
     // Equi-depth histogram: ntile deciles per group (ties broken by
     // event_id so both engines assign identical tiles), min/max/count per
     // tile — the optimizer-statistics / data-profiling primitive.
@@ -308,6 +328,19 @@ object AdvancedQueries {
         |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_chunk_tokens,
         |  array_to_string(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
         |FROM idx""".stripMargin,
+
+    "q75_contamination" -> {
+      val h = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2147483647)"
+      val roll =
+        """list_reduce([0]::BIGINT[] || list_transform(string_split(nfc_normalize(text), ''), ch -> ascii(ch)::BIGINT),
+          | (acc, x) -> (acc * 31 + x) % 2147483647)""".stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id, ($h % 100 < 80) AS in_train, $roll AS fp
+         |  FROM documents)
+         |SELECT e.doc_id AS eval_doc_id, t.doc_id AS train_doc_id, e.fp
+         |FROM d e JOIN d t ON e.fp = t.fp
+         |WHERE NOT e.in_train AND t.in_train""".stripMargin
+    },
 
     "q72_histogram" ->
       """SELECT event_type, tile, COUNT(*) AS n,
