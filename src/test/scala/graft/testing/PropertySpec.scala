@@ -95,6 +95,61 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunking is a covering: non-overlap segments reconstruct every document") {
+    import spark.implicits._
+    val texts = samples(Gen.chooseNum(1, 40), 30, seed = 21L).zipWithIndex.map {
+      case (n, i) => (i.toLong, (1 to n).map(k => s"w$k").mkString(" "))
+    }
+    val docs = texts.toDF("doc_id", "text")
+    val step = 5 - 2 // size 5, overlap 2
+    val rebuilt = graft.text.Corpus.chunk(docs, "doc_id", "text", 5, 2)
+      .collect().groupBy(_.getAs[Long]("id")).map { case (id, rows) =>
+        val ordered = rows.sortBy(_.getAs[Long]("chunk_idx"))
+        // take the first `step` tokens of every chunk, all of the last
+        val toks = ordered.zipWithIndex.flatMap { case (r, i) =>
+          val ts = r.getAs[String]("chunk_text").split(" ").toSeq
+          if (i == ordered.length - 1) ts else ts.take(step)
+        }
+        id -> toks.mkString(" ")
+      }
+    texts.foreach { case (id, text) =>
+      assert(rebuilt(id) == text, s"doc $id not reconstructed")
+    }
+  }
+
+  test("z-order interleave is injective within the bit budget") {
+    import spark.implicits._
+    val pts = samples(Gen.zip(Gen.chooseNum(0L, 255L), Gen.chooseNum(0L, 255L)),
+      300, seed = 33L).distinct
+    val zs = pts.toDF("x", "y")
+      .select(graft.functions.ZOrder.interleave2(col("x"), col("y"), 8).as("z"))
+      .collect().map(_.getLong(0))
+    assert(zs.distinct.length == pts.length, "collision in Morton keys")
+    assert(zs.forall(z => z >= 0 && z < (1L << 16)))
+  }
+
+  test("sessionize invariants: sessions partition events, spans bounded by gaps") {
+    import spark.implicits._
+    val gapSec = 60L
+    val events = samples(Gen.zip(Gen.chooseNum(1L, 5L), Gen.chooseNum(0L, 3000L)),
+      200, seed = 55L).zipWithIndex.map { case ((u, sec), i) =>
+      (u, new java.sql.Timestamp(sec * 1000L), i.toLong)
+    }.toDF("user_id", "ts", "event_id")
+    val n = events.count()
+    val sessions = graft.operators.Sessionize.sessionStats(
+      events, "user_id", "ts", "event_id", gapSec, lit(1.0))
+      .collect()
+    // every event lands in exactly one session
+    assert(sessions.map(_.getAs[Long]("n_events")).sum == n)
+    // within a session, consecutive gaps <= gapSec ⇒ span <= (n-1)*gap
+    sessions.foreach { s =>
+      val span = s.getAs[Long]("span_us")
+      val k = s.getAs[Long]("n_events")
+      assert(span <= (k - 1) * gapSec * 1000000L,
+        s"session span $span exceeds ${(k - 1)} gaps")
+    }
+  }
+
   test("generated frames of random schemas survive a parquet roundtrip") {
     (10L to 12L).foreach { seed =>
       val rnd = new Random(seed)
