@@ -78,6 +78,13 @@ object AdvancedQueries {
           size = 64, overlap = 16)
         .withColumnRenamed("id", "doc_id")),
 
+    // Unigram surprisal (perplexity proxy): mean −ln p(token) per document
+    // under the corpus's own unigram model — ranks documents by typicality
+    // for quality filtering before an LM-based filter is affordable.
+    "q76_surprisal" -> ((s, dir) =>
+      Corpus.unigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
     // Train/eval contamination check: split the corpus by key hash (the
     // q54 sampling function, so split membership is reproducible), then
     // find EVAL documents whose content fingerprint also appears in TRAIN —
@@ -328,6 +335,27 @@ object AdvancedQueries {
         |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_chunk_tokens,
         |  array_to_string(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
         |FROM idx""".stripMargin,
+
+    // ln quantized ONCE to integer nano-units (floor(x·1e9+0.5)); all
+    // sums and the final half-up division are exact integer arithmetic.
+    "q76_surprisal" ->
+      """WITH tf AS (
+        |  SELECT doc_id, word AS term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+        |    FROM documents)
+        |  WHERE word <> '' GROUP BY doc_id, word),
+        |corpus AS (SELECT term, SUM(tf) AS ctf FROM tf GROUP BY term),
+        |total AS (SELECT SUM(ctf) AS n_tokens FROM corpus),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_doc_tokens,
+        |    CAST(SUM(CAST(FLOOR(LN(ctf::DOUBLE / n_tokens::DOUBLE) * 1e9 + 0.5) AS BIGINT)
+        |             * tf) AS BIGINT) AS s
+        |  FROM tf JOIN corpus USING (term) CROSS JOIN total
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_doc_tokens,
+        |  CAST((-s * 2 + n_doc_tokens * 1000) // (2 * n_doc_tokens * 1000) AS DOUBLE)
+        |    / 1e6 AS mean_surprisal
+        |FROM agg""".stripMargin,
 
     "q75_contamination" -> {
       val h = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2147483647)"

@@ -59,6 +59,37 @@ object Corpus {
       .filter(col("rank") <= k)
   }
 
+  /** Per-document mean unigram negative log-likelihood under the corpus's
+    * own unigram model — the cheap perplexity proxy used to rank documents
+    * by "typicality" before an LM-based quality filter is affordable:
+    * gibberish and boilerplate both land far from the corpus mean.
+    * score(d) = −(1/|d|) Σ_t ln( tf_corpus(t) / N_tokens ). Smoothing-free
+    * because every scored token exists in the corpus (it came from it).
+    * Plan: the q60 TF chain + one broadcast scalar + one per-doc hash-agg —
+    * corpus-linear, no self-joins. */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol)
+    val corpus = tf.groupBy(col("term"))
+      .agg(sum(col("tf")).as("ctf"))
+    val total = corpus.select(sum(col("ctf")).as("n_tokens"))
+    // Each term's ln(p) is quantized ONCE to integer nano-units via
+    // floor(x·1e9 + 0.5): ROUND(double, n) semantics differ between
+    // engines, and a raw double Σ is summation-order-dependent — after
+    // this point everything is exact integer arithmetic (order-free sums,
+    // integer half-up division), so the result is engine-identical.
+    val termQ = floor(log(col("ctf").cast("double") /
+      col("n_tokens").cast("double")) * 1e9 + 0.5).cast("long")
+    tf.join(corpus, "term")
+      .crossJoin(broadcast(total))
+      .select(col("id"), col("tf"), (termQ * col("tf")).as("contrib"))
+      .groupBy(col("id"))
+      .agg(sum(col("tf")).as("n_doc_tokens"), sum(col("contrib")).as("s"))
+      .select(col("id"), col("n_doc_tokens"),
+        // mean in µ-units, half-up: floor((2·(−S) + n·1000) / (2·n·1000))
+        (expr("(-s * 2 + n_doc_tokens * 1000) div (2 * n_doc_tokens * 1000)")
+          .cast("double") / 1e6).as("mean_surprisal"))
+  }
+
   /** Explode each document into fixed-size token chunks with `overlap`
     * shared tokens between consecutive chunks (training-window shaping).
     * Chunk starts step by (size - overlap); a trailing chunk is emitted only

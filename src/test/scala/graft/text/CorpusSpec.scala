@@ -37,6 +37,21 @@ class CorpusSpec extends SparkSpec {
     assert(got == Seq(("apple", 1), ("banana", 2)))
   }
 
+  test("unigramSurprisal: rare-token docs score higher than common-token docs") {
+    val got = rows(Corpus.unigramSurprisal(docs, "doc_id", "text"))
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_doc_tokens"), r.getAs[Double]("mean_surprisal"))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L)._1 == 4L)
+    // doc 3 contains 'unique' (corpus-count 1) → highest mean surprisal
+    assert(got(3L)._2 > got(1L)._2 && got(3L)._2 > got(2L)._2)
+    // hand-check doc 3: corpus = 9 tokens; apple ctf 3/9, unique ctf 1/9
+    val expected = -(math.floor(math.log(3.0 / 9) * 1e9 + 0.5) +
+      math.floor(math.log(1.0 / 9) * 1e9 + 0.5))
+    val mean6 = ((2 * expected.toLong + 2 * 1000) / (2 * 2 * 1000)).toDouble / 1e6
+    assert(math.abs(got(3L)._2 - mean6) < 1e-12)
+  }
+
   test("chunk emits overlapping fixed-size windows, last chunk trimmed") {
     import spark.implicits._
     val doc = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
