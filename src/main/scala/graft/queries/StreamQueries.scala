@@ -112,6 +112,31 @@ object StreamQueries {
         .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
     }),
 
+    // §2.10: stream-static enrichment — the third join shape Structured
+    // Streaming executes (beside stream-stream q62 and stateful agg q42):
+    // each micro-batch joins against the static dimension with NO state
+    // store at all (the dim is just re-read/broadcast per batch), so this
+    // is the scale-preferred way to attach dimensions to a stream.
+    "q77_stream_enrich" -> ((outer, dir) => {
+      val s = outer.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val tmp = Files.createTempDirectory("graft_q77")
+      Files.copy(Paths.get(s"$dir/events.parquet"), tmp.resolve("events.parquet"))
+      val stream = s.readStream
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING")
+        .parquet(tmp.toString)
+      val dim = graft.core.Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = stream
+        .join(broadcast(dim), stream("user_id") === dim("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      val name = "q77_mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      Streams.runToMemory(s, enriched, name, OutputMode.Complete())
+    }),
+
     // Multimodal decode plumbing: documents' text bytes stand in for media
     // payloads; schema/batching/feature-contract are the real thing, the
     // codec is the documented deterministic stub.
@@ -149,6 +174,12 @@ object StreamQueries {
         |  ON a.user_id = b.user_id
         | AND a.event_type = 'view' AND b.event_type = 'purchase'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR""".stripMargin,
+
+    "q77_stream_enrich" ->
+      """SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type""".stripMargin,
 
     "q63_stream_upsert" ->
       """SELECT user_id, event_id, event_type, value FROM (
