@@ -19,6 +19,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.Scratch.cleanStale()
 
     // JVM/codegen warmup on the smallest sf so per-query numbers measure the
     // plan, not first-call classloading.
