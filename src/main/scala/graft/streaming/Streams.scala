@@ -62,41 +62,71 @@ object Streams {
         s"$buildTs >= $probeTs AND $buildTs <= $probeTs + interval $within"))
   }
 
+  /** Partition column of an [[upsertSink]] target: key-hash bucket. Readers
+    * that want the original schema back use [[readUpsertTarget]]. */
+  val UpsertBucketCol = "_kb"
+
   /** Micro-batch CDC upsert sink (`foreachBatch`): every micro-batch merges
     * into a parquet target by PK, newest `orderCol` wins — streaming upsert
-    * without a table format. Parquet has no row-level ops, so the merge
-    * rewrites the target (materialized first — Spark can't overwrite a path
-    * it is lazily reading); at warehouse scale swap the body for a
-    * MERGE-capable format (Delta/Iceberg) — the resolution logic
+    * without a table format. The target is laid out as parquet partitioned
+    * by `_kb = pmod(xxhash64(pks), numBuckets)`, so a micro-batch merges
+    * ONLY the key-hash partitions its rows land in: untouched partitions are
+    * neither read (partition pruning on `_kb IN (...)`) nor rewritten
+    * (dynamic partition overwrite replaces exactly the partitions present in
+    * the merged output). Per-batch cost is O(|touched partitions|), not
+    * O(|target|) — the property a table-format MERGE gives you, recovered on
+    * plain parquet. At warehouse scale a Delta/Iceberg MERGE still wins
+    * (row-level deletes, concurrent writers); the resolution logic
     * ([[graft.warehouse.Cdc.snapshot]]) is identical. */
   def upsertSink(stream: DataFrame, targetDir: String, checkpointDir: String,
-                 pks: Seq[String], orderCol: String)
+                 pks: Seq[String], orderCol: String, numBuckets: Int = 64)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        // "has data" = contains parquet part files; a bare/leftover empty
-        // dir (failed first batch, eager mkdir) must read as empty, not
-        // crash the stream. Probed through the Hadoop FS API so hdfs://,
-        // s3a://, ... targets resolve correctly (a java.io.File probe would
-        // read any remote target as absent and silently drop history).
-        val targetFiles = graft.sources.FsOps.list(spark, targetDir)
-          .exists { case (name, isDir, size) =>
-            !isDir && name.endsWith(".parquet") && size > 0 }
-        val existing =
-          if (targetFiles) spark.read.schema(batch.schema).parquet(targetDir)
-          else batch.limit(0)
-        // localCheckpoint (eager) truncates lineage to materialized blocks:
-        // unlike persist+count, a recomputation can never re-read the target
-        // path after the overwrite below has deleted it.
-        val merged = graft.warehouse.Cdc.snapshot(
-          existing.unionByName(batch), pks, Seq(orderCol))
-          .localCheckpoint(eager = true)
-        merged.write.mode("overwrite").parquet(targetDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
+        val batch = batch0.withColumn(UpsertBucketCol,
+          pmod(xxhash64(pks.map(col): _*), lit(numBuckets.toLong)).cast("int"))
+        // Buckets this batch touches — bounded by numBuckets, so the collect
+        // is a tiny driver-side set, never O(rows).
+        val touched = batch.select(UpsertBucketCol).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        if (touched.nonEmpty) {
+          // "has data" = contains `_kb=` partition dirs (or legacy flat part
+          // files); a bare/leftover empty dir (failed first batch, eager
+          // mkdir) must read as empty, not crash the stream. Probed through
+          // the Hadoop FS API so hdfs://, s3a://, ... targets resolve
+          // correctly (a java.io.File probe would read any remote target as
+          // absent and silently drop history).
+          val targetFiles = graft.sources.FsOps.list(spark, targetDir)
+            .exists { case (name, isDir, size) =>
+              (isDir && name.substring(name.lastIndexOf('/') + 1)
+                .startsWith(UpsertBucketCol + "=")) ||
+                (!isDir && name.endsWith(".parquet") && size > 0) }
+          val existing =
+            if (targetFiles)
+              spark.read.schema(batch.schema).parquet(targetDir)
+                .where(col(UpsertBucketCol).isin(touched: _*))
+            else batch.limit(0)
+          // localCheckpoint (eager) truncates lineage to materialized blocks:
+          // unlike persist+count, a recomputation can never re-read the
+          // target path after the overwrite below has replaced it.
+          val merged = graft.warehouse.Cdc.snapshot(
+            existing.unionByName(batch), pks, Seq(orderCol))
+            .localCheckpoint(eager = true)
+          merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(UpsertBucketCol)
+            .parquet(targetDir)
+        }
         ()
       }
+
+  /** Read an [[upsertSink]] target back with its original schema (the
+    * key-hash bucket column is an internal layout detail). */
+  def readUpsertTarget(spark: SparkSession, targetDir: String): DataFrame =
+    spark.read.parquet(targetDir).drop(UpsertBucketCol)
 
   // ---- custom state: sessionization --------------------------------------
 

@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
@@ -84,7 +86,52 @@ class StreamsSpec extends SparkSpec {
       q.processAllAvailable()
       ms.addData((1L, "a2", 2L), (3L, "c", 1L))
       q.processAllAvailable()
-      val got = spark.read.parquet(target).collect()
+      val got = Streams.readUpsertTarget(spark, target).collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[String]("payload")).toMap
+      assert(got == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+    } finally q.stop()
+  }
+
+  test("upsertSink rewrites only the key-hash partitions a batch touches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long)]
+    val base = Files.createTempDirectory("graft_upsert_part")
+    val target = s"$base/target"
+    // every data file under the target, keyed by path, with full bytes —
+    // the strongest "untouched" assertion is byte identity
+    def dataFiles(): Map[String, Array[Byte]] = {
+      val root = java.nio.file.Paths.get(target)
+      val s = java.nio.file.Files.walk(root)
+      try s.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.readAllBytes(p)).toMap
+      finally s.close()
+    }
+    val q = Streams.upsertSink(
+      ms.toDS().toDF("id", "payload", "version"),
+      target, s"$base/ckpt", Seq("id"), "version").start()
+    try {
+      ms.addData((1L, "a", 1L), (2L, "b", 1L))
+      q.processAllAvailable()
+      val before = dataFiles()
+      // buckets the SECOND batch (ids 1, 3) will touch, via the same hash
+      val t2 = spark.range(1).select(
+        pmod(xxhash64(lit(1L)), lit(64L)).cast("int").as("b1"),
+        pmod(xxhash64(lit(3L)), lit(64L)).cast("int").as("b3")).first()
+      val touched = Set(t2.getInt(0), t2.getInt(1))
+      ms.addData((1L, "a2", 2L), (3L, "c", 1L))
+      q.processAllAvailable()
+      val after = dataFiles()
+      val untouched = before.filter { case (p, _) =>
+        !touched.exists(b => p.contains(s"${Streams.UpsertBucketCol}=$b/")) }
+      assert(untouched.nonEmpty, "test ids must hash to distinct buckets")
+      untouched.foreach { case (p, bytes) =>
+        assert(after.contains(p) && java.util.Arrays.equals(after(p), bytes),
+          s"untouched partition file changed: $p") }
+      val got = Streams.readUpsertTarget(spark, target).collect()
         .map(r => r.getAs[Long]("id") -> r.getAs[String]("payload")).toMap
       assert(got == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
     } finally q.stop()
