@@ -91,15 +91,17 @@ object Dedup {
     * `spark.sql.adaptive.skewJoin` or a bucket-size cap handles them. */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             numPerms: Int = 16, bands: Int = 4,
-                            shingleN: Int = 3): DataFrame = {
+                            shingleN: Int = 3,
+                            maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(numPerms % bands == 0,
       s"numPerms ($numPerms) must be a multiple of bands ($bands): integer " +
         "division would silently drop trailing signature positions from every " +
         "band, reducing recall while est_jaccard still uses the full signature")
     val rows = numPerms / bands
     val sigs = minhashSignatures(df, idCol, textCol, numPerms, shingleN)
-    val buckets = sigs.select(col("id"), col("sig"),
-      explode(lshBandKeys(col("sig"), bands, rows)).as("bucket"))
+    val buckets = capBuckets(sigs.select(col("id"), col("sig"),
+      explode(lshBandKeys(col("sig"), bands, rows)).as("bucket")),
+      maxBucketSize, "minhashCandidatePairs")
     val a = buckets.as("a")
     val b = buckets.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -337,13 +339,10 @@ object Dedup {
     * that's only possible for hamming >= 4, so recall is perfect for
     * maxHamming <= 3 and degrades gracefully above. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int): DataFrame = {
-    val sigs = simhashSignatures(df, idCol, textCol)
-    val bandCols = (0 until 4).map(k =>
-      concat_ws("_", lit(k.toString),
-        (shiftright(col("simhash"), 8 * k) % 256).cast("string")))
-    val bands = sigs.select(col("id"), col("simhash"),
-      explode(array(bandCols: _*)).as("band"))
+                          maxHamming: Int,
+                          maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val bands = capBuckets(simhashBands(df, idCol, textCol),
+      maxBucketSize, "simhashNearDupPairs", bucketCol = "band")
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
@@ -351,6 +350,55 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Cross-corpus simhash near-dup pairs — the CONTAMINATION shape: every
+    * (left, right) pair sharing a byte band, exact-Hamming-filtered. Same
+    * Σ bucket² bucket join as [[simhashNearDupPairs]] but across two
+    * disjoint document sets (eval vs train), so no `id <` dedup triangle —
+    * directionality is the point. Band recall is perfect for
+    * maxHamming <= 3 (4 bands). */
+  def simhashCrossPairs(left: DataFrame, right: DataFrame, idCol: String,
+                        textCol: String, maxHamming: Int): DataFrame =
+    simhashBands(left, idCol, textCol).as("a")
+      .join(simhashBands(right, idCol, textCol).as("b"),
+        col("a.band") === col("b.band"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+
+  /** Drop LSH buckets larger than `maxBucketSize` — the skew guard for the
+    * Σ bucket² bucket joins. A boilerplate-heavy corpus (licence headers,
+    * templated pages) produces a handful of huge buckets that carry almost
+    * no dedup signal but dominate the join quadratically; capping bounds
+    * any single bucket's contribution at maxBucketSize². The dropped-bucket
+    * count is computed eagerly and logged — an explicit, visible recall
+    * trade (the pairs wholly inside a dropped bucket are missed), mirroring
+    * [[jaccardPairs]]'s `maxDocFreq`. No-op (and no extra job) at the
+    * default unbounded setting, which keeps exact-recall semantics. */
+  private def capBuckets(buckets: DataFrame, maxBucketSize: Int, what: String,
+                         bucketCol: String = "bucket"): DataFrame =
+    if (maxBucketSize == Int.MaxValue) buckets
+    else {
+      val sizes = buckets.groupBy(col(bucketCol)).agg(count(lit(1)).as("bsz"))
+      val dropped = sizes.filter(col("bsz") > maxBucketSize).count()
+      if (dropped > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"$what: dropped $dropped LSH bucket(s) larger than " +
+            s"$maxBucketSize rows (boilerplate skew guard; pairs wholly " +
+            "inside a dropped bucket are not generated)")
+      buckets.join(sizes.filter(col("bsz") <= maxBucketSize)
+        .select(col(bucketCol)), bucketCol)
+    }
+
+  /** (id, simhash, band) with one row per 8-bit band of the signature. */
+  private def simhashBands(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bandCols = (0 until 4).map(k =>
+      concat_ws("_", lit(k.toString),
+        (shiftright(col("simhash"), 8 * k) % 256).cast("string")))
+    simhashSignatures(df, idCol, textCol).select(col("id"), col("simhash"),
+      explode(array(bandCols: _*)).as("band"))
   }
 
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {

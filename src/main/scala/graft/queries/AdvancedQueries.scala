@@ -105,6 +105,23 @@ object AdvancedQueries {
         .select(col("eval_doc_id"), col("train_doc_id"), col("fp"))
     }),
 
+    // Near-dup contamination: the q75 split, but the join key is the
+    // simhash byte-band (LSH bucket) instead of the exact fingerprint —
+    // catches eval documents that are lightly EDITED copies of train
+    // documents, which exact-hash contamination checks miss entirely.
+    // Hamming <= 3 keeps band recall perfect (4 bands over 31 bits).
+    "q78_neardup_contamination" -> ((s, dir) => {
+      import graft.functions.TextOps
+      val docs = t(s, dir, "documents")
+        .withColumn("in_train",
+          TextOps.h31(col("doc_id").cast("string")) % 100 < 80)
+      graft.dedup.Dedup.simhashCrossPairs(
+          docs.filter(!col("in_train")), docs.filter(col("in_train")),
+          "doc_id", "text", maxHamming = 3)
+        .select(col("id_a").as("eval_doc_id"), col("id_b").as("train_doc_id"),
+          col("hamming"))
+    }),
+
     // Equi-depth histogram: ntile deciles per group (ties broken by
     // event_id so both engines assign identical tiles), min/max/count per
     // tile — the optimizer-statistics / data-profiling primitive.
@@ -368,6 +385,31 @@ object AdvancedQueries {
          |SELECT e.doc_id AS eval_doc_id, t.doc_id AS train_doc_id, e.fp
          |FROM d e JOIN d t ON e.fp = t.fp
          |WHERE NOT e.in_train AND t.in_train""".stripMargin
+    },
+
+    "q78_neardup_contamination" -> {
+      val h = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2147483647)"
+      val tok = "(('0x' || substr(md5(tk), 1, 15))::BIGINT % 2147483647)"
+      val powers = (0 until 31).map(j => 1L << j).mkString("[", ", ", "]")
+      s"""WITH h AS (
+         | SELECT doc_id, ($h % 100 < 80) AS in_train,
+         |  list_transform(list_distinct(list_filter(string_split_regex(text,'\\s+'), t -> t <> '')),
+         |    tk -> $tok) AS hs
+         | FROM documents),
+         |sig AS (
+         | SELECT doc_id, in_train, list_sum(list_transform($powers::BIGINT[],
+         |   e -> CASE WHEN 2 * len(list_filter(hs, v -> v % (e * 2) >= e)) > len(hs) THEN e ELSE 0 END))::BIGINT AS simhash
+         | FROM h),
+         |bands AS (
+         | SELECT doc_id, in_train, simhash, unnest(list_transform(range(0, 4),
+         |   k -> k::VARCHAR || '_' || ((simhash // (256**k)::BIGINT) % 256)::VARCHAR)) AS band
+         | FROM sig)
+         |SELECT eval_doc_id, train_doc_id, hamming FROM (
+         | SELECT DISTINCT a.doc_id AS eval_doc_id, b.doc_id AS train_doc_id,
+         |  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+         | FROM bands a JOIN bands b ON a.band = b.band
+         | WHERE NOT a.in_train AND b.in_train)
+         |WHERE hamming <= 3""".stripMargin
     },
 
     "q72_histogram" ->

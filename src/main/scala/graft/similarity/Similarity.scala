@@ -148,6 +148,55 @@ object Similarity {
       round(best.getField("d"), 6).as("cluster_dist"))
   }
 
+  /** Sampled Lloyd k-means trainer for the IVF path — makes [[ivfAssign]] /
+    * [[ivfTopK]] self-contained instead of relying on caller-supplied seed
+    * centroids.
+    *
+    * Scale design: the training set is a HASH-sampLED slice of the corpus
+    * (deterministic and partition-independent — `xxhash64(id)` keeps the
+    * same rows regardless of file split or cluster width), materialized once
+    * and re-scanned `iters` times. Each iteration is one distributed
+    * assign-and-average pass: nearest-centroid argmin per row (broadcast
+    * centroid literals, zero shuffle) then a `posexplode` + groupBy(cluster,
+    * dim) mean whose shuffle is k×dim rows — only k×dim doubles ever reach
+    * the driver, so a 100 TB corpus trains from, say, a 10⁻⁵ sample at
+    * constant driver cost. Empty clusters keep their previous centroid
+    * (standard Lloyd fallback). Seeds are the k sample vectors with the
+    * smallest key hash — deterministic without any ordering assumption on
+    * the input.
+    */
+  def trainCentroids(df: DataFrame, k: Int, sampleFraction: Double = 1.0,
+                     iters: Int = 5, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Array[(Long, Array[Double])] = {
+    require(k > 0 && iters >= 0)
+    val million = 1000000L
+    val keep = (sampleFraction * million).toLong
+    val sampled = df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+      .where(if (sampleFraction >= 1.0) lit(true)
+             else pmod(xxhash64(col("id")), lit(million)) < lit(keep))
+    val vecs = sampled.persist()
+    try {
+      val seedRows = vecs.orderBy(xxhash64(col("id")), col("id")).limit(k).collect()
+      require(seedRows.nonEmpty, "empty training sample")
+      var centroids: Array[(Long, Array[Double])] =
+        seedRows.zipWithIndex.map { case (r, i) =>
+          (i.toLong, r.getSeq[Double](r.fieldIndex("v")).toArray) }
+      for (_ <- 0 until iters) {
+        val assigned = ivfAssign(vecs, centroids, "id", "v")
+        val means = assigned
+          .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cluster_id", "pos").agg(avg(col("x")).as("m"))
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (cid, rows) =>
+            cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+        centroids = centroids.map { case (cid, old) =>
+          (cid, means.getOrElse(cid, old)) }
+      }
+      centroids
+    } finally { vecs.unpersist(); () }
+  }
+
   /** The IVF search path: score only vectors in the query's own bucket.
     * nprobe=1 for clarity; widen by unioning more buckets. */
   def ivfTopK(assigned: DataFrame, queries: DataFrame, k: Int,
@@ -159,6 +208,41 @@ object Similarity {
     val scored = c.join(broadcast(q),
         col("qc") === col("cluster_id") && col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Multi-probe IVF search: each query is probed against its `nprobe`
+    * NEAREST centroids (not just the argmin), and scoring runs over the
+    * union of those buckets. This is the standard IVF recall knob — a query
+    * near a Voronoi boundary finds neighbors that fell on the other side.
+    * Cost scales linearly with nprobe (nprobe/nlist of the corpus is
+    * scored); recall approaches exact as nprobe → nlist. The probe list is
+    * computed per-row from the broadcast centroid literals (sort a k-element
+    * array — no shuffle), and each corpus vector lives in exactly one
+    * bucket, so no (query, neighbor) pair is scored twice. */
+  def ivfTopKProbed(assigned: DataFrame, queries: DataFrame,
+                    centroids: Array[(Long, Array[Double])], k: Int,
+                    nprobe: Int = 2,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroidLit = array(centroids.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cvec"))
+    }: _*)
+    val qv = toDoubleVec(col(vecCol))
+    // {d, cid} structs sort lexicographically: by distance, ties by cid
+    val scoredCentroids = transform(centroidLit,
+      cen => struct(l2sq(qv, cen.getField("cvec")).as("d"),
+        cen.getField("cid").as("cid")))
+    val probes = queries.select(col(idCol).as("query_id"), qv.as("qv"),
+        explode(slice(array_sort(scoredCentroids), 1, nprobe)).as("probe"))
+      .select(col("query_id"), col("qv"), col("probe.cid").as("qc"))
+    val c = assigned.select(col(idCol).as("neighbor_id"),
+      toDoubleVec(col(vecCol)).as("cv"), col("cluster_id"))
+    val scored = c.join(broadcast(probes),
+        col("qc") === col("cluster_id") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -51,6 +51,47 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_._3 <= 3))
   }
 
+  test("maxBucketSize drops boilerplate mega-buckets, keeps normal pairs") {
+    import spark.implicits._
+    // 50 identical boilerplate docs: one 50-row LSH bucket per band whose
+    // Σ bucket² join would contribute 1225 junk pairs
+    val boiler = (0 until 50).map(i =>
+      (100L + i, "all rights reserved copyright notice template page boilerplate text legal footer"))
+    val corpus = (boiler :+
+      (1L, "the quick brown fox jumps over the lazy dog again and again today") :+
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight") :+
+      (3L, "the quick brown fox jumps over the lazy dog again and again today")) // exact dup of 1
+      .toDF("doc_id", "text")
+    val uncapped = rows(Dedup.minhashCandidatePairs(corpus, "doc_id", "text"))
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(uncapped.count { case (a, _) => a >= 100L } == 50 * 49 / 2)
+    val capped = rows(Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
+        maxBucketSize = 10))
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(capped.contains((1L, 2L)), "normal near-dup must survive the cap")
+    assert(!capped.exists { case (a, _) => a >= 100L },
+      "boilerplate bucket must be dropped")
+    // same guard on the simhash band join (1-3 are exact dups: hamming 0)
+    val cappedSh = rows(Dedup.simhashNearDupPairs(corpus, "doc_id", "text",
+        maxHamming = 3, maxBucketSize = 10))
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(cappedSh.contains((1L, 3L)), "exact dup must survive the cap")
+    assert(!cappedSh.exists(_._1 >= 100L), "boilerplate bucket must be dropped")
+  }
+
+  test("simhashCrossPairs finds cross-corpus near-dups, directionally") {
+    import spark.implicits._
+    val evalDocs = docs.filter(col("doc_id").isin(1L, 3L))
+    val trainDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"), // dup of 1
+      (11L, "unrelated text about weighted reservoir sampling at scale")
+    ).toDF("doc_id", "text")
+    val got = rows(Dedup.simhashCrossPairs(evalDocs, trainDocs, "doc_id", "text", 3))
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("hamming")))
+    assert(got.exists { case (a, b, h) => a == 1L && b == 10L && h == 0 })
+    assert(got.forall { case (a, b, _) => Set(1L, 3L)(a) && Set(10L, 11L)(b) })
+  }
+
   test("dupClusters resolves pairs into min-id connected components") {
     import spark.implicits._
     // chain 1-2-3 (via two pairs), isolated pair 7-9, transitive 4-5-6
@@ -138,6 +179,39 @@ class SimilaritySpec extends SparkSpec {
     topk.foreach { r =>
       assert(clusters(r.getAs[Long]("neighbor_id")) == clusters(r.getAs[Long]("query_id")))
     }
+  }
+
+  test("trainCentroids: k-means tightens clusters and IVF recall vs exact top-5 is high") {
+    val emb = graft.core.Tables.load(spark, sf, "embeddings")
+    val seeds = Similarity.trainCentroids(emb, k = 8, iters = 0)
+    val trained = Similarity.trainCentroids(emb, k = 8, iters = 5)
+    assert(trained.length == 8 && trained.forall(_._2.length == 64))
+    // Lloyd iterations must not worsen the objective (mean sq distance)
+    def objective(cs: Array[(Long, Array[Double])]): Double =
+      Similarity.ivfAssign(emb, cs)
+        .agg(avg(col("cluster_dist"))).head().getDouble(0)
+    val (objSeed, objTrained) = (objective(seeds), objective(trained))
+    assert(objTrained <= objSeed,
+      s"k-means worsened the objective: $objSeed -> $objTrained")
+
+    // Multi-probe IVF search from trained centroids vs the exact baseline.
+    // nprobe=4 of 8 lists scores ~half the corpus per query — the
+    // standard recall/cost dial (this corpus is near-uniform, so nprobe=1
+    // recall is structurally low; clustered corpora need fewer probes).
+    val assigned = Similarity.ivfAssign(emb, trained)
+    val queries = emb.filter(col("vec_id") < 20)
+    val ivf = rows(Similarity.ivfTopKProbed(assigned, queries, trained,
+        k = 5, nprobe = 4))
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val exact = rows(Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 20), emb, 5))
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val recall = exact.map { case (q, want) =>
+      ivf.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+    }.sum / exact.size
+    assert(recall >= 0.8, s"IVF(nprobe=1, trained) recall too low: $recall")
   }
 
   test("hyperplane LSH: identical vectors share a bucket; opposite vectors split") {
