@@ -159,8 +159,30 @@ object StreamQueries {
   )
 
   /** q42 shares q18's oracle (same semantics, streaming execution);
-    * q43 has no SQL-expressible oracle (stub codec) — rows-only check. */
+    * q43's STUB codec math (Multimodal.Decoders — rolling 64-bit byte hash
+    * with Java wraparound) is restated exactly in DuckDB via HUGEINT
+    * mod-2^64 arithmetic, upgrading it from rows-only to hash-gated. The
+    * documents corpus is ASCII, so per-character `ascii()` equals the
+    * UTF-8 byte sequence the Scala side hashes. */
   val oracles: Map[String, String] = Map(
+    "q43_multimodal_decode" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_reduce([1125899906842597]::HUGEINT[] ||
+        |      list_transform(string_split(text, ''), ch -> ascii(ch)::HUGEINT),
+        |      (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) AS u
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    abs(CASE WHEN u >= 9223372036854775808::HUGEINT
+        |         THEN u - 18446744073709551616::HUGEINT ELSE u END) AS a
+        |  FROM h)
+        |SELECT doc_id AS media_id,
+        |  (64 + a % 193)::INT AS width,
+        |  (64 + (a // 256) % 193)::INT AS height,
+        |  3 AS channels, 16 AS feature_dim
+        |FROM s""".stripMargin,
+
     "q42_stream_tumbling" ->
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_epoch, event_type,
         | COUNT(*) AS n_events,
