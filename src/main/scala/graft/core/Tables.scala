@@ -13,12 +13,27 @@ object Tables {
     * truncate to microseconds with integer division — same truncation DuckDB
     * applies when it casts ns→µs, keeping the oracle exact. Plain `/` would
     * go through DOUBLE and lose precision above 2^53 (~1.7e18 ns here).
-    */
+    *
+    * Loads are MEMOIZED per (session, path): `spark.read.parquet` pays
+    * ~100 ms of file listing + footer schema inference on every call, which
+    * dominates sub-second queries (a 77-query suite re-listed the same ten
+    * immutable tables hundreds of times). The cached value is just the
+    * analyzed plan with its resolved FileIndex — no data is pinned. Safe
+    * because the driver test tables are immutable by contract (TESTDATA.md);
+    * anything mutable (scratch dirs, stream targets) is read directly, not
+    * through this loader. Keyed by session so cloned/restarted sessions
+    * re-resolve; bounded against long test runs accumulating sessions. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (cache.size > 512) cache.clear()
+    cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"), { case (s, path) =>
+      val df = s.read.parquet(path)
+      if (name == "events")
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      else df
+    })
   }
 
   /** Register every table as a temp view (for spark.sql-level operators). */

@@ -33,6 +33,13 @@ object FsOps {
     val (f, p) = fs(spark, path); f.delete(p, recursive)
   }
 
+  /** Rename within one filesystem (HDFS/local: atomic metadata op; object
+    * stores emulate it with copy+delete — callers doing swap protocols
+    * should prefer a real table format there). */
+  def rename(spark: SparkSession, from: String, to: String): Boolean = {
+    val (f, p1) = fs(spark, from); f.rename(p1, new Path(to))
+  }
+
   /** Non-recursive listing of immediate children (name, isDir, size). */
   def list(spark: SparkSession, path: String): Seq[(String, Boolean, Long)] = {
     val (f, p) = fs(spark, path)

@@ -79,12 +79,13 @@ object Streams {
     * (row-level deletes, concurrent writers); the resolution logic
     * ([[graft.warehouse.Cdc.snapshot]]) is identical. */
   def upsertSink(stream: DataFrame, targetDir: String, checkpointDir: String,
-                 pks: Seq[String], orderCol: String, numBuckets: Int = 64)
+                 pks: Seq[String], orderCol: String, numBuckets: Int = 16)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch0: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        import graft.sources.FsOps
         val spark = batch0.sparkSession
         val batch = batch0.withColumn(UpsertBucketCol,
           pmod(xxhash64(pks.map(col): _*), lit(numBuckets.toLong)).cast("int"))
@@ -99,7 +100,7 @@ object Streams {
           // the Hadoop FS API so hdfs://, s3a://, ... targets resolve
           // correctly (a java.io.File probe would read any remote target as
           // absent and silently drop history).
-          val targetFiles = graft.sources.FsOps.list(spark, targetDir)
+          val targetFiles = FsOps.list(spark, targetDir)
             .exists { case (name, isDir, size) =>
               (isDir && name.substring(name.lastIndexOf('/') + 1)
                 .startsWith(UpsertBucketCol + "=")) ||
@@ -109,16 +110,31 @@ object Streams {
               spark.read.schema(batch.schema).parquet(targetDir)
                 .where(col(UpsertBucketCol).isin(touched: _*))
             else batch.limit(0)
-          // localCheckpoint (eager) truncates lineage to materialized blocks:
-          // unlike persist+count, a recomputation can never re-read the
-          // target path after the overwrite below has replaced it.
-          val merged = graft.warehouse.Cdc.snapshot(
-            existing.unionByName(batch), pks, Seq(orderCol))
-            .localCheckpoint(eager = true)
-          merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(UpsertBucketCol)
-            .parquet(targetDir)
+          // Merge into a HIDDEN staging dir under the target (dot-prefix =
+          // invisible to FileIndex readers), then swap the touched partition
+          // dirs in with renames. One write job total: the merge plan reads
+          // the old partition files directly (no localCheckpoint
+          // double-materialization needed — the target isn't touched until
+          // the write has fully committed), and the repartition by bucket
+          // yields ONE file per touched partition per batch instead of
+          // (shuffle tasks × buckets) fragments. Swap via rename is a
+          // metadata op on HDFS/local; a failure mid-swap leaves whole
+          // partitions at either the old or new version, and the
+          // checkpointed batch replay re-merges idempotently (snapshot
+          // keeps newest-per-key, so merging already-merged data is a
+          // no-op).
+          val staging = s"$targetDir/.graft_staging_$batchId"
+          graft.warehouse.Cdc.snapshot(
+              existing.unionByName(batch), pks, Seq(orderCol))
+            .repartition(col(UpsertBucketCol))
+            .write.mode("overwrite").partitionBy(UpsertBucketCol)
+            .parquet(staging)
+          touched.foreach { b =>
+            val part = s"$UpsertBucketCol=$b"
+            FsOps.delete(spark, s"$targetDir/$part")
+            FsOps.rename(spark, s"$staging/$part", s"$targetDir/$part")
+          }
+          FsOps.delete(spark, staging)
         }
         ()
       }

@@ -110,17 +110,18 @@ class StreamsSpec extends SparkSpec {
         .map(p => p.toString -> java.nio.file.Files.readAllBytes(p)).toMap
       finally s.close()
     }
+    val nb = 64
     val q = Streams.upsertSink(
       ms.toDS().toDF("id", "payload", "version"),
-      target, s"$base/ckpt", Seq("id"), "version").start()
+      target, s"$base/ckpt", Seq("id"), "version", numBuckets = nb).start()
     try {
       ms.addData((1L, "a", 1L), (2L, "b", 1L))
       q.processAllAvailable()
       val before = dataFiles()
       // buckets the SECOND batch (ids 1, 3) will touch, via the same hash
       val t2 = spark.range(1).select(
-        pmod(xxhash64(lit(1L)), lit(64L)).cast("int").as("b1"),
-        pmod(xxhash64(lit(3L)), lit(64L)).cast("int").as("b3")).first()
+        pmod(xxhash64(lit(1L)), lit(nb.toLong)).cast("int").as("b1"),
+        pmod(xxhash64(lit(3L)), lit(nb.toLong)).cast("int").as("b3")).first()
       val touched = Set(t2.getInt(0), t2.getInt(1))
       ms.addData((1L, "a2", 2L), (3L, "c", 1L))
       q.processAllAvailable()
