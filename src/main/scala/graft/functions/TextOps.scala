@@ -54,6 +54,16 @@ object TextOps {
           sequence(lit(1), size(ts) - (n - 1)),
           i => concat_ws(" ", slice(ts, i, lit(n))))))))
 
+  /** ALL word n-gram shingles, duplicates kept (same single-evaluation
+    * binding trick as [[wordShingles]]) — repetition analysis needs the
+    * multiset; dedup/similarity wants the distinct set. */
+  def wordShinglesAll(c: Column, n: Int): Column =
+    flatten(transform(array(tokens(c)), ts =>
+      when(size(ts) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(ts) - (n - 1)),
+          i => concat_ws(" ", slice(ts, i, lit(n)))))))
+
   /** Polynomial rolling hash of the full string, mod P31 — the classic
     * Karp-Rabin document fingerprint. Left fold, so cross-engine exact. */
   def rollingHash(c: Column): Column =

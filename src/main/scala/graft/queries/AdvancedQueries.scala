@@ -105,6 +105,20 @@ object AdvancedQueries {
         .select(col("eval_doc_id"), col("train_doc_id"), col("fp"))
     }),
 
+    // Tokenizer-coverage check: per-doc OOV rate against the corpus's own
+    // top-500 frequency vocabulary (rank deterministic: count DESC, term
+    // ASC; rate in integer ppm).
+    "q79_vocab_oov" -> ((s, dir) =>
+      Corpus.oovRate(t(s, dir, "documents"), "doc_id", "text", 500)
+        .withColumnRenamed("id", "doc_id")),
+
+    // Gopher-style repetition filter feature: duplicate word-2-gram
+    // fraction per document, integer ppm — templated/spammy text scores
+    // high and gets filtered before pre-training.
+    "q80_ngram_repetition" -> ((s, dir) =>
+      Corpus.ngramRepetition(t(s, dir, "documents"), "doc_id", "text", 2)
+        .withColumnRenamed("id", "doc_id")),
+
     // Near-dup contamination: the q75 split, but the join key is the
     // simhash byte-band (LSH bucket) instead of the exact fingerprint —
     // catches eval documents that are lightly EDITED copies of train
@@ -386,6 +400,38 @@ object AdvancedQueries {
          |FROM d e JOIN d t ON e.fp = t.fp
          |WHERE NOT e.in_train AND t.in_train""".stripMargin
     },
+
+    "q79_vocab_oov" ->
+      """WITH t2 AS (
+        |  SELECT doc_id, word AS term FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+        |    FROM documents)
+        |  WHERE word <> ''),
+        |vocab AS (
+        |  SELECT term FROM (SELECT term, COUNT(*) AS ctf FROM t2 GROUP BY term)
+        |  ORDER BY ctf DESC, term LIMIT 500),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens,
+        |    SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov
+        |  FROM t2 LEFT JOIN vocab v ON t2.term = v.term
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_tokens::BIGINT AS n_tokens, n_oov::BIGINT AS n_oov,
+        |  ((n_oov * 2000000 + n_tokens) // (2 * n_tokens))::BIGINT AS oov_ppm
+        |FROM agg""".stripMargin,
+
+    "q80_ngram_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS grams
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 2)
+        |SELECT doc_id, len(grams)::BIGINT AS n_grams,
+        |  len(list_distinct(grams))::BIGINT AS n_distinct,
+        |  (((len(grams) - len(list_distinct(grams))) * 2000000 + len(grams))
+        |    // (2 * len(grams)))::BIGINT AS rep_ppm
+        |FROM g""".stripMargin,
 
     "q78_neardup_contamination" -> {
       val h = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2147483647)"

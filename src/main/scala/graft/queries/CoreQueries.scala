@@ -171,6 +171,19 @@ object CoreQueries {
           col("event_type"), col("n_events"), col("sum_value"))
     }),
 
+    // Sliding (hopping) windows: 1-hour windows every 30 minutes — each
+    // event lands in duration/slide = 2 windows. Same built-in window()
+    // operator as q18 with a slide argument; the restatement expands the
+    // window membership explicitly (grid point and its predecessor).
+    "q81_sliding_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("window_epoch"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    }),
+
     // As-of (point-in-time) join: each event picks the latest order of the
     // same customer at-or-before the event time — union+window plan (one
     // key shuffle, linear), never an inequality join. Right side deduped
@@ -425,6 +438,16 @@ object CoreQueries {
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q81_sliding_window" ->
+      """SELECT w AS window_epoch, event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT unnest([(epoch_us(ts) // 1800000000) * 1800,
+        |                 (epoch_us(ts) // 1800000000) * 1800 - 1800]) AS w,
+        |         event_type, value
+        |  FROM events)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q45_asof_join" ->
       """WITH o AS (

@@ -117,6 +117,45 @@ object Corpus {
           .as("chunk_text"))
   }
 
+  /** Per-document out-of-vocabulary rate against the corpus's own top-K
+    * frequency vocabulary — the tokenizer-coverage check run before
+    * committing to a vocab size (high OOV ⇒ wasted UNK mass at training).
+    * Vocabulary ranking is integer-deterministic (count DESC, term ASC) and
+    * the rate is integer ppm (half-up), so the result is engine-exact.
+    * Plan: TF hash-agg → TakeOrdered(k) (distributed top-k, never a global
+    * single-partition window) → broadcast left join (vocab is k rows by
+    * construction — the hint is safe) → per-doc hash-agg. Corpus-linear. */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextOps.tokens(col(textCol))).as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("ctf"))
+      .orderBy(col("ctf").desc, col("term").asc).limit(vocabSize)
+      .select(col("term"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("id"), col("n_tokens"), col("n_oov"),
+        expr("(n_oov * 2000000 + n_tokens) div (2 * n_tokens)").as("oov_ppm"))
+  }
+
+  /** Gopher-style repetition features: the duplicate word-n-gram fraction
+    * per document (templated/spammy text repeats itself; a high duplicate
+    * fraction is a standard pre-training quality-filter signal). Entirely
+    * per-row (one pass over each doc's shingle multiset), integer-ppm
+    * output — zero shuffle, engine-exact. */
+  def ngramRepetition(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        TextOps.wordShinglesAll(col(textCol), n).as("grams"))
+      .select(col("id"), size_(col("grams")).cast("long").as("n_grams"),
+        size_(array_distinct(col("grams"))).cast("long").as("n_distinct"))
+      .filter(col("n_grams") > 0)
+      .select(col("id"), col("n_grams"), col("n_distinct"),
+        expr("((n_grams - n_distinct) * 2000000 + n_grams) div (2 * n_grams)")
+          .as("rep_ppm"))
+
   // functions.size shadowed by the Int parameter name in chunk()
   private def size_(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.size(c)

@@ -13,6 +13,34 @@ class CorpusSpec extends SparkSpec {
     ).toDF("doc_id", "text")
   }
 
+  test("oovRate: tokens outside the top-k vocabulary count as OOV, ppm half-up") {
+    val got = rows(Corpus.oovRate(docs, "doc_id", "text", vocabSize = 3))
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"), r.getAs[Long]("oov_ppm")))
+      .toMap
+    // corpus counts: apple 3, banana 2, cherry 3, unique 1 → vocab(3) by
+    // (count desc, term asc) = {apple, cherry, banana}; only "unique" is OOV
+    assert(got(1L) == ((4L, 0L, 0L)))
+    assert(got(2L) == ((3L, 0L, 0L)))
+    assert(got(3L) == ((2L, 1L, 500000L)))
+  }
+
+  test("ngramRepetition: repeated 2-grams raise the duplicate fraction") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b a b a b"),       // grams: ab ba ab ba ab → 5 grams, 2 distinct
+      (2L, "w x y z"),           // 3 grams, all distinct
+      (3L, "solo")               // < 2 tokens → filtered out
+    ).toDF("doc_id", "text")
+    val got = rows(Corpus.ngramRepetition(d, "doc_id", "text", 2))
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_distinct"), r.getAs[Long]("rep_ppm")))
+      .toMap
+    assert(got(1L) == ((5L, 2L, 600000L)))
+    assert(got(2L) == ((3L, 3L, 0L)))
+    assert(!got.contains(3L))
+  }
+
   test("tfidf computes tf, df and the smoothed-log weight") {
     val got = rows(Corpus.tfidf(docs, "doc_id", "text"))
       .map(r => ((r.getAs[Long]("id"), r.getAs[String]("term")),

@@ -95,4 +95,27 @@ class PlanRegressionSpec extends AnyFunSuite {
   test("q61: token chunking is shuffle-free (zero exchanges)") {
     assert(!plan("q61_doc_chunks").contains("Exchange"))
   }
+
+  test("q78: cross-corpus band join is an equi hash join, never nested-loop") {
+    val p = plan("q78_neardup_contamination")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q79: vocab top-k is TakeOrdered and the vocab join broadcasts") {
+    val p = plan("q79_vocab_oov")
+    assert(p.contains("TakeOrderedAndProject"),
+      "vocab selection must be distributed top-k, not a global sort/window")
+    assert(p.contains("BroadcastHashJoin"),
+      "the k-row vocabulary must broadcast, not shuffle the token stream")
+  }
+
+  test("q80: repetition features are per-row (zero exchanges before the sink)") {
+    assert(!plan("q80_ngram_repetition").contains("Exchange"))
+  }
+
+  test("q81: sliding window is one Expand + two-phase hash-agg, one exchange") {
+    val p = plan("q81_sliding_window")
+    assert(p.contains("Expand"), "window membership should expand rows, not join")
+    assert("Exchange".r.findAllIn(p).size == 1)
+  }
 }
