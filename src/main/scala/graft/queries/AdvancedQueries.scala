@@ -289,7 +289,24 @@ object AdvancedQueries {
         .groupBy(col("event_type"))
         .agg(round(expr("percentile(value, 0.5d)"), 6).as("p50"),
           round(expr("percentile(value, 0.9d)"), 6).as("p90"),
-          count(lit(1)).as("n")))
+          count(lit(1)).as("n"))),
+
+    // Winsorization (outlier clipping to the group's [p10, p90]) — the
+    // standard numeric-feature cleaning step. Bounds are 6dp-rounded ONCE
+    // (the q64 exactness pattern); in-range rows pass the RAW double
+    // through untouched, so no per-row rounding divergence can occur.
+    // Plan: group percentiles → broadcast bounds → per-row clip.
+    "q82_winsorize" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      val bounds = ev.groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.1d)"), 6).as("lo"),
+          round(expr("percentile(value, 0.9d)"), 6).as("hi"))
+      ev.join(broadcast(bounds), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          when(col("value") < col("lo"), col("lo"))
+            .when(col("value") > col("hi"), col("hi"))
+            .otherwise(col("value")).as("clipped"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -599,6 +616,17 @@ object AdvancedQueries {
         | ROUND(quantile_cont(value, 0.5), 6) AS p50,
         | ROUND(quantile_cont(value, 0.9), 6) AS p90,
         | COUNT(*) AS n
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q82_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type, ROUND(quantile_cont(value, 0.1), 6) AS lo,
+        |         ROUND(quantile_cont(value, 0.9), 6) AS hi
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+        |SELECT event_id, e.event_type, value,
+        |  CASE WHEN value < lo THEN lo
+        |       WHEN value > hi THEN hi ELSE value END AS clipped
+        |FROM events e JOIN b ON e.event_type = b.event_type
+        |WHERE e.value IS NOT NULL""".stripMargin
   )
 }
