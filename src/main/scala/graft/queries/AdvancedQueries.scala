@@ -105,6 +105,12 @@ object AdvancedQueries {
         .select(col("eval_doc_id"), col("train_doc_id"), col("fp"))
     }),
 
+    // Character-entropy quality gate: low Shannon entropy flags templated
+    // or degenerate text. Integer-exact (q76's quantize-once discipline).
+    "q83_char_entropy" -> ((s, dir) =>
+      Corpus.charEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
     // Tokenizer-coverage check: per-doc OOV rate against the corpus's own
     // top-500 frequency vocabulary (rank deterministic: count DESC, term
     // ASC; rate in integer ppm).
@@ -417,6 +423,22 @@ object AdvancedQueries {
          |FROM d e JOIN d t ON e.fp = t.fp
          |WHERE NOT e.in_train AND t.in_train""".stripMargin
     },
+
+    "q83_char_entropy" ->
+      """WITH cc AS (
+        |  SELECT doc_id, ch, COUNT(*) AS nc FROM (
+        |    SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+        |  WHERE ch <> '' GROUP BY doc_id, ch),
+        |tot AS (SELECT doc_id, SUM(nc) AS n FROM cc GROUP BY doc_id),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(nc) AS BIGINT) AS n_chars,
+        |    CAST(SUM(CAST(FLOOR(LN(nc::DOUBLE / n::DOUBLE) * 1e9 + 0.5) AS BIGINT)
+        |             * nc) AS BIGINT) AS s
+        |  FROM cc JOIN tot USING (doc_id) GROUP BY doc_id)
+        |SELECT doc_id, n_chars,
+        |  CAST((-s * 2 + n_chars * 1000) // (2 * n_chars * 1000) AS DOUBLE)
+        |    / 1e6 AS entropy
+        |FROM agg""".stripMargin,
 
     "q79_vocab_oov" ->
       """WITH t2 AS (

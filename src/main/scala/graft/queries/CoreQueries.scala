@@ -171,6 +171,22 @@ object CoreQueries {
           col("event_type"), col("n_events"), col("sum_value"))
     }),
 
+    // Salted two-stage aggregation — the hot-key mitigation as a GATED
+    // query: pre-aggregate on (key, salt) so no reducer owns a whole hot
+    // key, then combine the 16 partials per key. Result provably equals
+    // the plain aggregate (the oracle IS the plain aggregate); decimal
+    // partials keep the regrouped sum exact. lineitem has only 3 return
+    // flags — exactly the shape where an unsalted shuffle melts a reducer.
+    "q84_salted_agg" -> ((s, dir) => {
+      val salted = t(s, dir, "lineitem")
+        .withColumn("_salt", pmod(xxhash64(col("l_orderkey")), lit(16L)))
+      salted.groupBy(col("l_returnflag"), col("_salt"))
+        .agg(sum(dec(col("l_quantity"))).as("pq"), count(lit(1)).as("pn"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("pq")).cast("double").as("sum_qty"),
+          sum(col("pn")).as("n"))
+    }),
+
     // Sliding (hopping) windows: 1-hour windows every 30 minutes — each
     // event lands in duration/slide = 2 windows. Same built-in window()
     // operator as q18 with a slide argument; the restatement expands the
@@ -438,6 +454,12 @@ object CoreQueries {
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q84_salted_agg" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q81_sliding_window" ->
       """SELECT w AS window_epoch, event_type, COUNT(*) AS n_events,

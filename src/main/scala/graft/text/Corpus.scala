@@ -156,6 +156,31 @@ object Corpus {
         expr("((n_grams - n_distinct) * 2000000 + n_grams) div (2 * n_grams)")
           .as("rep_ppm"))
 
+  /** Per-document Shannon character entropy in µnats — low entropy flags
+    * repetitive/templated or degenerate text (another Gopher-class quality
+    * gate). Same integer-exactness discipline as [[unigramSurprisal]]: each
+    * ln(p) is quantized once to nano-units, then every sum and the final
+    * half-up division are exact integer arithmetic — engine-identical.
+    * Plan: explode chars → (doc, char) hash-agg (map-side combine soaks up
+    * the per-doc repeats) → per-doc totals join → per-doc hash-agg. Linear
+    * in corpus bytes, no self-joins. */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = docs.select(col(idCol).as("id"),
+        explode(split(col(textCol), "")).as("ch"))
+      .filter(col("ch") =!= "")
+    val cc = chars.groupBy(col("id"), col("ch")).agg(count(lit(1)).as("nc"))
+    val tot = cc.groupBy(col("id")).agg(sum(col("nc")).as("n"))
+    val q = floor(log(col("nc").cast("double") / col("n").cast("double")) * 1e9
+      + 0.5).cast("long")
+    cc.join(tot, "id")
+      .select(col("id"), col("nc"), (q * col("nc")).as("contrib"))
+      .groupBy(col("id"))
+      .agg(sum(col("nc")).as("n_chars"), sum(col("contrib")).as("s"))
+      .select(col("id"), col("n_chars"),
+        (expr("(-s * 2 + n_chars * 1000) div (2 * n_chars * 1000)")
+          .cast("double") / 1e6).as("entropy"))
+  }
+
   // functions.size shadowed by the Int parameter name in chunk()
   private def size_(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.size(c)

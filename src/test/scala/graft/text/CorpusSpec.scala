@@ -41,6 +41,17 @@ class CorpusSpec extends SparkSpec {
     assert(!got.contains(3L))
   }
 
+  test("charEntropy: uniform chars maximize entropy, constant chars zero it") {
+    import spark.implicits._
+    val d = Seq((1L, "aaaa"), (2L, "abcd")).toDF("doc_id", "text")
+    val got = rows(Corpus.charEntropy(d, "doc_id", "text"))
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_chars"), r.getAs[Double]("entropy"))).toMap
+    assert(got(1L) == ((4L, 0.0)))
+    // 4 distinct chars, p=1/4 each → H = ln(4) ≈ 1.386294 µnat-rounded
+    assert(got(2L)._1 == 4L && math.abs(got(2L)._2 - math.log(4.0)) < 1e-5)
+  }
+
   test("tfidf computes tf, df and the smoothed-log weight") {
     val got = rows(Corpus.tfidf(docs, "doc_id", "text"))
       .map(r => ((r.getAs[Long]("id"), r.getAs[String]("term")),

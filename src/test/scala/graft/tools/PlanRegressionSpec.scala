@@ -118,4 +118,17 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("Expand"), "window membership should expand rows, not join")
     assert("Exchange".r.findAllIn(p).size == 1)
   }
+
+  test("q82: winsorize broadcasts group bounds, no window over the fact table") {
+    val p = plan("q82_winsorize")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("Window"), "per-row clip must not sort the fact table")
+  }
+
+  test("q84: salted agg is two exchange stages, no reducer owns a whole key") {
+    val p = plan("q84_salted_agg")
+    assert("Exchange".r.findAllIn(p).size == 2,
+      "expect the (key, salt) pre-aggregate exchange plus the key combine")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"))
+  }
 }
