@@ -84,60 +84,66 @@ object Streams {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        import graft.sources.FsOps
-        val spark = batch0.sparkSession
-        val batch = batch0.withColumn(UpsertBucketCol,
-          pmod(xxhash64(pks.map(col): _*), lit(numBuckets.toLong)).cast("int"))
-        // Buckets this batch touches — bounded by numBuckets, so the collect
-        // is a tiny driver-side set, never O(rows).
-        val touched = batch.select(UpsertBucketCol).distinct()
-          .collect().map(_.getInt(0)).toSeq
-        if (touched.nonEmpty) {
-          // "has data" = contains `_kb=` partition dirs (or legacy flat part
-          // files); a bare/leftover empty dir (failed first batch, eager
-          // mkdir) must read as empty, not crash the stream. Probed through
-          // the Hadoop FS API so hdfs://, s3a://, ... targets resolve
-          // correctly (a java.io.File probe would read any remote target as
-          // absent and silently drop history).
-          val targetFiles = FsOps.list(spark, targetDir)
-            .exists { case (name, isDir, size) =>
-              (isDir && name.substring(name.lastIndexOf('/') + 1)
-                .startsWith(UpsertBucketCol + "=")) ||
-                (!isDir && name.endsWith(".parquet") && size > 0) }
-          val existing =
-            if (targetFiles)
-              spark.read.schema(batch.schema).parquet(targetDir)
-                .where(col(UpsertBucketCol).isin(touched: _*))
-            else batch.limit(0)
-          // Merge into a HIDDEN staging dir under the target (dot-prefix =
-          // invisible to FileIndex readers), then swap the touched partition
-          // dirs in with renames. One write job total: the merge plan reads
-          // the old partition files directly (no localCheckpoint
-          // double-materialization needed — the target isn't touched until
-          // the write has fully committed), and the repartition by bucket
-          // yields ONE file per touched partition per batch instead of
-          // (shuffle tasks × buckets) fragments. Swap via rename is a
-          // metadata op on HDFS/local; a failure mid-swap leaves whole
-          // partitions at either the old or new version, and the
-          // checkpointed batch replay re-merges idempotently (snapshot
-          // keeps newest-per-key, so merging already-merged data is a
-          // no-op).
-          val staging = s"$targetDir/.graft_staging_$batchId"
-          graft.warehouse.Cdc.snapshot(
-              existing.unionByName(batch), pks, Seq(orderCol))
-            .repartition(col(UpsertBucketCol))
-            .write.mode("overwrite").partitionBy(UpsertBucketCol)
-            .parquet(staging)
-          touched.foreach { b =>
-            val part = s"$UpsertBucketCol=$b"
-            FsOps.delete(spark, s"$targetDir/$part")
-            FsOps.rename(spark, s"$staging/$part", s"$targetDir/$part")
-          }
-          FsOps.delete(spark, staging)
-        }
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertBatch(batch, batchId, targetDir, pks, orderCol, numBuckets)
       }
+
+  /** One micro-batch of the partition-scoped upsert — the foreachBatch body,
+    * exposed so idempotence (checkpointed replay re-applies a batch) is
+    * directly testable. Protocol: merge the batch with the TOUCHED key-hash
+    * partitions into a HIDDEN staging dir under the target (dot-prefix =
+    * invisible to FileIndex readers), then swap those partition dirs in with
+    * renames. One write job total: the merge plan reads the old partition
+    * files directly (no localCheckpoint double-materialization needed — the
+    * target isn't touched until the staging write has fully committed), and
+    * the repartition by bucket yields ONE file per touched partition per
+    * batch instead of (shuffle tasks × buckets) fragments. Swap via rename
+    * is a metadata op on HDFS/local; a failure mid-swap leaves whole
+    * partitions at either the old or new version, and the checkpointed
+    * batch replay re-merges idempotently (snapshot keeps newest-per-key, so
+    * merging already-merged data is a no-op). */
+  def upsertBatch(batch0: DataFrame, batchId: Long, targetDir: String,
+                  pks: Seq[String], orderCol: String, numBuckets: Int): Unit = {
+    import graft.sources.FsOps
+    val spark = batch0.sparkSession
+    val batch = batch0.withColumn(UpsertBucketCol,
+      pmod(xxhash64(pks.map(col): _*), lit(numBuckets.toLong)).cast("int"))
+    // Buckets this batch touches — bounded by numBuckets, so the collect
+    // is a tiny driver-side set, never O(rows).
+    val touched = batch.select(UpsertBucketCol).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (touched.nonEmpty) {
+      // "has data" = contains `_kb=` partition dirs (or legacy flat part
+      // files); a bare/leftover empty dir (failed first batch, eager
+      // mkdir) must read as empty, not crash the stream. Probed through
+      // the Hadoop FS API so hdfs://, s3a://, ... targets resolve
+      // correctly (a java.io.File probe would read any remote target as
+      // absent and silently drop history).
+      val targetFiles = FsOps.list(spark, targetDir)
+        .exists { case (name, isDir, size) =>
+          (isDir && name.substring(name.lastIndexOf('/') + 1)
+            .startsWith(UpsertBucketCol + "=")) ||
+            (!isDir && name.endsWith(".parquet") && size > 0) }
+      val existing =
+        if (targetFiles)
+          spark.read.schema(batch.schema).parquet(targetDir)
+            .where(col(UpsertBucketCol).isin(touched: _*))
+        else batch.limit(0)
+      val staging = s"$targetDir/.graft_staging_$batchId"
+      graft.warehouse.Cdc.snapshot(
+          existing.unionByName(batch), pks, Seq(orderCol))
+        .repartition(col(UpsertBucketCol))
+        .write.mode("overwrite").partitionBy(UpsertBucketCol)
+        .parquet(staging)
+      touched.foreach { b =>
+        val part = s"$UpsertBucketCol=$b"
+        FsOps.delete(spark, s"$targetDir/$part")
+        FsOps.rename(spark, s"$staging/$part", s"$targetDir/$part")
+      }
+      FsOps.delete(spark, staging)
+    }
+    ()
+  }
 
   /** Read an [[upsertSink]] target back with its original schema (the
     * key-hash bucket column is an internal layout detail). */

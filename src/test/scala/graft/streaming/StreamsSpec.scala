@@ -138,6 +138,25 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertBatch is idempotent: checkpointed replay of a batch is a no-op") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_upsert_replay")
+    val target = s"$base/target"
+    val b1 = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "payload", "version")
+    val b2 = Seq((1L, "a2", 2L), (3L, "c", 1L)).toDF("id", "payload", "version")
+    Streams.upsertBatch(b1, 0L, target, Seq("id"), "version", 16)
+    Streams.upsertBatch(b2, 1L, target, Seq("id"), "version", 16)
+    def state() = Streams.readUpsertTarget(spark, target).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("payload"), r.getAs[Long]("version"))).toMap
+    val afterOnce = state()
+    // failure-recovery shape: the stream dies after merging batch 1 but
+    // before the checkpoint commit, so batch 1 is re-delivered verbatim
+    Streams.upsertBatch(b2, 1L, target, Seq("id"), "version", 16)
+    assert(state() == afterOnce)
+    assert(afterOnce == Map(1L -> ("a2", 2L), 2L -> ("b", 1L), 3L -> ("c", 1L)))
+  }
+
   test("StreamMetrics records per-batch progress for a completed query") {
     val recorder = StreamMetrics.attach(spark)
     try {
