@@ -113,21 +113,31 @@ object Streams {
     val touched = batch.select(UpsertBucketCol).distinct()
       .collect().map(_.getInt(0)).toSeq
     if (touched.nonEmpty) {
-      // "has data" = contains `_kb=` partition dirs (or legacy flat part
-      // files); a bare/leftover empty dir (failed first batch, eager
-      // mkdir) must read as empty, not crash the stream. Probed through
-      // the Hadoop FS API so hdfs://, s3a://, ... targets resolve
-      // correctly (a java.io.File probe would read any remote target as
-      // absent and silently drop history).
-      val targetFiles = FsOps.list(spark, targetDir)
-        .exists { case (name, isDir, size) =>
-          (isDir && name.substring(name.lastIndexOf('/') + 1)
-            .startsWith(UpsertBucketCol + "=")) ||
-            (!isDir && name.endsWith(".parquet") && size > 0) }
+      // Target layout probe, through the Hadoop FS API so hdfs://, s3a://,
+      // ... resolve correctly (a java.io.File probe would read any remote
+      // target as absent and silently drop history). A bare/leftover empty
+      // dir (failed first batch, eager mkdir) must read as empty, not
+      // crash the stream. Three cases:
+      //  - `_kb=` partition dirs → the normal partition-scoped merge;
+      //  - legacy FLAT parquet files (a pre-partitioning target) → one-time
+      //    MIGRATE: merge the whole target, bucket it, swap everything —
+      //    pruning against a flat target would read `_kb` as null and the
+      //    touched-bucket filter would silently drop all history;
+      //  - neither → first batch, target starts empty.
+      val entries = FsOps.list(spark, targetDir)
+      val hasPartDirs = entries.exists { case (name, isDir, _) =>
+        isDir && name.substring(name.lastIndexOf('/') + 1)
+          .startsWith(UpsertBucketCol + "=") }
+      val flatFiles = entries.collect { case (name, false, size)
+        if name.endsWith(".parquet") && size > 0 => name }
       val existing =
-        if (targetFiles)
+        if (hasPartDirs)
           spark.read.schema(batch.schema).parquet(targetDir)
             .where(col(UpsertBucketCol).isin(touched: _*))
+        else if (flatFiles.nonEmpty)
+          spark.read.schema(batch0.schema).parquet(targetDir)
+            .withColumn(UpsertBucketCol, pmod(xxhash64(pks.map(col): _*),
+              lit(numBuckets.toLong)).cast("int"))
         else batch.limit(0)
       val staging = s"$targetDir/.graft_staging_$batchId"
       graft.warehouse.Cdc.snapshot(
@@ -135,11 +145,21 @@ object Streams {
         .repartition(col(UpsertBucketCol))
         .write.mode("overwrite").partitionBy(UpsertBucketCol)
         .parquet(staging)
-      touched.foreach { b =>
-        val part = s"$UpsertBucketCol=$b"
+      // Migration rewrites every bucket, not just the batch's; afterwards
+      // the flat files must go or readers would see history twice.
+      val swap =
+        if (flatFiles.nonEmpty && !hasPartDirs)
+          FsOps.list(spark, staging).collect { case (name, true, _)
+            if name.substring(name.lastIndexOf('/') + 1)
+              .startsWith(UpsertBucketCol + "=") =>
+            name.substring(name.lastIndexOf('/') + 1) }
+        else touched.map(b => s"$UpsertBucketCol=$b")
+      swap.foreach { part =>
         FsOps.delete(spark, s"$targetDir/$part")
         FsOps.rename(spark, s"$staging/$part", s"$targetDir/$part")
       }
+      if (flatFiles.nonEmpty && !hasPartDirs)
+        flatFiles.foreach(f => FsOps.delete(spark, f))
       FsOps.delete(spark, staging)
     }
     ()

@@ -157,6 +157,27 @@ class StreamsSpec extends SparkSpec {
     assert(afterOnce == Map(1L -> ("a2", 2L), 2L -> ("b", 1L), 3L -> ("c", 1L)))
   }
 
+  test("upsertBatch migrates a legacy flat target without losing history") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_upsert_migrate")
+    val target = s"$base/target"
+    // pre-partitioning layout: flat parquet files at the target root
+    Seq((1L, "old", 1L), (2L, "keep", 5L)).toDF("id", "payload", "version")
+      .coalesce(1).write.parquet(target)
+    val batch = Seq((1L, "new", 2L), (3L, "c", 1L)).toDF("id", "payload", "version")
+    Streams.upsertBatch(batch, 0L, target, Seq("id"), "version", 16)
+    val got = Streams.readUpsertTarget(spark, target).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("payload"), r.getAs[Long]("version"))).toMap
+    // id=2 was ONLY in the flat history and the batch didn't touch its
+    // bucket — surviving proves the migrate path merged the whole target
+    assert(got == Map(1L -> ("new", 2L), 2L -> ("keep", 5L), 3L -> ("c", 1L)))
+    // and the flat files are gone (no double-reads)
+    val rootParquet = graft.sources.FsOps.list(spark, target)
+      .filter { case (n, d, _) => !d && n.endsWith(".parquet") }
+    assert(rootParquet.isEmpty, s"legacy flat files must be removed: $rootParquet")
+  }
+
   test("StreamMetrics records per-batch progress for a completed query") {
     val recorder = StreamMetrics.attach(spark)
     try {
