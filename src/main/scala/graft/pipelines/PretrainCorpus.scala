@@ -1,0 +1,75 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.TextOps
+import graft.text.Corpus
+
+/** The composite pre-training corpus pipeline — the operators of this
+  * library chained the way a user actually runs them: normalize → quality
+  * gates → exact dedup → near-dup dedup → training-window chunking. Every
+  * stage is an operator that is individually oracle-gated elsewhere
+  * (q56/q80/q20/q40/q44/q61); q85 gates the whole composition end-to-end.
+  *
+  * Scale shape, stage by stage: normalization and the quality gates are
+  * per-row (zero shuffle); exact dedup is one fingerprint-keyed window;
+  * near-dup is the simhash band join (Σ bucket², cap-able via
+  * `maxBucketSize`) plus connected components; chunking is per-row again.
+  * No stage materializes to the driver.
+  */
+object PretrainCorpus {
+
+  /** Thresholds are data-dependent knobs; defaults suit the synthetic
+    * corpus (drop the ~10% shortest and the most repetitive tail). */
+  final case class Config(
+      minChars: Int = 120,
+      maxRepPpm: Long = 80000,
+      simhashMaxHamming: Int = 1,
+      chunkSize: Int = 64,
+      chunkOverlap: Int = 16,
+      scrubPii: Boolean = false,
+      maxBucketSize: Int = Int.MaxValue)
+
+  /** Documents surviving normalize + quality + exact-dedup + near-dup
+    * stages, as (id, text) — the corpus a tokenizer would consume. */
+  def survivors(docs: DataFrame, idCol: String, textCol: String,
+                cfg: Config = Config()): DataFrame = {
+    val normed0 = docs.select(col(idCol).as("id"),
+      TextOps.normalizeNfc(col(textCol)).as("text"))
+    val normed =
+      if (cfg.scrubPii) normed0.withColumn("text", TextOps.scrubPii(col("text")))
+      else normed0
+    // quality gates, all per-row: length floor + duplicate-2-gram ceiling.
+    // The shingle array lands in its own projection first, so both counts
+    // reference the materialized attribute instead of re-shingling.
+    val quality = normed
+      .withColumn("grams", TextOps.wordShinglesAll(col("text"), 2))
+      .withColumn("n_grams", size(col("grams")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("grams"))).cast("long"))
+      .filter(length(col("text")) >= cfg.minChars && col("n_grams") > 0)
+      .filter(expr("((n_grams - n_distinct) * 2000000 + n_grams) div (2 * n_grams)")
+        <= cfg.maxRepPpm)
+      .select(col("id"), col("text"))
+    // exact dedup: smallest id per content fingerprint survives
+    val exact = quality
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("id"))))
+      .filter(col("rn") === 1).drop("rn")
+    // near-dup dedup: simhash pairs → connected components → the cluster's
+    // min id survives; docs in no pair never enter the cluster table
+    val pairs = Dedup.simhashNearDupPairs(exact, "id", "text",
+      cfg.simhashMaxHamming, cfg.maxBucketSize)
+    val losers = Dedup.dupClusters(pairs)
+      .filter(col("cluster_id") =!= col("id")).select(col("id"))
+    exact.join(losers, Seq("id"), "left_anti")
+  }
+
+  /** The full pipeline: [[survivors]] chunked into training windows. */
+  def prepare(docs: DataFrame, idCol: String, textCol: String,
+              cfg: Config = Config()): DataFrame =
+    Corpus.chunk(survivors(docs, idCol, textCol, cfg), "id", "text",
+      cfg.chunkSize, cfg.chunkOverlap)
+}

@@ -105,6 +105,16 @@ object AdvancedQueries {
         .select(col("eval_doc_id"), col("train_doc_id"), col("fp"))
     }),
 
+    // The composite pre-training pipeline end-to-end: normalize → quality
+    // gates (length floor, repetition ceiling) → exact dedup → simhash
+    // near-dup dedup (components, min-id survivor) → 64/16 token chunks.
+    // Every stage is individually gated elsewhere; this gates the
+    // COMPOSITION (stage wiring, survivor semantics) as one query.
+    "q85_pretrain_pipeline" -> ((s, dir) =>
+      graft.pipelines.PretrainCorpus.prepare(
+          t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
     // Character-entropy quality gate: low Shannon entropy flags templated
     // or degenerate text. Integer-exact (q76's quantize-once discipline).
     "q83_char_entropy" -> ((s, dir) =>
@@ -422,6 +432,57 @@ object AdvancedQueries {
          |SELECT e.doc_id AS eval_doc_id, t.doc_id AS train_doc_id, e.fp
          |FROM d e JOIN d t ON e.fp = t.fp
          |WHERE NOT e.in_train AND t.in_train""".stripMargin
+    },
+
+    "q85_pretrain_pipeline" -> {
+      val h = "(('0x' || substr(md5(tkn), 1, 15))::BIGINT % 2147483647)"
+      val powers = (0 until 31).map(j => 1L << j).mkString("[", ", ", "]")
+      s"""WITH RECURSIVE
+         |norm AS (SELECT doc_id, nfc_normalize(text) AS t FROM documents),
+         |tk AS (SELECT doc_id, t,
+         |  list_filter(string_split_regex(t, '\\s+'), x -> x <> '') AS toks FROM norm),
+         |g AS (SELECT doc_id, t, toks,
+         |  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS grams
+         |  FROM tk),
+         |quality AS (
+         |  SELECT doc_id, t, toks FROM g
+         |  WHERE length(t) >= 120 AND len(grams) > 0
+         |    AND ((len(grams) - len(list_distinct(grams))) * 2000000 + len(grams))
+         |        // (2 * len(grams)) <= 80000),
+         |exact AS (
+         |  SELECT doc_id, toks FROM (
+         |    SELECT doc_id, toks,
+         |      row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) AS rn
+         |    FROM quality) WHERE rn = 1),
+         |hs AS (SELECT doc_id,
+         |  list_transform(list_distinct(toks), tkn -> $h) AS hl FROM exact),
+         |sig AS (SELECT doc_id, list_sum(list_transform($powers::BIGINT[],
+         |  e -> CASE WHEN 2 * len(list_filter(hl, v -> v % (e * 2) >= e)) > len(hl)
+         |       THEN e ELSE 0 END))::BIGINT AS simhash FROM hs),
+         |bands AS (SELECT doc_id, simhash, unnest(list_transform(range(0, 4),
+         |  k -> k::VARCHAR || '_' || ((simhash // (256**k)::BIGINT) % 256)::VARCHAR)) AS band
+         |  FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |closure(a, b) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT c.a, e2.dst FROM closure c JOIN edges e2 ON c.b = e2.src),
+         |losers AS (SELECT a AS doc_id FROM closure GROUP BY a
+         |           HAVING least(a, MIN(b)) <> a),
+         |kept AS (SELECT e.doc_id, e.toks FROM exact e
+         |         ANTI JOIN losers l ON e.doc_id = l.doc_id),
+         |sized AS (SELECT doc_id, toks, len(toks) AS n FROM kept WHERE len(toks) > 0),
+         |idx AS (SELECT doc_id, toks, n,
+         |  unnest(range(0, greatest(1, (n - 16 + 47) // 48))) AS chunk_idx FROM sized)
+         |SELECT doc_id, chunk_idx,
+         |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_chunk_tokens,
+         |  array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
+         |FROM idx""".stripMargin
     },
 
     "q83_char_entropy" ->
