@@ -171,6 +171,33 @@ object CoreQueries {
           col("event_type"), col("n_events"), col("sum_value"))
     }),
 
+    // Time-spine gap filling: hourly aggregates INCLUDING empty hours —
+    // the resampling step every time-series feature pipeline needs (a
+    // missing bucket must be an explicit zero, not an absent row). The
+    // spine is generated (sequence + explode from the corpus's own min/max
+    // hour), crossed with the observed type dimension, then left-joined
+    // against the real aggregates — generation is free parallelism, no
+    // shuffle of the fact table beyond the one hourly groupBy.
+    "q86_time_spine" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val hourly = ev
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast("double").as("sv"))
+      val bounds = ev.agg(
+        min(unix_timestamp(date_trunc("hour", col("ts")))).as("lo"),
+        max(unix_timestamp(date_trunc("hour", col("ts")))).as("hi"))
+      val spine = bounds.select(
+        explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour_epoch"))
+      val types = ev.select(col("event_type")).distinct()
+      spine.crossJoin(types)
+        .join(hourly, Seq("hour_epoch", "event_type"), "left")
+        .select(col("hour_epoch"), col("event_type"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("sv"), lit(0.0)).as("sum_value"))
+    }),
+
     // Salted two-stage aggregation — the hot-key mitigation as a GATED
     // query: pre-aggregate on (key, salt) so no reducer owns a whole hot
     // key, then combine the 16 partials per key. Result provably equals
@@ -454,6 +481,23 @@ object CoreQueries {
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q86_time_spine" ->
+      """WITH e AS (
+        |  SELECT (epoch_us(ts) // 3600000000) * 3600 AS h, event_type, value
+        |  FROM events),
+        |hourly AS (
+        |  SELECT h, event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+        |  FROM e GROUP BY h, event_type),
+        |b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM e),
+        |spine AS (SELECT unnest(generate_series(lo, hi, 3600)) AS h FROM b),
+        |types AS (SELECT DISTINCT event_type FROM e)
+        |SELECT s.h AS hour_epoch, t.event_type,
+        |  COALESCE(hourly.n, 0) AS n_events,
+        |  COALESCE(hourly.sv, 0.0) AS sum_value
+        |FROM spine s CROSS JOIN types t
+        |LEFT JOIN hourly ON hourly.h = s.h AND hourly.event_type = t.event_type""".stripMargin,
 
     "q84_salted_agg" ->
       """SELECT l_returnflag,
