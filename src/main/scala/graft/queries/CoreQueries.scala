@@ -171,6 +171,20 @@ object CoreQueries {
           col("event_type"), col("n_events"), col("sum_value"))
     }),
 
+    // Cohort retention: users bucketed by first-seen week; how many are
+    // still active k weeks later. Two hash-aggs and one key join — the
+    // fact table shuffles once on user_id; integer week indices keep the
+    // oracle exact.
+    "q87_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_timestamp(ts) div 604800").as("week"))
+      val cohorts = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+      ev.join(cohorts, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // Time-spine gap filling: hourly aggregates INCLUDING empty hours —
     // the resampling step every time-series feature pipeline needs (a
     // missing bucket must be an explicit zero, not an absent row). The
@@ -481,6 +495,16 @@ object CoreQueries {
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q87_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000::BIGINT AS week
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |GROUP BY cohort_week, week - cohort_week""".stripMargin,
 
     "q86_time_spine" ->
       """WITH e AS (
