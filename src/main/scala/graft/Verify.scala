@@ -21,6 +21,11 @@ object Verify {
     // knob as Bench) — local iteration aid; the driver runs the full set.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // a typo'd name would silently select nothing and read as "0 failures"
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty)
+      System.err.println(
+        s"[verify] SPARK_GRAFT_ONLY names match no query: ${unknown.mkString(", ")}")
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only.contains(n) }

@@ -381,14 +381,20 @@ object Dedup {
                          bucketCol: String = "bucket"): DataFrame =
     if (maxBucketSize == Int.MaxValue) buckets
     else {
-      val sizes = buckets.groupBy(col(bucketCol)).agg(count(lit(1)).as("bsz"))
+      // persist the banded rows: the signature+banding pipeline above is
+      // the dominant cost, and without materialization it would run three
+      // times (dropped-count job, size aggregation, final join probe).
+      // MEMORY_AND_DISK, sized like the corpus × bands — the standard
+      // storage-for-compute trade on the opt-in cap path.
+      val b = buckets.persist()
+      val sizes = b.groupBy(col(bucketCol)).agg(count(lit(1)).as("bsz"))
       val dropped = sizes.filter(col("bsz") > maxBucketSize).count()
       if (dropped > 0)
         org.slf4j.LoggerFactory.getLogger(getClass)
           .warn(s"$what: dropped $dropped LSH bucket(s) larger than " +
             s"$maxBucketSize rows (boilerplate skew guard; pairs wholly " +
             "inside a dropped bucket are not generated)")
-      buckets.join(sizes.filter(col("bsz") <= maxBucketSize)
+      b.join(sizes.filter(col("bsz") <= maxBucketSize)
         .select(col(bucketCol)), bucketCol)
     }
 

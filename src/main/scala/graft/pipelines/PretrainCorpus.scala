@@ -42,7 +42,12 @@ object PretrainCorpus {
     val normed =
       if (cfg.scrubPii) normed0.withColumn("text", TextOps.scrubPii(col("text")))
       else normed0
-    // quality gates, all per-row: length floor + duplicate-2-gram ceiling.
+    // quality gates, all per-row: length floor + duplicate-2-gram ceiling
+    // (the shared [[Corpus.repetitionPpm]] formula — same as q80's gate).
+    // `n_grams > 0` also drops sub-2-token documents that pass the length
+    // floor (a 500-char single token: URL, hash blob, unsegmented script) —
+    // deliberate: they carry no shingle signal for the near-dup stage and
+    // no usable training tokens, but it IS a third gate, stated here.
     // The shingle array lands in its own projection first, so both counts
     // reference the materialized attribute instead of re-shingling.
     val quality = normed
@@ -50,8 +55,7 @@ object PretrainCorpus {
       .withColumn("n_grams", size(col("grams")).cast("long"))
       .withColumn("n_distinct", size(array_distinct(col("grams"))).cast("long"))
       .filter(length(col("text")) >= cfg.minChars && col("n_grams") > 0)
-      .filter(expr("((n_grams - n_distinct) * 2000000 + n_grams) div (2 * n_grams)")
-        <= cfg.maxRepPpm)
+      .filter(Corpus.repetitionPpm(col("n_grams"), col("n_distinct")) <= cfg.maxRepPpm)
       .select(col("id"), col("text"))
     // exact dedup: smallest id per content fingerprint survives
     val exact = quality

@@ -183,13 +183,22 @@ object Similarity {
           (i.toLong, r.getSeq[Double](r.fieldIndex("v")).toArray) }
       for (_ <- 0 until iters) {
         val assigned = ivfAssign(vecs, centroids, "id", "v")
+        // Means via per-element quantization to integer nano-units, then
+        // integer sums: a float avg() depends on partition/accumulation
+        // order, so trained centroids would differ run to run; integer
+        // addition is associative, making the trainer deterministic under
+        // any parallelism (the 1e-9 quantization is far below k-means'
+        // own tolerance).
         val means = assigned
           .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy("cluster_id", "pos").agg(avg(col("x")).as("m"))
+          .groupBy("cluster_id", "pos")
+          .agg(sum(floor(col("x") * 1e9 + 0.5).cast("long")).as("sq"),
+            count(lit(1)).as("n"))
           .collect()
           .groupBy(_.getLong(0))
           .map { case (cid, rows) =>
-            cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+            cid -> rows.sortBy(_.getInt(1))
+              .map(r => r.getLong(2).toDouble / (r.getLong(3) * 1e9)) }
         centroids = centroids.map { case (cid, old) =>
           (cid, means.getOrElse(cid, old)) }
       }

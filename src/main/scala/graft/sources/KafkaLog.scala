@@ -28,7 +28,11 @@ object KafkaLog {
     * `keyCol` omits the key (round-robin partition assignment). */
   def records(df: DataFrame, messageCol: String,
               keyCol: Option[String] = None): DataFrame = {
-    val value = to_json(struct(col(messageCol).as("message"))).as("value")
+    // ignoreNullFields=false: a null message must serialize as
+    // {"message": null}, not {} — consumers of the reference handler index
+    // the "message" key unconditionally
+    val value = to_json(struct(col(messageCol).as("message")),
+      java.util.Map.of("ignoreNullFields", "false")).as("value")
     keyCol match {
       case Some(k) => df.select(col(k).cast("string").as("key"), value)
       case None    => df.select(value)

@@ -88,24 +88,91 @@ object Streams {
         upsertBatch(batch, batchId, targetDir, pks, orderCol, numBuckets)
       }
 
+  private def baseName(path: String): String =
+    path.substring(path.lastIndexOf('/') + 1)
+
+  /** Bucket-count marker: the target layout is a function of `numBuckets`,
+    * so a restart with a different value would hash keys into different
+    * partitions and silently duplicate history. The count is pinned in a
+    * marker file and validated every batch. */
+  private def bucketMarker(targetDir: String) = s"$targetDir/.graft_buckets"
+
+  /** Complete a COMMITTED staged merge: remove any pre-migration flat
+    * files, swap every staged partition dir in, drop the staging dir.
+    * Re-entrant — each step is individually idempotent, so a crash at any
+    * point is healed by running it again: a staged partition survives until
+    * its rename lands, which only happens after the live counterpart is
+    * gone. Rename failure (e.g. an object store refusing the copy) throws —
+    * the batch fails loudly and streaming retries, rather than dropping a
+    * bucket on the floor. */
+  private def completeSwap(spark: SparkSession, targetDir: String,
+                           staging: String): Unit = {
+    import graft.sources.FsOps
+    FsOps.list(spark, targetDir).foreach { case (name, isDir, _) =>
+      if (!isDir && name.endsWith(".parquet")) FsOps.delete(spark, name) }
+    FsOps.list(spark, staging).foreach { case (name, isDir, _) =>
+      val part = baseName(name)
+      if (isDir && part.startsWith(UpsertBucketCol + "=")) {
+        FsOps.delete(spark, s"$targetDir/$part")
+        if (!FsOps.rename(spark, name, s"$targetDir/$part"))
+          throw new IllegalStateException(
+            s"upsert swap: rename failed for $name -> $targetDir/$part")
+      }
+    }
+    FsOps.delete(spark, staging)
+    ()
+  }
+
+  /** Heal interrupted batches before touching the target: a staging dir
+    * with a `_SUCCESS` marker holds the complete new state of its buckets
+    * (finish its swap); one without is an uncommitted write over an intact
+    * target (discard it). After this, the target is in a consistent state
+    * and the replayed batch merges against correct inputs. */
+  private def recoverPendingSwaps(spark: SparkSession, targetDir: String): Unit = {
+    import graft.sources.FsOps
+    FsOps.list(spark, targetDir).foreach { case (name, isDir, _) =>
+      if (isDir && baseName(name).startsWith(".graft_staging_")) {
+        if (FsOps.exists(spark, s"$name/_SUCCESS"))
+          completeSwap(spark, targetDir, name)
+        else { FsOps.delete(spark, name); () }
+      }
+    }
+  }
+
   /** One micro-batch of the partition-scoped upsert — the foreachBatch body,
-    * exposed so idempotence (checkpointed replay re-applies a batch) is
-    * directly testable. Protocol: merge the batch with the TOUCHED key-hash
-    * partitions into a HIDDEN staging dir under the target (dot-prefix =
-    * invisible to FileIndex readers), then swap those partition dirs in with
-    * renames. One write job total: the merge plan reads the old partition
-    * files directly (no localCheckpoint double-materialization needed — the
-    * target isn't touched until the staging write has fully committed), and
-    * the repartition by bucket yields ONE file per touched partition per
-    * batch instead of (shuffle tasks × buckets) fragments. Swap via rename
-    * is a metadata op on HDFS/local; a failure mid-swap leaves whole
-    * partitions at either the old or new version, and the checkpointed
-    * batch replay re-merges idempotently (snapshot keeps newest-per-key, so
-    * merging already-merged data is a no-op). */
+    * exposed so replay idempotence and crash recovery are directly testable.
+    *
+    * Protocol: (1) heal any interrupted previous attempt
+    * ([[recoverPendingSwaps]]); (2) merge the batch with the TOUCHED
+    * key-hash partitions into a HIDDEN staging dir under the target
+    * (dot-prefix = invisible to FileIndex readers) — one write job, the
+    * merge plan reads the old partition files directly and the repartition
+    * by bucket yields ONE file per touched partition; (3) swap the staged
+    * dirs in ([[completeSwap]]). The staging `_SUCCESS` marker is the
+    * commit point: crash before it → staging discarded, target untouched,
+    * replay recomputes; crash after it → recovery finishes the swap from
+    * staging (which still holds any bucket whose rename hadn't landed), and
+    * the replayed batch then re-merges idempotently (snapshot keeps
+    * newest-per-key). Data is always present in live, staging, or both —
+    * never neither.
+    *
+    * A legacy FLAT parquet target (pre-partitioning layout) triggers a
+    * one-time MIGRATE: the whole target is merged and bucketed — pruning
+    * against a flat target would read `_kb` as null and silently drop all
+    * history — and the flat files are removed inside the same swap. */
   def upsertBatch(batch0: DataFrame, batchId: Long, targetDir: String,
                   pks: Seq[String], orderCol: String, numBuckets: Int): Unit = {
     import graft.sources.FsOps
     val spark = batch0.sparkSession
+    recoverPendingSwaps(spark, targetDir)
+    if (FsOps.exists(spark, bucketMarker(targetDir))) {
+      val prev = FsOps.readString(spark, bucketMarker(targetDir)).trim
+      require(prev == numBuckets.toString,
+        s"upsert target $targetDir was written with numBuckets=$prev; " +
+          s"running with numBuckets=$numBuckets would hash keys into " +
+          "different partitions and duplicate history. Keep the original " +
+          "value, or rebuild the target.")
+    }
     val batch = batch0.withColumn(UpsertBucketCol,
       pmod(xxhash64(pks.map(col): _*), lit(numBuckets.toLong)).cast("int"))
     // Buckets this batch touches — bounded by numBuckets, so the collect
@@ -116,25 +183,17 @@ object Streams {
       // Target layout probe, through the Hadoop FS API so hdfs://, s3a://,
       // ... resolve correctly (a java.io.File probe would read any remote
       // target as absent and silently drop history). A bare/leftover empty
-      // dir (failed first batch, eager mkdir) must read as empty, not
-      // crash the stream. Three cases:
-      //  - `_kb=` partition dirs → the normal partition-scoped merge;
-      //  - legacy FLAT parquet files (a pre-partitioning target) → one-time
-      //    MIGRATE: merge the whole target, bucket it, swap everything —
-      //    pruning against a flat target would read `_kb` as null and the
-      //    touched-bucket filter would silently drop all history;
-      //  - neither → first batch, target starts empty.
+      // dir (failed first batch, eager mkdir) reads as empty.
       val entries = FsOps.list(spark, targetDir)
       val hasPartDirs = entries.exists { case (name, isDir, _) =>
-        isDir && name.substring(name.lastIndexOf('/') + 1)
-          .startsWith(UpsertBucketCol + "=") }
-      val flatFiles = entries.collect { case (name, false, size)
-        if name.endsWith(".parquet") && size > 0 => name }
+        isDir && baseName(name).startsWith(UpsertBucketCol + "=") }
+      val hasFlat = entries.exists { case (name, isDir, size) =>
+        !isDir && name.endsWith(".parquet") && size > 0 }
       val existing =
         if (hasPartDirs)
           spark.read.schema(batch.schema).parquet(targetDir)
             .where(col(UpsertBucketCol).isin(touched: _*))
-        else if (flatFiles.nonEmpty)
+        else if (hasFlat)
           spark.read.schema(batch0.schema).parquet(targetDir)
             .withColumn(UpsertBucketCol, pmod(xxhash64(pks.map(col): _*),
               lit(numBuckets.toLong)).cast("int"))
@@ -145,22 +204,9 @@ object Streams {
         .repartition(col(UpsertBucketCol))
         .write.mode("overwrite").partitionBy(UpsertBucketCol)
         .parquet(staging)
-      // Migration rewrites every bucket, not just the batch's; afterwards
-      // the flat files must go or readers would see history twice.
-      val swap =
-        if (flatFiles.nonEmpty && !hasPartDirs)
-          FsOps.list(spark, staging).collect { case (name, true, _)
-            if name.substring(name.lastIndexOf('/') + 1)
-              .startsWith(UpsertBucketCol + "=") =>
-            name.substring(name.lastIndexOf('/') + 1) }
-        else touched.map(b => s"$UpsertBucketCol=$b")
-      swap.foreach { part =>
-        FsOps.delete(spark, s"$targetDir/$part")
-        FsOps.rename(spark, s"$staging/$part", s"$targetDir/$part")
-      }
-      if (flatFiles.nonEmpty && !hasPartDirs)
-        flatFiles.foreach(f => FsOps.delete(spark, f))
-      FsOps.delete(spark, staging)
+      if (!FsOps.exists(spark, bucketMarker(targetDir)))
+        FsOps.putString(spark, bucketMarker(targetDir), numBuckets.toString)
+      completeSwap(spark, targetDir, staging)
     }
     ()
   }

@@ -153,8 +153,21 @@ object Corpus {
         size_(array_distinct(col("grams"))).cast("long").as("n_distinct"))
       .filter(col("n_grams") > 0)
       .select(col("id"), col("n_grams"), col("n_distinct"),
-        expr("((n_grams - n_distinct) * 2000000 + n_grams) div (2 * n_grams)")
-          .as("rep_ppm"))
+        repetitionPpm(col("n_grams"), col("n_distinct")).as("rep_ppm"))
+
+  /** Duplicate-fraction in integer ppm, half-up — the single source of the
+    * repetition formula (the q80 oracle and the PretrainCorpus quality gate
+    * restate the SAME expression; a rounding change here is a change in
+    * both, never a silent drift). Inputs must be long columns; the `div`
+    * is Spark's integer division (exact, unlike `/` which widens to
+    * double). */
+  def repetitionPpm(nGrams: org.apache.spark.sql.Column,
+                    nDistinct: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.Bridge.toColumn(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graft.Bridge.toExpr(
+          (nGrams - nDistinct) * lit(2000000L) + nGrams),
+        org.apache.spark.sql.graft.Bridge.toExpr(nGrams * lit(2L))))
 
   /** Per-document Shannon character entropy in µnats — low entropy flags
     * repetitive/templated or degenerate text (another Gopher-class quality
@@ -165,8 +178,12 @@ object Corpus {
     * the per-doc repeats) → per-doc totals join → per-doc hash-agg. Linear
     * in corpus bytes, no self-joins. */
   def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // codepoint-aware split: Java regex `.` matches a full code POINT, so
+    // astral-plane characters (emoji, math alphanumerics) count once —
+    // `split(text, "")` would halve their surrogate pairs into two bogus
+    // "characters" and diverge from DuckDB's codepoint string_split
     val chars = docs.select(col(idCol).as("id"),
-        explode(split(col(textCol), "")).as("ch"))
+        explode(regexp_extract_all(col(textCol), lit("(?s)."), lit(0))).as("ch"))
       .filter(col("ch") =!= "")
     val cc = chars.groupBy(col("id"), col("ch")).agg(count(lit(1)).as("nc"))
     val tot = cc.groupBy(col("id")).agg(sum(col("nc")).as("n"))

@@ -186,6 +186,11 @@ class SimilaritySpec extends SparkSpec {
     val seeds = Similarity.trainCentroids(emb, k = 8, iters = 0)
     val trained = Similarity.trainCentroids(emb, k = 8, iters = 5)
     assert(trained.length == 8 && trained.forall(_._2.length == 64))
+    // integer-quantized means make training exactly reproducible
+    val again = Similarity.trainCentroids(emb.repartition(7), k = 8, iters = 5)
+    assert(trained.zip(again).forall { case ((c1, v1), (c2, v2)) =>
+      c1 == c2 && java.util.Arrays.equals(v1, v2) },
+      "trainCentroids must be deterministic across partitionings")
     // Lloyd iterations must not worsen the objective (mean sq distance)
     def objective(cs: Array[(Long, Array[Double])]): Double =
       Similarity.ivfAssign(emb, cs)

@@ -24,6 +24,10 @@ class KafkaLogSpec extends SparkSpec {
     assert(parsed == Map("job-1" -> "step ok", "job-2" -> "step failed"))
     // keyless shape: value-only (round-robin partitioning)
     assert(KafkaLog.records(logs, "msg").columns.toSeq == Seq("value"))
+    // null messages keep the key in the wire format: {"message": null}
+    val withNull = Seq((Some("x"), None: Option[String])).toDF("job", "msg")
+    val v = rows(KafkaLog.records(withNull, "msg")).head.getString(0)
+    assert(v == """{"message":null}""", s"got $v")
   }
 
   test("batch and streaming writers configure the kafka sink without starting") {

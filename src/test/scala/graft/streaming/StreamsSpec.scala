@@ -157,6 +157,48 @@ class StreamsSpec extends SparkSpec {
     assert(afterOnce == Map(1L -> ("a2", 2L), 2L -> ("b", 1L), 3L -> ("c", 1L)))
   }
 
+  test("upsertBatch heals a crash between partition delete and rename") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_upsert_crash")
+    val target = s"$base/target"
+    Streams.upsertBatch(
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "payload", "version"),
+      0L, target, Seq("id"), "version", 16)
+    // simulate the worst crash window: a committed staging existed, the
+    // live partition was deleted, the rename never landed — move one live
+    // partition dir INTO a staged dir carrying the _SUCCESS commit marker
+    val fs = graft.sources.FsOps
+    val victim = fs.list(spark, target)
+      .collect { case (n, true, _) if n.contains(s"${Streams.UpsertBucketCol}=") => n }
+      .head
+    val staging = s"$target/.graft_staging_99"
+    fs.mkdirs(spark, staging)
+    fs.putString(spark, s"$staging/_SUCCESS", "")
+    assert(fs.rename(spark, victim,
+      s"$staging/${victim.substring(victim.lastIndexOf('/') + 1)}"))
+    // next batch (any batch) must first heal the interrupted swap
+    Streams.upsertBatch(
+      Seq((3L, "c", 1L)).toDF("id", "payload", "version"),
+      1L, target, Seq("id"), "version", 16)
+    val got = Streams.readUpsertTarget(spark, target).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("payload")).toMap
+    assert(got == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(!fs.exists(spark, staging), "healed staging dir must be removed")
+  }
+
+  test("upsertBatch refuses a numBuckets change against an existing target") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_upsert_nb")
+    val target = s"$base/target"
+    Streams.upsertBatch(Seq((1L, "a", 1L)).toDF("id", "payload", "version"),
+      0L, target, Seq("id"), "version", 16)
+    val e = intercept[IllegalArgumentException] {
+      Streams.upsertBatch(Seq((1L, "a2", 2L)).toDF("id", "payload", "version"),
+        1L, target, Seq("id"), "version", 32)
+    }
+    assert(e.getMessage.contains("numBuckets"))
+  }
+
   test("upsertBatch migrates a legacy flat target without losing history") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_upsert_migrate")
