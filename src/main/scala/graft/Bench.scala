@@ -49,7 +49,20 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+
+    // The harness reads only the TAIL of the combined output, so the JSON
+    // line must be the last thing this process emits. Quiesce everything
+    // that could log after it (streaming state-store maintenance races
+    // spark.stop() and stack-traces to stderr), stop Spark, THEN print,
+    // and exit immediately so no lingering thread writes another byte.
+    spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+    try org.apache.spark.sql.graft.Bridge.stopStateStores()
+    catch { case _: Throwable => () }
     spark.stop()
+    println(line)
+    System.out.flush()
+    sys.exit(0)
   }
 }

@@ -12,4 +12,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Stop streaming state-store maintenance threads while the RpcEnv is
+    * still alive. Without this, a maintenance tick racing `spark.stop()`
+    * logs an RpcEnvStoppedException stack trace to stderr during JVM
+    * shutdown — harmless but noisy enough to drown a process's final
+    * stdout in log-scraping harnesses. `StateStore.stop()` is
+    * `private[sql]`, hence routed through this package-scoped shim. */
+  def stopStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 }
