@@ -1,0 +1,104 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Grouped statistical estimators kept EXACT across engines: ordinary
+  * least squares + Pearson correlation, z-score outlier flagging, and
+  * ntile-bucket summaries. The built-ins (`regr_slope`, `corr`, `stddev`)
+  * stream doubles and are summation-order-dependent — unusable under a
+  * cross-engine hash gate and irreproducible across cluster runs. Here
+  * every moment is accumulated in exact integer/decimal arithmetic
+  * (order-free), and doubles appear only in a fixed, final expression over
+  * those exact sums, quantized once with floor(x·scale + 0.5) — floor of
+  * identical doubles is bit-deterministic where ROUND(double, n) is not.
+  *
+  * Scale shape: one map-side-combine hash-agg per group (moments), a
+  * broadcast join back for per-row scoring — corpus-linear, no windows over
+  * the fact table.
+  */
+object Stats {
+
+  private def d38(c: Column): Column = c.cast("decimal(38,0)")
+
+  /** Per-group OLS fit of yq on xq plus Pearson r, where `xq`/`yq` are
+    * ALREADY-QUANTIZED integer columns (e.g. hours, micro-units — the
+    * caller owns the quantization so the oracle can restate it).
+    *
+    * Emits (group..., n, slope_micro, intercept_micro, corr_micro):
+    * slope/intercept in millionths of (y-unit per x-unit) / y-units.
+    * The Σx, Σy, Σxy, Σx², Σy² moments are exact (per-row products stay in
+    * BIGINT range for quantizations up to ~1e9; sums go through
+    * DECIMAL(38,0) = DuckDB's HUGEINT); the closed-form slope
+    * (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) is evaluated in doubles only at the end. */
+  def linearFit(df: DataFrame, groupCols: Seq[String],
+                xq: Column, yq: Column): DataFrame = {
+    val moments = df
+      .select(groupCols.map(col) :+ xq.cast("long").as("x") :+ yq.cast("long").as("y"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
+        sum(d38(col("x") * col("x"))).as("sxx"),
+        sum(d38(col("x") * col("y"))).as("sxy"),
+        sum(d38(col("y") * col("y"))).as("syy"))
+    moments.select(
+      moments.columns.filterNot(
+        Set("sx", "sy", "sxx", "sxy", "syy").contains).map(col) ++ Seq(
+        floor(slopeD * lit(1e6) + lit(0.5)).cast("long").as("slope_micro"),
+        floor(interceptD * lit(1e6) + lit(0.5)).cast("long").as("intercept_micro"),
+        floor(corrD * lit(1e6) + lit(0.5)).cast("long").as("corr_micro")): _*)
+  }
+
+  // Closed-form pieces over the exact moments; doubles enter only here and
+  // every operation is IEEE-defined on identical inputs, so both engines
+  // produce bit-identical values to feed the single floor-quantization.
+  private def dd(c: Column): Column = c.cast("double")
+  private def num: Column = dd(d38(col("n")) * col("sxy") - col("sx") * col("sy"))
+  private def denX: Column = dd(d38(col("n")) * col("sxx") - col("sx") * col("sx"))
+  private def denY: Column = dd(d38(col("n")) * col("syy") - col("sy") * col("sy"))
+  private def slopeD: Column = num / denX
+  private def interceptD: Column = (dd(col("sy")) - slopeD * dd(col("sx"))) / dd(col("n"))
+  private def corrD: Column = num / (sqrt(denX) * sqrt(denY))
+
+  /** Rows whose |z-score| within their group exceeds `thresholdBp/1e4`
+    * standard deviations (sample stddev). z is quantized to integer basis
+    * points and THRESHOLDED ON THE INTEGER — a float threshold at the
+    * filter boundary would let a last-ulp difference flip row membership.
+    * `yq` must be an integer-quantized measure. Group stats ride a
+    * broadcast join back onto the rows (|groups| ≪ |rows|). */
+  def zscoreOutliers(df: DataFrame, groupCol: String, yq: Column,
+                     keepCols: Seq[String], thresholdBp: Long): DataFrame = {
+    val q = df.select((groupCol +: keepCols).map(col) :+ yq.cast("long").as("y"): _*)
+    val stats = q.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(d38(col("y"))).as("sy"),
+        sum(d38(col("y") * col("y"))).as("syy"))
+    val meanD = dd(col("sy")) / dd(col("n"))
+    val varD = dd(d38(col("n")) * col("syy") - col("sy") * col("sy")) /
+      dd(d38(col("n")) * (col("n") - lit(1)))
+    val zD = (dd(col("y")) - meanD) / sqrt(varD)
+    q.join(broadcast(stats), groupCol)
+      .withColumn("z_bp", floor(zD * lit(1e4) + lit(0.5)).cast("long"))
+      .where(abs(col("z_bp")) > lit(thresholdBp))
+      .select((groupCol +: keepCols).map(col) :+ col("z_bp"): _*)
+  }
+
+  /** ntile(`buckets`) summary over a ranked measure: bucket membership is
+    * decided by a TOTAL order (`orderCols` must end in a unique key) so the
+    * assignment — and therefore every downstream aggregate — is
+    * deterministic under ties. The global-sort window is over the GROUPED
+    * measure (one row per entity, not per fact); at warehouse scale swap
+    * the single window for range-partitioned bucketing on pre-computed
+    * quantile bounds. */
+  def ntileSummary(entities: DataFrame, measure: Column, buckets: Int,
+                   orderCols: Seq[Column]): DataFrame = {
+    val w = Window.orderBy(orderCols: _*)
+    entities
+      .withColumn("bucket", ntile(buckets).over(w))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(measure).cast("double").as("total"),
+        min(measure).cast("double").as("lo"),
+        max(measure).cast("double").as("hi"))
+  }
+}

@@ -1,0 +1,273 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Behavior, Stats}
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.functions.ColumnOps
+import graft.operators.Pareto
+import graft.text.Corpus
+
+/** Round-5 query pack: behavioral sequence analytics (ordered funnel,
+  * Markov transitions), exact grouped OLS/correlation, BM25 term weighting,
+  * JSON property extraction, canonical-corpus selection, ntile deciles,
+  * z-score outliers, and a Pareto skyline — each hash-gated against a
+  * DuckDB restatement.
+  *
+  * Exactness discipline (MEMORY: oracle-exactness-rules): probabilities and
+  * scores leave the engines as INTEGERS (ppm / micro / basis points) minted
+  * by exact integer arithmetic or one floor(x·scale + 0.5) over an
+  * identical double expression; filters threshold on those integers, never
+  * on raw floats; double sums ride DECIMAL; timestamps compare in µs.
+  */
+object AnalyticsQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Ordered conversion funnel: users reaching each step strictly after
+    // their earliest qualifying previous step. Stage k is a user-key join
+    // against a monotonically shrinking build side — AQE broadcasts it.
+    "q88_funnel" -> ((s, dir) =>
+      Behavior.funnel(t(s, dir, "events"),
+        Seq("signup", "view", "click", "purchase"))),
+
+    // First-order Markov transition matrix of each user's event-type
+    // sequence; probability as exact integer ppm.
+    "q89_markov" -> ((s, dir) =>
+      Behavior.transitions(t(s, dir, "events"))),
+
+    // Per-type OLS of value (µ-units) on event hour + Pearson r — exact
+    // moments (decimal sums), one final float expression, floor-quantized.
+    "q90_linreg" -> ((s, dir) =>
+      Stats.linearFit(t(s, dir, "events"), Seq("event_type"),
+        expr("unix_micros(ts) div 3600000000"),
+        floor(col("value") * lit(1e6) + lit(0.5)))),
+
+    // BM25 top-3 terms per document (integer-deterministic ranking).
+    "q91_bm25" -> ((s, dir) =>
+      Corpus.bm25TopTerms(t(s, dir, "documents"), "doc_id", "text", 3)
+        .withColumnRenamed("id", "doc_id")),
+
+    // JSON property extraction + per-type rollup of the extracted field —
+    // the semi-structured payload path (events.props is a JSON object).
+    "q92_json_props" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          countDistinct(col("k")).as("n_distinct_k"))),
+
+    // Canonical-corpus selection: one winner (min doc_id) per exact-content
+    // cluster; per-source kept/dropped accounting for the dedup report.
+    "q93_canonical_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("content_hash", ColumnOps.contentHash(col("text")))
+      val winners = docs.groupBy(col("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      docs.join(winners, "content_hash")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") === col("keep_id"), 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(when(col("doc_id") === col("keep_id"), col("n_chars"))
+            .otherwise(0L)).as("chars_kept"))
+    }),
+
+    // Customer-spend deciles: ntile(10) over a TOTAL order (spend desc,
+    // custkey) on the 1-row-per-customer aggregate, then per-bucket stats.
+    "q94_spend_deciles" -> ((s, dir) => {
+      val spend = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(dec(col("o_totalprice"))).as("spend"))
+      Stats.ntileSummary(spend, col("spend"), 10,
+          Seq(col("spend").desc, col("o_custkey").asc))
+        .select(col("bucket").cast("int").as("decile"),
+          col("n").as("n_cust"), col("total").as("total_spend"),
+          col("lo").as("min_spend"), col("hi").as("max_spend"))
+    }),
+
+    // Per-type z-score outliers (|z| > 2.5σ), thresholded on integer basis
+    // points so row membership can't flip on a float ulp.
+    "q95_zscore_outliers" -> ((s, dir) =>
+      Stats.zscoreOutliers(t(s, dir, "events"), "event_type",
+        floor(col("value") * lit(1e6) + lit(0.5)),
+        Seq("event_id"), thresholdBp = 25000L)
+        .select(col("event_id"), col("event_type"), col("z_bp"))),
+
+    // Pareto frontier of parts on (min retailprice, min size) — sort-scan
+    // skyline in Spark, independently restated as NOT EXISTS in the oracle.
+    "q96_pareto" -> ((s, dir) =>
+      Pareto.skyline2d(
+        t(s, dir, "part").select(col("p_partkey"), col("p_retailprice"),
+          col("p_size")),
+        "p_retailprice", "p_size"))
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q88_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |       WHERE e.event_type = 'view' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s4 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |       JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT 1 AS step_idx, 'signup' AS step, (SELECT COUNT(*) FROM s1) AS users
+        |UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM s2)
+        |UNION ALL SELECT 3, 'click', (SELECT COUNT(*) FROM s3)
+        |UNION ALL SELECT 4, 'purchase', (SELECT COUNT(*) FROM s4)""".stripMargin,
+
+    "q89_markov" ->
+      """WITH seq AS (
+        |  SELECT event_type AS next_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type, next_type, COUNT(*) AS n FROM seq
+        |      WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  CAST((n * 1000000) // (SUM(n) OVER (PARTITION BY prev_type)) AS BIGINT)
+        |    AS ppm
+        |FROM c""".stripMargin,
+
+    "q90_linreg" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS x,
+        |    CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS y
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |    CAST(SUM(x * x) AS HUGEINT) AS sxx,
+        |    CAST(SUM(x * y) AS HUGEINT) AS sxy,
+        |    CAST(SUM(y * y) AS HUGEINT) AS syy
+        |  FROM q GROUP BY 1)
+        |SELECT event_type, n,
+        |  CAST(FLOOR(
+        |    (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS slope_micro,
+        |  CAST(FLOOR(
+        |    ((CAST(sy AS DOUBLE)
+        |      - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+        |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS intercept_micro,
+        |  CAST(FLOOR(
+        |    (CAST(n * sxy - sx * sy AS DOUBLE)
+        |     / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+        |        * SQRT(CAST(n * syy - sy * sy AS DOUBLE))))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS corr_micro
+        |FROM m""".stripMargin,
+
+    "q91_bm25" ->
+      """WITH tf AS (
+        |  SELECT doc_id, word AS term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+        |    FROM documents)
+        |  WHERE word <> '' GROUP BY doc_id, word),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |ag AS (SELECT CAST(SUM(dl) AS BIGINT) AS tot, COUNT(*) AS n_with FROM dl),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, dl.dl,
+        |    CAST(FLOOR(
+        |      ((LN((n.n_docs::DOUBLE - dfreq.df::DOUBLE + 0.5)
+        |            / (dfreq.df::DOUBLE + 0.5) + 1.0)
+        |        * (tf.tf::DOUBLE * (1.2 + 1.0)))
+        |       / (tf.tf::DOUBLE
+        |          + 1.2 * ((1.0 - 0.75)
+        |                   + 0.75 * dl.dl::DOUBLE
+        |                     / (ag.tot::DOUBLE / ag.n_with::DOUBLE))))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS score_micro
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term)
+        |  CROSS JOIN n CROSS JOIN ag),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score_micro DESC, term ASC) AS INT)
+        |    AS term_rank
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, dl, score_micro, term_rank
+        |FROM ranked WHERE term_rank <= 3""".stripMargin,
+
+    "q92_json_props" ->
+      """SELECT event_type,
+        |  COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  MIN(k) AS min_k, MAX(k) AS max_k,
+        |  COUNT(DISTINCT k) AS n_distinct_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY 1""".stripMargin,
+
+    "q93_canonical_corpus" ->
+      """WITH fp AS (
+        |  SELECT doc_id, source, n_chars,
+        |    md5(concat_ws('~', COALESCE(text, chr(0)))) AS content_hash
+        |  FROM documents),
+        |w AS (SELECT content_hash, MIN(doc_id) AS keep_id FROM fp GROUP BY 1)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(SUM(CASE WHEN doc_id = keep_id THEN n_chars ELSE 0 END) AS BIGINT)
+        |    AS chars_kept
+        |FROM fp JOIN w USING (content_hash) GROUP BY 1""".stripMargin,
+
+    "q94_spend_deciles" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT o_custkey, spend,
+        |        ntile(10) OVER (ORDER BY spend DESC, o_custkey ASC) AS decile
+        |      FROM spend)
+        |SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n_cust,
+        |  CAST(SUM(spend) AS DOUBLE) AS total_spend,
+        |  CAST(MIN(spend) AS DOUBLE) AS min_spend,
+        |  CAST(MAX(spend) AS DOUBLE) AS max_spend
+        |FROM b GROUP BY 1""".stripMargin,
+
+    "q95_zscore_outliers" ->
+      """WITH q AS (
+        |  SELECT event_id, event_type,
+        |    CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS y
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(y) AS HUGEINT) AS sy, CAST(SUM(y * y) AS HUGEINT) AS syy
+        |  FROM q GROUP BY 1)
+        |SELECT event_id, q.event_type,
+        |  CAST(FLOOR(
+        |    ((CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |     / SQRT(CAST(n * syy - sy * sy AS DOUBLE)
+        |            / CAST(n * (n - 1) AS DOUBLE)))
+        |    * 10000.0 + 0.5) AS BIGINT) AS z_bp
+        |FROM q JOIN m ON q.event_type = m.event_type
+        |WHERE ABS(CAST(FLOOR(
+        |    ((CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |     / SQRT(CAST(n * syy - sy * sy AS DOUBLE)
+        |            / CAST(n * (n - 1) AS DOUBLE)))
+        |    * 10000.0 + 0.5) AS BIGINT)) > 25000""".stripMargin,
+
+    "q96_pareto" ->
+      """SELECT p.p_partkey, p.p_retailprice, p.p_size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))""".stripMargin
+  )
+}

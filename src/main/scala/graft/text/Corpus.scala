@@ -198,6 +198,46 @@ object Corpus {
           .cast("double") / 1e6).as("entropy"))
   }
 
+  /** BM25 top-k terms per document (Okapi weighting, the retrieval-grade
+    * upgrade of [[topTerms]]'s raw TF-IDF: term saturation via k1, document
+    * -length normalization via b). idf uses the +1 form
+    * ln((N − df + 0.5)/(df + 0.5) + 1), always positive.
+    *
+    * Exactness: every input to the score (tf, df, dl, N, Σdl) is an exact
+    * integer from hash-aggs; the score is ONE fixed double expression over
+    * them quantized ONCE to integer micro-units (floor(x·1e6 + 0.5)), and
+    * the per-doc ranking orders by that integer — so rank and output are
+    * engine-identical, no float tie can flip them.
+    *
+    * Plan shape = [[tfidf]]'s: explode → two hash-aggs (tf, df) + one per
+    * -doc agg (dl) + two broadcast scalars, then a per-doc top-k window
+    * over ≤|doc terms| rows. Corpus-linear, no self-joins. */
+  def bm25TopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol)
+    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val ag = dl.agg(sum(col("dl")).as("tot_tokens"), count(lit(1)).as("n_with"))
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    val avgdl = dd(col("tot_tokens")) / dd(col("n_with"))
+    val idf = log((dd(col("n_docs")) - dd(col("df")) + lit(0.5)) /
+      (dd(col("df")) + lit(0.5)) + lit(1.0))
+    val score = (idf * (dd(col("tf")) * lit(k1 + 1.0))) /
+      (dd(col("tf")) + lit(k1) *
+        (lit(1.0 - b) + lit(b) * dd(col("dl")) / avgdl))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(col("score_micro").desc, col("term").asc)
+    tf.join(dl, "id").join(dfreq, "term")
+      .crossJoin(broadcast(n)).crossJoin(broadcast(ag))
+      .withColumn("score_micro",
+        floor(score * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= k)
+      .select(col("id"), col("term"), col("tf"), col("df"), col("dl"),
+        col("score_micro"), col("term_rank"))
+  }
+
   // functions.size shadowed by the Int parameter name in chunk()
   private def size_(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.size(c)

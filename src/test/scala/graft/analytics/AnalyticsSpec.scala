@@ -1,0 +1,103 @@
+package graft.analytics
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Pareto
+import graft.text.Corpus
+
+/** Crafted-input semantics for the round-5 analytics pack: funnel ordering,
+  * transition probabilities, exact OLS, z-score membership, skyline
+  * dominance (including duplicate points), and BM25 ranking. The
+  * corpus-level gates live in the q88–q96 oracle checks; these specs pin
+  * the EDGE semantics the oracle data may never exercise.
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  private val ev = Seq(
+    // user 1 completes signup -> view -> click, but the purchase PRECEDES
+    // the click, so the funnel must not count it.
+    (1L, ts(10), 1L, "signup", 1.0),
+    (2L, ts(20), 1L, "view", 1.0),
+    (3L, ts(25), 1L, "purchase", 1.0),
+    (4L, ts(30), 1L, "click", 1.0),
+    // user 2: view BEFORE signup — only the signup step counts.
+    (5L, ts(40), 2L, "view", 1.0),
+    (6L, ts(50), 2L, "signup", 1.0),
+    // user 3: full funnel in order.
+    (7L, ts(10), 3L, "signup", 1.0),
+    (8L, ts(11), 3L, "view", 1.0),
+    (9L, ts(12), 3L, "click", 1.0),
+    (10L, ts(13), 3L, "purchase", 1.0)
+  ).toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("funnel counts only strictly-ordered completions") {
+    val out = Behavior.funnel(ev, Seq("signup", "view", "click", "purchase"))
+      .orderBy("step_idx").collect()
+    assert(out.map(r => (r.getAs[String]("step"), r.getAs[Long]("users"))).toSeq ==
+      Seq(("signup", 3L), ("view", 2L), ("click", 2L), ("purchase", 1L)))
+  }
+
+  test("transitions: per-prev ppm sums to <= 1e6 and counts are exact") {
+    val tr = Behavior.transitions(ev).collect()
+    val m = tr.map(r => ((r.getString(0), r.getString(1)), r.getAs[Long]("n"))).toMap
+    // user 1: signup->view->purchase->click; user 2: view->signup;
+    // user 3: signup->view->click->purchase
+    assert(m(("signup", "view")) == 2L && m(("view", "purchase")) == 1L)
+    val byPrev = tr.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getAs[Long]("ppm")).sum)
+    byPrev.foreach { case (_, s) => assert(s <= 1000000L && s > 900000L) }
+  }
+
+  test("linearFit recovers an exact known line and corr ±1") {
+    // y = 3x + 7 exactly: slope_micro 3e6, intercept_micro 7e6, corr 1e6.
+    val pts = Seq((0L, 7L), (1L, 10L), (2L, 13L), (3L, 16L))
+      .toDF("x", "y").withColumn("g", lit("a"))
+    val fit = Stats.linearFit(pts, Seq("g"), col("x"), col("y")).collect().head
+    assert(fit.getAs[Long]("slope_micro") == 3000000L)
+    assert(fit.getAs[Long]("intercept_micro") == 7000000L)
+    assert(fit.getAs[Long]("corr_micro") == 1000000L)
+  }
+
+  test("zscoreOutliers flags exactly the planted outlier") {
+    val df = (Seq.fill(20)(100L) :+ 100000L).zipWithIndex
+      .map { case (v, i) => (i.toLong, "t", v) }
+      .toDF("event_id", "event_type", "y")
+    val out = Stats.zscoreOutliers(df, "event_type", col("y"),
+      Seq("event_id"), thresholdBp = 25000L).collect()
+    assert(out.map(_.getAs[Long]("event_id")).toSeq == Seq(20L))
+    assert(out.head.getAs[Long]("z_bp") > 40000L)
+  }
+
+  test("skyline2d keeps the frontier, drops dominated, keeps duplicates") {
+    val parts = Seq(
+      (1L, 1.0, 10), // frontier (cheapest)
+      (2L, 2.0, 5), // frontier (smaller than everything cheaper)
+      (3L, 2.0, 5), // exact duplicate of 2 — kept (no strict dominance)
+      (4L, 2.0, 7), // dominated by 2 (same price, bigger)
+      (5L, 3.0, 5), // dominated by 2 (same size, pricier)
+      (6L, 4.0, 1), // frontier
+      (7L, 5.0, 2) // dominated by 6
+    ).toDF("id", "price", "size")
+    val kept = Pareto.skyline2d(parts, "price", "size")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L, 6L))
+  }
+
+  test("bm25 ranks rarer terms above saturated common ones") {
+    val docs = Seq(
+      (1L, "rare common common common common"),
+      (2L, "common common common common common"),
+      (3L, "common filler words here common")
+    ).toDF("doc_id", "text")
+    val top = Corpus.bm25TopTerms(docs, "doc_id", "text", 1)
+      .where(col("id") === 1L).collect().head
+    assert(top.getAs[String]("term") == "rare")
+    assert(top.getAs[Long]("score_micro") > 0L)
+  }
+}
