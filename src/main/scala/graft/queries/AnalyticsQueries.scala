@@ -109,7 +109,75 @@ object AnalyticsQueries {
       Pareto.skyline2d(
         t(s, dir, "part").select(col("p_partkey"), col("p_retailprice"),
           col("p_size")),
-        "p_retailprice", "p_size"))
+        "p_retailprice", "p_size")),
+
+    // Recursive CTE (Spark 4 WITH RECURSIVE): BFS shortest-hops from nation
+    // 0 over the top-3-per-source heaviest trade edges (customer nation →
+    // supplier nation). The edge derivation is plain joins+rank; the
+    // UnionLoop recursion is bounded by dist < 5 and min-dist is aggregated
+    // outside the loop — the same bounded-frontier semantics as the
+    // distributed pointer-jumping in q44, expressed declaratively.
+    "q97_recursive_reach" -> ((s, dir) => {
+      Seq("lineitem", "orders", "customer", "supplier").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(s"g5_$n"))
+      s.sql("""
+        WITH RECURSIVE e AS (
+          SELECT c.c_nationkey AS src, sp.s_nationkey AS dst, COUNT(*) AS n
+          FROM g5_lineitem l
+          JOIN g5_orders o ON l.l_orderkey = o.o_orderkey
+          JOIN g5_customer c ON o.o_custkey = c.c_custkey
+          JOIN g5_supplier sp ON l.l_suppkey = sp.s_suppkey
+          WHERE c.c_nationkey <> sp.s_nationkey
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT src, dst, row_number() OVER (
+            PARTITION BY src ORDER BY n DESC, dst ASC) AS r
+          FROM e),
+        heavy AS (SELECT src, dst FROM ranked WHERE r <= 3),
+        walk(node, dist) AS (
+          SELECT CAST(0 AS BIGINT), 0
+          UNION ALL
+          SELECT h.dst, w.dist + 1 FROM walk w
+          JOIN heavy h ON h.src = w.node WHERE w.dist < 5)
+        SELECT CAST(node AS BIGINT) AS node, CAST(MIN(dist) AS INT) AS hops
+        FROM walk GROUP BY node""")
+    }),
+
+    // Explicit GROUPING SETS — the asymmetric subtotal shape rollup/cube
+    // can't express ((flag), (status), ()); one hash-agg pass, gid
+    // disambiguates subtotal rows from real NULL groups.
+    "q98_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("g5_lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          COUNT(*) AS n,
+          CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid
+        FROM g5_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+    }),
+
+    // Percent rank as exact integer ppm over a TOTAL order — top 5% orders
+    // within each order month. rank/count stay integers end-to-end; the
+    // filter thresholds the integer, so membership can't flip on a float.
+    "q99_percent_rank" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("ym"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("ym"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("int").as("ym"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .where(col("n") > 1)
+        .withColumn("prank_ppm",
+          expr("((rk - 1) * 1000000) div (n - 1)").cast("long"))
+        .where(col("prank_ppm") < 50000L)
+        .select(col("o_orderkey"), col("ym"), col("rk").cast("long").as("rk"),
+          col("prank_ppm"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -268,6 +336,52 @@ object AnalyticsQueries {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM part q
         |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
-        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))""".stripMargin
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))""".stripMargin,
+
+    "q97_recursive_reach" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT c.c_nationkey AS src, sp.s_nationkey AS dst, COUNT(*) AS n
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier sp ON l.l_suppkey = sp.s_suppkey
+        |  WHERE c.c_nationkey <> sp.s_nationkey
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT src, dst, row_number() OVER (
+        |    PARTITION BY src ORDER BY n DESC, dst ASC) AS r
+        |  FROM e),
+        |heavy AS (SELECT src, dst FROM ranked WHERE r <= 3),
+        |walk(node, dist) AS (
+        |  SELECT CAST(0 AS BIGINT), 0
+        |  UNION ALL
+        |  SELECT h.dst, w.dist + 1 FROM walk w
+        |  JOIN heavy h ON h.src = w.node WHERE w.dist < 5)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(MIN(dist) AS INT) AS hops
+        |FROM walk GROUP BY node""".stripMargin,
+
+    "q98_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    "q99_percent_rank" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS ym
+        |  FROM orders),
+        |w AS (
+        |  SELECT o_orderkey, ym,
+        |    row_number() OVER (PARTITION BY ym
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk,
+        |    COUNT(*) OVER (PARTITION BY ym) AS n
+        |  FROM r)
+        |SELECT o_orderkey, ym, CAST(rk AS BIGINT) AS rk,
+        |  CAST(((rk - 1) * 1000000) // (n - 1) AS BIGINT) AS prank_ppm
+        |FROM w
+        |WHERE n > 1 AND ((rk - 1) * 1000000) // (n - 1) < 50000""".stripMargin
   )
 }
