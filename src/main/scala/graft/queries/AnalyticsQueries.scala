@@ -177,6 +177,39 @@ object AnalyticsQueries {
         .where(col("prank_ppm") < 50000L)
         .select(col("o_orderkey"), col("ym"), col("rk").cast("long").as("rk"),
           col("prank_ppm"))
+    }),
+
+    // Incremental re-aggregation: daily partials combined into monthly
+    // totals, gated against the oracle's DIRECT monthly aggregation — the
+    // materialized-rollup pattern (store day-grain partial moments, serve
+    // any coarser grain by re-aggregating) proven lossless because every
+    // carried moment (decimal sum, count) reassociates exactly.
+    "q100_partial_reagg" -> ((s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(
+          (year(col("l_shipdate")) * 10000 + month(col("l_shipdate")) * 100 +
+            dayofmonth(col("l_shipdate"))).cast("int").as("ymd"),
+          col("l_returnflag"))
+        .agg(sum(dec(col("l_quantity"))).as("sq"), count(lit(1)).as("nd"))
+      daily
+        .groupBy(expr("ymd div 100").cast("int").as("ym"), col("l_returnflag"))
+        .agg(sum(col("sq")).cast("double").as("sum_qty"), sum(col("nd")).as("n"))
+    }),
+
+    // Last-touch attribution: each purchase credits the user's most recent
+    // preceding non-purchase event type — IGNORE NULLS lag carries the last
+    // touch forward (the same carry-forward mechanics as LOCF gap filling).
+    "q101_last_touch" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("touch",
+          lag(when(col("event_type") =!= "purchase", col("event_type")),
+            1, null, ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase" && col("touch").isNotNull)
+        .groupBy(col("touch"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(dec(col("value"))).cast("double").as("attributed_value"))
     })
   )
 
@@ -382,6 +415,28 @@ object AnalyticsQueries {
         |SELECT o_orderkey, ym, CAST(rk AS BIGINT) AS rk,
         |  CAST(((rk - 1) * 1000000) // (n - 1) AS BIGINT) AS prank_ppm
         |FROM w
-        |WHERE n > 1 AND ((rk - 1) * 1000000) // (n - 1) < 50000""".stripMargin
+        |WHERE n > 1 AND ((rk - 1) * 1000000) // (n - 1) < 50000""".stripMargin,
+
+    // Direct monthly aggregation — the Spark side must reproduce it from
+    // day-grain partials exactly.
+    "q100_partial_reagg" ->
+      """SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS ym,
+        |  l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q101_last_touch" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    lag(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |        IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS touch
+        |  FROM events)
+        |SELECT touch, COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+        |FROM x
+        |WHERE event_type = 'purchase' AND touch IS NOT NULL
+        |GROUP BY 1""".stripMargin
   )
 }
