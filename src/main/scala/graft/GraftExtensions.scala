@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Whole-operator extension: per-key top-k logical node → strategy
+    // (partial/final bounded-heap split) + key-filter pushdown rule.
+    ext.injectPlannerStrategy(_ => graft.plans.TopK.TopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.TopK.PushFilterThroughTopK)
     ext.injectFunction((
       FunctionIdentifier("iso_duration_micros"),
       info("iso_duration_micros", "iso_duration_micros(iso) - ISO-8601 duration string to microseconds (null on malformed)."),

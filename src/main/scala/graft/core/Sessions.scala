@@ -31,6 +31,9 @@ object Sessions {
     val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
+      // engine extensions (custom SQL functions + TopK strategy/rule); on a
+      // cluster the same class rides --conf spark.sql.extensions
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.getOrElse(cores).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

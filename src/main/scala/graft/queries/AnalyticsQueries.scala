@@ -210,7 +210,18 @@ object AnalyticsQueries {
         .groupBy(col("touch"))
         .agg(count(lit(1)).as("n_purchases"),
           sum(dec(col("value"))).cast("double").as("attributed_value"))
-    })
+    }),
+
+    // Custom whole-operator path (plans.TopK): top-3 orders per customer
+    // through the TopKPerKeyNode → TopKStrategy → partial/final bounded-heap
+    // execution — ships ≤ k rows per (key, partition) through the exchange
+    // where the window formulation ships and sorts everything. Oracle
+    // restates the row_number window semantics.
+    "q102_topk_per_group" -> ((s, dir) =>
+      graft.plans.TopK.perKey(t(s, dir, "orders"),
+          keys = Seq("o_custkey"),
+          orderBy = Seq(("o_totalprice", false), ("o_orderkey", true)), k = 3)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -437,6 +448,14 @@ object AnalyticsQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
         |FROM x
         |WHERE event_type = 'purchase' AND touch IS NOT NULL
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "q102_topk_per_group" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM r WHERE rn <= 3""".stripMargin
   )
 }

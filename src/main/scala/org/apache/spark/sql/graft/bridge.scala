@@ -21,4 +21,13 @@ object Bridge {
     * `private[sql]`, hence routed through this package-scoped shim. */
   def stopStateStores(): Unit =
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+
+  /** Wrap a hand-built LogicalPlan as a DataFrame (`Dataset.ofRows` is
+    * `private[sql]` in Spark 4's classic module) — the construction path
+    * for custom logical operators like [[graft.plans.TopK]]. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
