@@ -131,4 +131,36 @@ class PlanRegressionSpec extends AnyFunSuite {
       "expect the (key, salt) pre-aggregate exchange plus the key combine")
     assert(!p.contains("SortMergeJoin") && !p.contains("Join"))
   }
+
+  test("q88: every funnel step's type filter reaches its scan") {
+    val p = plan("q88_funnel")
+    Seq("signup", "view", "click", "purchase").foreach(step =>
+      assert(p.contains(s"EqualTo(event_type,$step)"),
+        s"step $step filter must push to the parquet scan"))
+    assert(!p.contains("SortMergeJoin"),
+      "shrinking per-step build sides must broadcast, not sort-merge")
+  }
+
+  test("q90/q95: exact-moment stats are hash-aggs, never a fact-table window") {
+    assert(!plan("q90_linreg").contains("Window"))
+    val p95 = plan("q95_zscore_outliers")
+    assert(!p95.contains("Window"))
+    assert(p95.contains("BroadcastHashJoin"),
+      "per-group stats must broadcast back onto the rows")
+  }
+
+  test("q96: skyline is the linear sort-scan shape, not a quadratic self-join") {
+    val p = plan("q96_pareto")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the NOT EXISTS formulation belongs to the oracle only")
+  }
+
+  test("q102: custom top-k plans as partial+final exec, exactly one exchange") {
+    val p = plan("q102_topk_per_group")
+    assert("TopKPerKey".r.findAllIn(p).size >= 2,
+      "expect partial and final TopKPerKeyExec nodes")
+    assert("Exchange".r.findAllIn(p).size == 1)
+    assert(!p.contains("Window") && !p.contains("Sort ["),
+      "the custom operator must not fall back to window/sort")
+  }
 }
