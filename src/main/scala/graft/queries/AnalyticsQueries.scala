@@ -221,7 +221,32 @@ object AnalyticsQueries {
       graft.plans.TopK.perKey(t(s, dir, "orders"),
           keys = Seq("o_custkey"),
           orderBy = Seq(("o_totalprice", false), ("o_orderkey", true)), k = 3)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+
+    // Cross-engine reconciliation checksum: per-group order-independent sum
+    // of 48-bit row hashes — the oracle computes the SAME checksum from the
+    // same md5 bytes, so the gate literally performs a Spark↔DuckDB table
+    // reconciliation.
+    "q103_table_checksum" -> ((s, dir) =>
+      graft.quality.Checksums.grouped(t(s, dir, "lineitem"),
+        Seq("l_returnflag"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_returnflag", "l_linestatus"))),
+
+    // Wide→long unpivot (melt) + per-metric rollup — the inverse of q52's
+    // pivot; Spark's native unpivot emits (id, metric, value) without a
+    // join or union of scans.
+    "q104_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"))
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_tax")),
+          "metric", "v")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("v"))).cast("double").as("sum_v")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -456,6 +481,31 @@ object AnalyticsQueries {
         |    row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders)
-        |SELECT o_orderkey, o_custkey, o_totalprice FROM r WHERE rn <= 3""".stripMargin
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM r WHERE rn <= 3""".stripMargin,
+
+    "q103_table_checksum" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(('0x' || substring(md5(concat_ws('~',
+        |        COALESCE(CAST(l_orderkey AS VARCHAR), chr(0)),
+        |        COALESCE(CAST(l_partkey AS VARCHAR), chr(0)),
+        |        COALESCE(CAST(l_suppkey AS VARCHAR), chr(0)),
+        |        COALESCE(CAST(l_linenumber AS VARCHAR), chr(0)),
+        |        COALESCE(CAST(l_returnflag AS VARCHAR), chr(0)),
+        |        COALESCE(CAST(l_linestatus AS VARCHAR), chr(0)))), 1, 12))
+        |      AS BIGINT)) AS VARCHAR) AS checksum
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q104_unpivot" ->
+      """WITH long AS (
+        |  SELECT l_orderkey, 'l_quantity' AS metric, l_quantity AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, 'l_tax', l_tax FROM lineitem)
+        |SELECT metric, COUNT(*) AS n,
+        |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM long GROUP BY 1""".stripMargin
   )
 }
