@@ -253,7 +253,33 @@ object AnalyticsQueries {
           "metric", "v")
         .groupBy(col("metric"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("v"))).cast("double").as("sum_v")))
+          sum(dec(col("v"))).cast("double").as("sum_v"))),
+
+    // LOCF imputation on the hourly spine: where q86 fills gaps with
+    // explicit zeros, this carries the LAST OBSERVED value forward (the
+    // standard imputation for state-like series: price, level, gauge).
+    // last(…, ignoreNulls) over an unbounded-preceding frame — hours before
+    // a type's first observation stay null in both engines.
+    "q105_locf_gap_fill" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val hourly = ev
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+          col("event_type"))
+        .agg(sum(dec(col("value"))).cast("double").as("sv"))
+      val bounds = ev.agg(
+        min(unix_timestamp(date_trunc("hour", col("ts")))).as("lo"),
+        max(unix_timestamp(date_trunc("hour", col("ts")))).as("hi"))
+      val spine = bounds.select(
+        explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour_epoch"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("hour_epoch"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      spine.crossJoin(ev.select(col("event_type")).distinct())
+        .join(hourly, Seq("hour_epoch", "event_type"), "left")
+        .select(col("hour_epoch"), col("event_type"),
+          col("sv").isNotNull.as("observed"),
+          last(col("sv"), ignoreNulls = true).over(w).as("sv_locf"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -513,6 +539,29 @@ object AnalyticsQueries {
         |  SELECT l_orderkey, 'l_tax', l_tax FROM lineitem)
         |SELECT metric, COUNT(*) AS n,
         |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
-        |FROM long GROUP BY 1""".stripMargin
+        |FROM long GROUP BY 1""".stripMargin,
+
+    "q105_locf_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS hour_epoch,
+        |    event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT MIN(epoch_us(date_trunc('hour', ts)) // 1000000) AS lo,
+        |         MAX(epoch_us(date_trunc('hour', ts)) // 1000000) AS hi
+        |  FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, 3600)) AS hour_epoch FROM bounds),
+        |grid AS (
+        |  SELECT s.hour_epoch, t.event_type
+        |  FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) t)
+        |SELECT g.hour_epoch, g.event_type,
+        |  h.sv IS NOT NULL AS observed,
+        |  last_value(h.sv IGNORE NULLS) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.hour_epoch
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv_locf
+        |FROM grid g LEFT JOIN hourly h
+        |  ON g.hour_epoch = h.hour_epoch AND g.event_type = h.event_type""".stripMargin
   )
 }
