@@ -1,0 +1,47 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Blocked string-similarity join: edit-distance near-duplicate pairs
+  * without the n² cross product. Classic record-linkage blocking — pairs
+  * are only generated inside (blocking key, first token, ±`maxLenDiff`
+  * length) blocks, so the candidate count is Σ block², never n², and the
+  * block key is an equi-join Catalyst can hash-partition; AQE splits any
+  * skewed block at runtime.
+  *
+  * The residual `levenshtein(a, b, maxDist)` uses Spark's threshold
+  * overload — the banded O(maxDist·len) DP that abandons a pair the moment
+  * its distance provably exceeds the cap, rather than filtering after a
+  * full O(len²) computation.
+  */
+object StringSim {
+
+  /** Pairs (a_id < b_id) within the same (`blockCols`, first
+    * whitespace-token) block whose names differ by 1..`maxDist` edits and
+    * at most `maxLenDiff` characters of length. Distance 0 (exact dups) is
+    * excluded — that's exact dedup's job, done without pairing. */
+  def blockedEditPairs(df: DataFrame, idCol: String, nameCol: String,
+                       blockCols: Seq[String], maxLenDiff: Int,
+                       maxDist: Int): DataFrame = {
+    def side(tag: String): DataFrame =
+      df.select(blockCols.map(col) ++ Seq(
+        col(idCol).as(s"${tag}_id"),
+        col(nameCol).as(s"${tag}_name"),
+        expr(s"split_part($nameCol, ' ', 1)").as(s"${tag}_tok"),
+        length(col(nameCol)).as(s"${tag}_len")): _*)
+    val a = side("a")
+    val b = side("b").withColumnsRenamed(
+      blockCols.map(c => c -> s"b_$c").toMap)
+    val joinCond = blockCols.map(c => col(c) === col(s"b_$c"))
+      .reduce(_ && _) &&
+      col("a_tok") === col("b_tok") &&
+      col("a_id") < col("b_id") &&
+      abs(col("a_len") - col("b_len")) <= lit(maxLenDiff)
+    val d = levenshtein(col("a_name"), col("b_name"), maxDist)
+    a.join(b, joinCond)
+      .withColumn("d", d.cast("int"))
+      .where(col("d").between(1, maxDist))
+      .select(col("a_id"), col("b_id"), col("d"))
+  }
+}
