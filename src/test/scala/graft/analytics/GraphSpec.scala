@@ -1,0 +1,48 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("triangles enumerates each undirected triangle once, ignoring direction") {
+    // 1-2, 2-3, 3-1 (one stored reversed), plus a dangling 3-4 edge and a
+    // duplicate orientation of 1-2: exactly one triangle (1,2,3).
+    val edges = Seq((1, 2), (2, 3), (1, 3), (2, 1), (3, 4))
+      .toDF("src", "dst")
+    val got = Graph.triangles(edges).as[(Int, Int, Int)].collect().toSeq
+    assert(got == Seq((1, 2, 3)))
+  }
+
+  test("pagerank: symmetric 2-cycle splits mass equally; total mass ≈ 1e6") {
+    val edges = Seq((1, 2, 10L), (2, 1, 10L)).toDF("src", "dst", "w")
+    val pr = Graph.pagerank(edges, iters = 3)
+      .as[(Int, Long)].collect().toMap
+    assert(pr(1) == pr(2))
+    // truncating div loses at most a few ppm per node per iteration
+    assert(math.abs(pr.values.sum - 1000000L) < 100L)
+  }
+
+  test("pagerank is partitioning-independent (integer arithmetic)") {
+    val edges = Seq((1, 2, 5L), (2, 3, 5L), (3, 1, 5L), (1, 3, 1L))
+      .toDF("src", "dst", "w")
+    val a = Graph.pagerank(edges, 3).as[(Int, Long)].collect().toMap
+    val b = Graph.pagerank(edges.repartition(7), 3)
+      .as[(Int, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("copurchaseLift prunes by support and computes integer lift") {
+    // orders: (1: A,B) (2: A,B) (3: A,C) (4: B) — with minItemSupport=2
+    // C (n=1) is pruned; pair (A,B) n_ab=2, n_a=3, n_b=3, N=4 →
+    // lift = 2·4·1e6 div 9 = 888888.
+    val rows = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"), (4L, "B")).toDF("o", "p")
+    val got = Basket.copurchaseLift(rows, "o", "p", 2L, 2L)
+      .select("pa", "pb", "n_ab", "lift_ppm")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", "B", 2L, 888888L)))
+  }
+}
