@@ -29,9 +29,14 @@ object Graph {
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    // Broadcast the closing sides: checkpointed inputs carry no size
+    // stats, so the static planner would pick sort-merge even for a tiny
+    // edge set (AQE fixes it at runtime, but the plan pin wants it
+    // guaranteed). For billion-edge graphs drop the hints and pre-filter
+    // by degree orientation instead.
     val uv = und
-    val vw = und.select(col("u").as("v2"), col("v").as("w"))
-    val uw = und.select(col("u").as("u3"), col("v").as("w3"))
+    val vw = broadcast(und.select(col("u").as("v2"), col("v").as("w")))
+    val uw = broadcast(und.select(col("u").as("u3"), col("v").as("w3")))
     uv.join(vw, col("v") === col("v2"))
       .join(uw, col("u") === col("u3") && col("w") === col("w3"))
       .select(col("u"), col("v"), col("w"))
@@ -63,12 +68,16 @@ object Graph {
     val nN = nodes.count() // scalar metadata (|V|), not a data collect
     val base = 150000L / nN
     var pr = nodes.withColumn("pr", lit(1000000L / nN))
+    // The rank vector is |V| rows against |E| edges — broadcast it (the
+    // checkpointed inputs have no stats, so the static planner would
+    // sort-merge otherwise). A graph whose rank vector can't broadcast
+    // needs the partitioned-join variant; same loop, no hints.
     for (_ <- 1 to iters) {
-      val contrib = e.join(pr.withColumnRenamed("node", "src"), "src")
+      val contrib = e.join(broadcast(pr.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node"),
           expr("(850 * pr * w) div (1000 * outw)").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
-      pr = nodes.join(contrib, Seq("node"), "left")
+      pr = nodes.join(broadcast(contrib), Seq("node"), "left")
         .select(col("node"),
           (lit(base) + coalesce(col("inflow"), lit(0L))).as("pr"))
     }

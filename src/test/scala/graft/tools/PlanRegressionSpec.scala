@@ -155,6 +155,43 @@ class PlanRegressionSpec extends AnyFunSuite {
       "the NOT EXISTS formulation belongs to the oracle only")
   }
 
+  test("q106: MAD stats broadcast back onto rows, no fact-table window") {
+    val p = plan("q106_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"))
+  }
+
+  test("q107: sweep-line is one window pass whose partitioning the agg reuses") {
+    val p = plan("q107_peak_concurrency")
+    assert("Window".r.findAllIn(p).size == 1)
+    assert("Exchange".r.findAllIn(p).size == 1,
+      "groupBy(type) must reuse the window's hash partitioning, not re-shuffle")
+  }
+
+  test("q108: blocked edit-distance join is an equi hash join, never all-pairs") {
+    val p = plan("q108_name_edit_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "blocking keys must drive an equi join; the residual stays a filter")
+  }
+
+  test("q109/q110: signal windows run on a single exchange per fact pass") {
+    val p9 = plan("q109_rolling_median")
+    assert("Exchange".r.findAllIn(p9).size == 1)
+    val p10 = plan("q110_cusum_drift")
+    assert(p10.contains("BroadcastHashJoin"),
+      "per-type targets must broadcast back onto the event stream")
+    assert(!p10.contains("SortMergeJoin"))
+  }
+
+  test("q111-q113: basket and graph joins never degrade to sort-merge or all-pairs") {
+    Seq("q111_copurchase_lift", "q112_trade_triangles", "q113_pagerank")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("SortMergeJoin"), s"$q: expected broadcast/hash joins")
+        assert(!p.contains("CartesianProduct"), s"$q: all-pairs join appeared")
+      }
+  }
+
   test("q102: custom top-k plans as partial+final exec, exactly one exchange") {
     val p = plan("q102_topk_per_group")
     assert("TopKPerKey".r.findAllIn(p).size >= 2,
