@@ -83,6 +83,32 @@ object Stats {
       .select((groupCol +: keepCols).map(col) :+ col("z_bp"): _*)
   }
 
+  /** Benford first-digit profile of a positive integer-quantized measure —
+    * the classic fabricated-data screen. The leading digit comes from the
+    * decimal string of the integer (identical across engines, where
+    * float log10-of-value is not), observed shares are integer ppm, and
+    * the expected Benford shares are a 9-row constant table
+    * (floor(log10(1+1/d)·1e6 + 0.5), precomputed so no runtime libm call
+    * can differ by an ulp across engines). One hash-agg over the digits +
+    * a 1-row total broadcast. */
+  def benford(df: DataFrame, yq: Column): DataFrame = {
+    val expected: Column = element_at(
+      map(Seq(301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153,
+        45757).zipWithIndex.flatMap { case (ppm, i) =>
+        Seq(lit(i + 1), lit(ppm.toLong))
+      }: _*), col("digit"))
+    val digits = df
+      .select(yq.cast("long").as("y")).where(col("y") > 0)
+      .select(substring(col("y").cast("string"), 1, 1).cast("int").as("digit"))
+    // total via a global window over the ≤9-row aggregate — one pass over
+    // the data, no second scan for the denominator
+    digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("n_tot", sum(col("n")).over(Window.partitionBy()))
+      .select(col("digit"), col("n"),
+        expr("(n * 1000000) div n_tot").as("observed_ppm"),
+        expected.as("expected_ppm"))
+  }
+
   /** ntile(`buckets`) summary over a ranked measure: bucket membership is
     * decided by a TOTAL order (`orderCols` must end in a unique key) so the
     * assignment — and therefore every downstream aggregate — is

@@ -37,6 +37,26 @@ object Sampling {
       .drop("__rank")
   }
 
+  /** Rebalance a skewed source mix toward equal shares: source s keeps
+    * rows at rate min(1, N/(S·n_s)) — sources at or below the equal share
+    * N/S keep everything, over-represented sources are down-sampled to it.
+    * Rates are integer ppm computed from exact counts; membership is the
+    * same subset-monotone key-hash rule as [[hashSample]], so the mix is
+    * reproducible on any partitioning and across engines. The S-row rate
+    * table broadcasts back onto the corpus. */
+  def balanceSources(df: DataFrame, sourceCol: Column, keyCol: Column): DataFrame = {
+    val counts = df.groupBy(sourceCol.as("__src"))
+      .agg(count(lit(1)).as("n_s"))
+    val totals = df.select(count(lit(1)).as("n_tot"),
+      countDistinct(sourceCol).as("n_src"))
+    val rates = counts.crossJoin(totals).select(col("__src"),
+      least(lit(1000000L),
+        expr("(n_tot * 1000000) div (n_src * n_s)")).as("rate_ppm"))
+    df.join(broadcast(rates), sourceCol === col("__src"))
+      .where(TextOps.h31(keyCol.cast("string")) % 1000000L < col("rate_ppm"))
+      .drop("__src")
+  }
+
   /** Deterministic weighted sample without replacement (Efraimidis-
     * Spirakis A-ES): each row draws priority u^(1/w) with u a key-hash
     * uniform in (0,1); the k highest priorities are the sample —
