@@ -63,8 +63,8 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
 
     "q111_copurchase_lift" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |item AS (SELECT p, COUNT(*) AS n FROM op GROUP BY 1 HAVING COUNT(*) >= 5),
+      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |item AS MATERIALIZED (SELECT p, COUNT(*) AS n FROM op GROUP BY 1 HAVING COUNT(*) >= 5),
         |no AS (SELECT COUNT(DISTINCT o) AS n_orders FROM op),
         |pairs AS (
         |  SELECT a.p AS pa, b.p AS pb, ia.n AS n_a, ib.n AS n_b,
@@ -78,7 +78,7 @@ object GraphQueries {
         |FROM pairs CROSS JOIN no""".stripMargin,
 
     "q112_trade_triangles" ->
-      """WITH e AS (
+      """WITH e AS MATERIALIZED (
         |  SELECT c.c_nationkey AS src, sp.s_nationkey AS dst, COUNT(*) AS w
         |  FROM lineitem l
         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -86,12 +86,12 @@ object GraphQueries {
         |  JOIN supplier sp ON l.l_suppkey = sp.s_suppkey
         |  WHERE c.c_nationkey <> sp.s_nationkey
         |  GROUP BY 1, 2),
-        |heavy AS (
+        |heavy AS MATERIALIZED (
         |  SELECT src, dst FROM (
         |    SELECT src, dst, row_number() OVER (
         |      PARTITION BY src ORDER BY w DESC, dst ASC) AS r FROM e)
         |  WHERE r <= 3),
-        |und AS (
+        |und AS MATERIALIZED (
         |  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
         |  FROM heavy WHERE src <> dst)
         |SELECT CAST(a.u AS INT) AS u, CAST(a.v AS INT) AS v,
@@ -100,7 +100,7 @@ object GraphQueries {
         |  ON c.u = a.u AND c.v = b.v""".stripMargin,
 
     "q113_pagerank" ->
-      """WITH e0 AS (
+      """WITH e0 AS MATERIALIZED (
         |  SELECT c.c_nationkey AS src, sp.s_nationkey AS dst, COUNT(*) AS w
         |  FROM lineitem l
         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -108,26 +108,26 @@ object GraphQueries {
         |  JOIN supplier sp ON l.l_suppkey = sp.s_suppkey
         |  WHERE c.c_nationkey <> sp.s_nationkey
         |  GROUP BY 1, 2),
-        |outw AS (SELECT src, SUM(w) AS outw FROM e0 GROUP BY 1),
-        |e AS (SELECT e0.src, e0.dst, e0.w, outw.outw
+        |outw AS MATERIALIZED (SELECT src, SUM(w) AS outw FROM e0 GROUP BY 1),
+        |e AS MATERIALIZED (SELECT e0.src, e0.dst, e0.w, outw.outw
         |      FROM e0 JOIN outw USING (src)),
-        |nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
-        |n AS (SELECT COUNT(*) AS nn FROM nodes),
-        |p0 AS (SELECT node, 1000000 // nn AS pr FROM nodes CROSS JOIN n),
-        |c1 AS (SELECT dst AS node,
+        |nodes AS MATERIALIZED (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+        |n AS MATERIALIZED (SELECT COUNT(*) AS nn FROM nodes),
+        |p0 AS MATERIALIZED (SELECT node, 1000000 // nn AS pr FROM nodes CROSS JOIN n),
+        |c1 AS MATERIALIZED (SELECT dst AS node,
         |         SUM((850 * pr * w) // (1000 * outw)) AS inflow
         |       FROM e JOIN p0 ON e.src = p0.node GROUP BY 1),
-        |p1 AS (SELECT nodes.node, 150000 // nn + COALESCE(inflow, 0) AS pr
+        |p1 AS MATERIALIZED (SELECT nodes.node, 150000 // nn + COALESCE(inflow, 0) AS pr
         |       FROM nodes CROSS JOIN n LEFT JOIN c1 ON c1.node = nodes.node),
-        |c2 AS (SELECT dst AS node,
+        |c2 AS MATERIALIZED (SELECT dst AS node,
         |         SUM((850 * pr * w) // (1000 * outw)) AS inflow
         |       FROM e JOIN p1 ON e.src = p1.node GROUP BY 1),
-        |p2 AS (SELECT nodes.node, 150000 // nn + COALESCE(inflow, 0) AS pr
+        |p2 AS MATERIALIZED (SELECT nodes.node, 150000 // nn + COALESCE(inflow, 0) AS pr
         |       FROM nodes CROSS JOIN n LEFT JOIN c2 ON c2.node = nodes.node),
-        |c3 AS (SELECT dst AS node,
+        |c3 AS MATERIALIZED (SELECT dst AS node,
         |         SUM((850 * pr * w) // (1000 * outw)) AS inflow
         |       FROM e JOIN p2 ON e.src = p2.node GROUP BY 1),
-        |p3 AS (SELECT nodes.node, 150000 // nn + COALESCE(inflow, 0) AS pr
+        |p3 AS MATERIALIZED (SELECT nodes.node, 150000 // nn + COALESCE(inflow, 0) AS pr
         |       FROM nodes CROSS JOIN n LEFT JOIN c3 ON c3.node = nodes.node)
         |SELECT CAST(node AS BIGINT) AS node, CAST(pr AS BIGINT) AS pr_ppm
         |FROM p3""".stripMargin

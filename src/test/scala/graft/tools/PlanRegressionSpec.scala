@@ -192,6 +192,23 @@ class PlanRegressionSpec extends AnyFunSuite {
       }
   }
 
+  test("q114/q116: governance audits are single hash-agg passes") {
+    val p14 = plan("q114_kanonymity")
+    assert("Exchange".r.findAllIn(p14).size == 1)
+    assert(!p14.contains("Join"))
+    val p16 = plan("q116_benford")
+    assert(!p16.contains("Join"),
+      "the denominator must ride the 9-row window, not a second scan join")
+    assert("FileScan".r.findAllIn(p16).size == 1,
+      "benford must read the fact table exactly once")
+  }
+
+  test("q115: the source-rate table broadcasts back onto the corpus") {
+    val p = plan("q115_source_mix")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q102: custom top-k plans as partial+final exec, exactly one exchange") {
     val p = plan("q102_topk_per_group")
     assert("TopKPerKey".r.findAllIn(p).size >= 2,
