@@ -45,6 +45,18 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      // Quiesce per query: streaming queries leave memory-sink tables and
+      // state-store maintenance threads behind; 100+ queries of that
+      // accumulation degraded late queries 3-8x in a full-suite run
+      // (q62 33.7s in-suite vs 4.3s isolated) — heap pressure + state
+      // maintenance, not plan cost.
+      spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+      try {
+        spark.catalog.listTables().collect()
+          .filter(t => t.name.contains("_mem_") && t.isTemporary)
+          .foreach(t => spark.catalog.dropTempView(t.name))
+        org.apache.spark.sql.graft.Bridge.stopStateStores()
+      } catch { case _: Throwable => () }
       name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

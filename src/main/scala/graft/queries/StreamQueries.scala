@@ -137,6 +137,29 @@ object StreamQueries {
       Streams.runToMemory(s, enriched, name, OutputMode.Complete())
     }),
 
+    // §2.10: streaming dedup under the driver gate. Only the dedup KEY is
+    // projected, so the output is deterministic (which physical row "wins"
+    // inside dropDuplicatesWithinWatermark depends on task order; its key
+    // set does not) and equals the batch DISTINCT the oracle states. The
+    // single staged file arrives as one micro-batch, so the whole key
+    // space dedups inside one watermark horizon.
+    "q117_stream_dedup" -> ((outer, dir) => {
+      val s = outer.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val tmp = Files.createTempDirectory("graft_q117")
+      Files.copy(Paths.get(s"$dir/events.parquet"), tmp.resolve("events.parquet"))
+      val events = s.readStream
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING")
+        .parquet(tmp.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val deduped = Streams.dedupWithinWatermark(events,
+          Seq("user_id", "event_type"), watermark = "2 hours")
+        .select(col("user_id"), col("event_type"))
+      val name = "q117_mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      Streams.runToMemory(s, deduped, name, OutputMode.Append())
+    }),
+
     // Multimodal decode plumbing: documents' text bytes stand in for media
     // payloads; schema/batching/feature-contract are the real thing, the
     // codec is the documented deterministic stub.
@@ -163,7 +186,8 @@ object StreamQueries {
     * with Java wraparound) is restated exactly in DuckDB via HUGEINT
     * mod-2^64 arithmetic, upgrading it from rows-only to hash-gated. The
     * documents corpus is ASCII, so per-character `ascii()` equals the
-    * UTF-8 byte sequence the Scala side hashes. */
+    * UTF-8 byte sequence the Scala side hashes. q117's key-set output is
+    * exactly the batch DISTINCT. */
   val oracles: Map[String, String] = Map(
     "q43_multimodal_decode" ->
       """WITH h AS (
@@ -182,6 +206,9 @@ object StreamQueries {
         |  (64 + (a // 256) % 193)::INT AS height,
         |  3 AS channels, 16 AS feature_dim
         |FROM s""".stripMargin,
+
+    "q117_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
 
     "q42_stream_tumbling" ->
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_epoch, event_type,
