@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.text.Corpus
+
+/** Corpus-assembly pack: the end-to-end near-dup dedup pipeline (candidate
+  * pairs → connected components → canonical winners → per-source
+  * accounting) and concat-and-chunk sequence packing — the two steps that
+  * turn a raw document pile into training sequences.
+  */
+object CorpusQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Near-dup dedup END-TO-END: 3-gram Jaccard pairs (≥ 0.5, inverted
+    // index) → connected components → min-id canonical per cluster →
+    // per-source kept/dropped accounting. q93 is the exact-hash canonical;
+    // this is its near-dup sibling, composing q25's pair generation and
+    // q44's components into the pipeline a corpus release actually runs.
+    "q118_neardup_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.dupClusters(
+        Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5))
+        .withColumnRenamed("id", "doc_id")
+      docs.join(clusters, Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") === col("rep"), 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(when(col("doc_id") === col("rep"), col("n_chars"))
+            .otherwise(0L)).as("chars_kept"),
+          countDistinct(col("rep")).as("n_clusters"))
+    }),
+
+    // Sequence packing: per-source concat-and-chunk at a 2048-token budget;
+    // documents assigned to the chunk their first token lands in.
+    "q119_sequence_packing" -> ((s, dir) =>
+      Corpus.packChunks(t(s, dir, "documents"), "source", "doc_id", "text",
+        budget = 2048L))
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    // q44's shingle/pair/closure blocks (verified there), extended with the
+    // canonical join + per-source rollup. Multiply-referenced CTEs are
+    // MATERIALIZED (MEMORY: duckdb-oracle-cte-materialization).
+    "q118_neardup_pipeline" ->
+      """WITH RECURSIVE
+        |s AS MATERIALIZED (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(string_split_regex(text,'\s+')) < 3 THEN []::VARCHAR[]
+        |   ELSE [array_to_string(list_slice(string_split_regex(text,'\s+'), i, i+2), ' ')
+        |         for i in range(1, len(string_split_regex(text,'\s+')) - 1)] END) AS shingles
+        |  FROM documents),
+        |e AS MATERIALIZED (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+        |      FROM s WHERE len(shingles) > 0),
+        |pairs AS MATERIALIZED (
+        | SELECT id_a, id_b FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   round(COUNT(*)::DOUBLE / (a.n_sh + b.n_sh - COUNT(*))::DOUBLE, 6) AS jaccard
+        |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh)
+        | WHERE jaccard >= 0.5),
+        |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |closure(a, b) AS (
+        | SELECT src, dst FROM edges
+        | UNION
+        | SELECT c.a, ed.dst FROM closure c JOIN edges ed ON c.b = ed.src),
+        |clusters AS MATERIALIZED (
+        | SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id
+        | FROM closure GROUP BY a)
+        |SELECT d.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN d.doc_id = COALESCE(c.cluster_id, d.doc_id)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN d.doc_id = COALESCE(c.cluster_id, d.doc_id)
+        |    THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+        |  COUNT(DISTINCT COALESCE(c.cluster_id, d.doc_id)) AS n_clusters
+        |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+        |GROUP BY 1""".stripMargin,
+
+    "q119_sequence_packing" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))::BIGINT
+        |      AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |  FROM d)
+        |SELECT source, CAST(start // 2048 AS BIGINT) AS chunk_id,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2""".stripMargin
+  )
+}

@@ -20,6 +20,28 @@ import graft.functions.TextOps
   */
 object Corpus {
 
+  /** Concat-and-chunk sequence packing: documents are laid end-to-end per
+    * stream (in `idCol` order) and cut every `budget` tokens — the standard
+    * pretraining packing step. Each document is assigned to the chunk its
+    * FIRST token lands in: chunk = (exclusive running token count) div
+    * budget — a window cumsum plus integer division, all exact, so the
+    * packing layout is reproducible across engines and partitionings.
+    * Returns per (stream, chunk): document count, token mass, id range.
+    * One exchange on the stream key; the cumsum is a partition-local scan. */
+  def packChunks(docs: DataFrame, streamCol: String, idCol: String,
+                 textCol: String, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(streamCol)).orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col(streamCol), col(idCol).as("id"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tok"))
+      .withColumn("start", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("chunk_id", expr(s"start div $budget"))
+      .groupBy(col(streamCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("id")).as("first_doc"), max(col("id")).as("last_doc"))
+  }
+
   /** (id, term, tf) — term frequency per document, whitespace tokens. */
   def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"),

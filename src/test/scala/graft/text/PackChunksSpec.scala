@@ -1,0 +1,27 @@
+package graft.text
+
+import graft.SparkSpec
+
+class PackChunksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packChunks cuts the concatenated stream at the token budget") {
+    // tokens: 3, 4, 2, 5 — budget 6: starts 0,3,7,9 → chunks 0,0,1,1
+    val docs = Seq((1L, "a b c"), (2L, "d e f g"), (3L, "h i"),
+      (4L, "j k l m n")).map { case (i, t) => ("s", i, t) }
+      .toDF("src", "id", "text")
+    val got = Corpus.packChunks(docs, "src", "id", "text", budget = 6L)
+      .orderBy("chunk_id")
+      .select("chunk_id", "n_docs", "n_tokens", "first_doc", "last_doc")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 2L, 7L, 1L, 2L), (1L, 2L, 7L, 3L, 4L)))
+  }
+
+  test("packChunks streams are independent (per-source chunk ids)") {
+    val docs = Seq(("a", 1L, "x y z"), ("b", 2L, "x y z"))
+      .toDF("src", "id", "text")
+    val got = Corpus.packChunks(docs, "src", "id", "text", budget = 2L)
+      .select("src", "chunk_id").as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 0L), ("b", 0L)))
+  }
+}
