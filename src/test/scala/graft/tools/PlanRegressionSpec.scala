@@ -209,6 +209,18 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q120/q121: salted join broadcasts; bucketed join needs no join exchange") {
+    val p20 = plan("q120_salted_join")
+    assert(!p20.contains("SortMergeJoin") && !p20.contains("CartesianProduct"))
+    val p21 = plan("q121_bucketed_join")
+    // the only SHUFFLE exchange is the final rollup's — the fact-to-fact
+    // join reads co-bucketed inputs with no repartitioning of either side
+    // (at sf0.001 the small side legitimately broadcasts; the broadcast-
+    // disabled zero-exchange shape is pinned in BucketingSpec)
+    assert("Exchange hashpartitioning".r.findAllIn(p21).size == 1,
+      "bucketed co-located join must not shuffle either side")
+  }
+
   test("q102: custom top-k plans as partial+final exec, exactly one exchange") {
     val p = plan("q102_topk_per_group")
     assert("TopKPerKey".r.findAllIn(p).size >= 2,
