@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AdvancedQueries, AnalyticsQueries, CoreQueries, CorpusQueries, CurationQueries, GraphQueries, MapperQueries, MetaQueries, ScaleQueries, SignalQueries, SourceQueries, StreamQueries, TrainingQueries, WarehouseQueries}
+import graft.queries.{AdvancedQueries, AnalyticsQueries, CoreQueries, CorpusQueries, CurationQueries, GraphQueries, MapperQueries, MetaQueries, ScaleQueries, SignalQueries, SourceQueries, StreamQueries, TrainingQueries, WarehouseQueries, WeightedQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,12 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ TrainingQueries.queries ++ WarehouseQueries.queries ++
       MetaQueries.queries ++ MapperQueries.queries ++ SourceQueries.queries ++
-      StreamQueries.queries ++ AdvancedQueries.queries ++ AnalyticsQueries.queries ++ SignalQueries.queries ++ GraphQueries.queries ++ CurationQueries.queries ++ CorpusQueries.queries ++ ScaleQueries.queries
+      StreamQueries.queries ++ AdvancedQueries.queries ++ AnalyticsQueries.queries ++ SignalQueries.queries ++ GraphQueries.queries ++ CurationQueries.queries ++ CorpusQueries.queries ++ ScaleQueries.queries ++ WeightedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ TrainingQueries.oracles ++ WarehouseQueries.oracles ++
       MetaQueries.oracles ++ MapperQueries.oracles ++ SourceQueries.oracles ++
-      StreamQueries.oracles ++ AdvancedQueries.oracles ++ AnalyticsQueries.oracles ++ SignalQueries.oracles ++ GraphQueries.oracles ++ CurationQueries.oracles ++ CorpusQueries.oracles ++ ScaleQueries.oracles
+      StreamQueries.oracles ++ AdvancedQueries.oracles ++ AnalyticsQueries.oracles ++ SignalQueries.oracles ++ GraphQueries.oracles ++ CurationQueries.oracles ++ CorpusQueries.oracles ++ ScaleQueries.oracles ++ WeightedQueries.oracles
 }
