@@ -378,17 +378,17 @@ object TrainingQueries {
     // Transitive closure over the q25 pair set; label = min reachable id.
     "q44_dup_clusters" ->
       s"""WITH RECURSIVE
-         |s AS (SELECT doc_id, $shingles3 AS shingles FROM documents),
-         |e AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+         |s AS MATERIALIZED (SELECT doc_id, $shingles3 AS shingles FROM documents),
+         |e AS MATERIALIZED (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
          |      FROM s WHERE len(shingles) > 0),
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          | SELECT id_a, id_b FROM (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |   round(COUNT(*)::DOUBLE / (a.n_sh + b.n_sh - COUNT(*))::DOUBLE, 6) AS jaccard
          |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh)
          | WHERE jaccard >= 0.5),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
          |          UNION ALL SELECT id_b, id_a FROM pairs),
          |closure(a, b) AS (
          | SELECT src, dst FROM edges
