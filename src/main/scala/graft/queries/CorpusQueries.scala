@@ -44,7 +44,35 @@ object CorpusQueries {
     // documents assigned to the chunk their first token lands in.
     "q119_sequence_packing" -> ((s, dir) =>
       Corpus.packChunks(t(s, dir, "documents"), "source", "doc_id", "text",
-        budget = 2048L))
+        budget = 2048L)),
+
+    // Source-overlap matrix: pairwise shingle Jaccard BETWEEN sources —
+    // which feeds duplicate each other before any doc-level dedup runs.
+    // The self-join key is the shingle; each shingle contributes at most
+    // C(|sources|, 2) pairs, so cost is |shingles|·sources², never docs².
+    "q124_source_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // referenced three ways (two self-join sides + per-source counts):
+      // materialize the distinct once (MEMORY: spark-materialize-before-reuse)
+      val sh = docs.select(col("source"),
+          explode(graft.functions.TextOps.wordShingles(col("text"), 3)).as("sh"))
+        .distinct().localCheckpoint(true)
+      val counts = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = sh.join(
+          sh.select(col("source").as("source_b"), col("sh")), "sh")
+        .where(col("source") < col("source_b"))
+        .groupBy(col("source"), col("source_b"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(broadcast(counts.select(col("source"), col("n").as("n_a"))),
+          "source")
+        .join(broadcast(counts.select(col("source").as("source_b"),
+          col("n").as("n_b"))), "source_b")
+        .select(col("source").as("source_a"), col("source_b"), col("n_common"),
+          col("n_a"), col("n_b"),
+          expr("(n_common * 1000000) div (n_a + n_b - n_common)")
+            .as("jaccard_ppm"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -85,6 +113,26 @@ object CorpusQueries {
         |  COUNT(DISTINCT COALESCE(c.cluster_id, d.doc_id)) AS n_clusters
         |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
         |GROUP BY 1""".stripMargin,
+
+    "q124_source_overlap" ->
+      """WITH sh AS MATERIALIZED (
+        |  SELECT DISTINCT source,
+        |    unnest(list_distinct(
+        |      CASE WHEN len(string_split_regex(text,'\s+')) < 3 THEN []::VARCHAR[]
+        |      ELSE [array_to_string(list_slice(string_split_regex(text,'\s+'), i, i+2), ' ')
+        |            for i in range(1, len(string_split_regex(text,'\s+')) - 1)] END))
+        |      AS sh
+        |  FROM documents),
+        |c AS MATERIALIZED (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1),
+        |i AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT i.source_a, i.source_b, i.n_common, ca.n AS n_a, cb.n AS n_b,
+        |  CAST((CAST(i.n_common AS HUGEINT) * 1000000)
+        |    // (ca.n + cb.n - i.n_common) AS BIGINT) AS jaccard_ppm
+        |FROM i JOIN c ca ON ca.source = i.source_a
+        |JOIN c cb ON cb.source = i.source_b""".stripMargin,
 
     "q119_sequence_packing" ->
       """WITH d AS (

@@ -82,7 +82,26 @@ object SignalQueries {
         Seq(col("ts"), col("event_id")),
         floor(col("value") * lit(1e6) + lit(0.5)),
         slackDiv = 20L, threshold = 500000000L, keepCols = Seq("event_id"))
-        .select(col("event_id"), col("event_type"), col("cusum")))
+        .select(col("event_id"), col("event_type"), col("cusum"))),
+
+    // Time-decayed leaderboard per user: weight halves every week of age,
+    // implemented as a RIGHT SHIFT of the integer measure (y >> age_weeks
+    // = floor(y/2^age) for y ≥ 0) — exponential decay with zero floating
+    // point, so the ranking is bit-stable across engines and reruns. Age
+    // anchors to the corpus max timestamp (1-row broadcast scalar).
+    "q125_decay_leaderboard" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts)").as("tus"),
+          floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("y"))
+      val anchor = ev.agg(max(col("tus")).as("t_max"))
+      ev.crossJoin(broadcast(anchor))
+        .withColumn("age_w",
+          least(expr("(t_max - tus) div 604800000000"), lit(62L)).cast("int"))
+        .withColumn("dy", expr("shiftright(y, age_w)"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("dy")).as("decayed"), count(lit(1)).as("n_events"))
+        .where(col("decayed") > 0)
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -143,6 +162,20 @@ object SignalQueries {
         |FROM (SELECT event_id, event_type, epoch_us(ts) AS tus,
         |        CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS y
         |      FROM events)""".stripMargin,
+
+    "q125_decay_leaderboard" ->
+      """WITH q AS (
+        |  SELECT user_id, epoch_us(ts) AS tus,
+        |    CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS y
+        |  FROM events),
+        |a AS (SELECT MAX(tus) AS t_max FROM q),
+        |d AS (
+        |  SELECT user_id,
+        |    y >> LEAST((t_max - tus) // 604800000000, 62) AS dy
+        |  FROM q CROSS JOIN a)
+        |SELECT user_id, CAST(SUM(dy) AS BIGINT) AS decayed,
+        |  COUNT(*) AS n_events
+        |FROM d GROUP BY 1 HAVING SUM(dy) > 0""".stripMargin,
 
     "q110_cusum_drift" ->
       """WITH q AS (SELECT event_id, event_type, epoch_us(ts) AS tus,
