@@ -101,6 +101,59 @@ object SignalQueries {
         .groupBy(col("user_id"))
         .agg(sum(col("dy")).as("decayed"), count(lit(1)).as("n_events"))
         .where(col("decayed") > 0)
+    }),
+
+    // Seasonal-baseline anomaly: each (type, date, hour) bucket vs the
+    // integer mean for that (type, hour-of-day) across all dates — the
+    // hour's traffic "shape" is the baseline, so a 3am spike flags even
+    // when it's smaller than normal 3pm traffic. Flag > 2× or < ½×
+    // (integer-ppm thresholds). Baselines broadcast back (|type×24| rows).
+    "q126_seasonal_anomaly" -> ((s, dir) => {
+      val b = t(s, dir, "events").select(col("event_type"),
+        (year(col("ts")) * 10000 + month(col("ts")) * 100 +
+          dayofmonth(col("ts"))).cast("int").as("ymd"),
+        hour(col("ts")).cast("int").as("hh"))
+      val buckets = b.groupBy(col("event_type"), col("ymd"), col("hh"))
+        .agg(count(lit(1)).as("n"))
+      val baseline = buckets.groupBy(col("event_type"), col("hh"))
+        .agg(sum(col("n")).as("tot"), count(lit(1)).as("n_days"))
+        .select(col("event_type"), col("hh"),
+          expr("tot div n_days").as("expected"))
+      buckets.join(broadcast(baseline), Seq("event_type", "hh"))
+        .where(col("expected") > 0)
+        .withColumn("dev_ppm", expr("(n * 1000000) div expected"))
+        .where(col("dev_ppm") > 2000000L || col("dev_ppm") < 500000L)
+        .select(col("event_type"), col("ymd"), col("hh"), col("n"),
+          col("expected"), col("dev_ppm"))
+    }),
+
+    // Multi-field record linkage over q108's blocked candidates: name
+    // similarity (bounded edit distance → per-mille), price closeness
+    // (relative difference in cents → per-mille), size agreement — fused
+    // as (5·name + 3·price + 2·size) div 10 and thresholded ON THE
+    // INTEGER, so borderline match decisions can't flip between engines.
+    "q127_record_linkage" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val pairs = graft.similarity.StringSim.blockedEditPairs(
+        p, "p_partkey", "p_name", Seq("p_brand"), maxLenDiff = 2, maxDist = 5)
+      val attrs = p.select(col("p_partkey"), length(col("p_name")).as("len"),
+        floor(col("p_retailprice") * lit(100) + lit(0.5)).cast("long").as("pc"),
+        col("p_size"))
+      pairs
+        .join(attrs.select(col("p_partkey").as("a_id"), col("len").as("len_a"),
+          col("pc").as("pc_a"), col("p_size").as("sz_a")), "a_id")
+        .join(attrs.select(col("p_partkey").as("b_id"), col("len").as("len_b"),
+          col("pc").as("pc_b"), col("p_size").as("sz_b")), "b_id")
+        .withColumn("name_pm",
+          expr("(1000 * (greatest(len_a, len_b) - d)) div greatest(len_a, len_b)"))
+        .withColumn("price_pm",
+          expr("1000 - least(1000, (abs(pc_a - pc_b) * 1000) div greatest(pc_a, pc_b, 1))"))
+        .withColumn("size_pm", when(col("sz_a") === col("sz_b"), 1000L).otherwise(0L))
+        .withColumn("score_pm",
+          expr("(5 * name_pm + 3 * price_pm + 2 * size_pm) div 10"))
+        .where(col("score_pm") >= 800L)
+        .select(col("a_id"), col("b_id"), col("name_pm"), col("price_pm"),
+          col("size_pm"), col("score_pm"))
     })
   )
 
@@ -162,6 +215,56 @@ object SignalQueries {
         |FROM (SELECT event_id, event_type, epoch_us(ts) AS tus,
         |        CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS y
         |      FROM events)""".stripMargin,
+
+    "q126_seasonal_anomaly" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS INT) AS ymd,
+        |    CAST(hour(ts) AS INT) AS hh
+        |  FROM events),
+        |buckets AS (SELECT event_type, ymd, hh, COUNT(*) AS n
+        |            FROM b GROUP BY 1, 2, 3),
+        |base AS (
+        |  SELECT event_type, hh,
+        |    CAST(CAST(SUM(n) AS HUGEINT) // COUNT(*) AS BIGINT) AS expected
+        |  FROM buckets GROUP BY 1, 2)
+        |SELECT k.event_type, k.ymd, k.hh, k.n, base.expected,
+        |  CAST((k.n * 1000000) // base.expected AS BIGINT) AS dev_ppm
+        |FROM buckets k JOIN base USING (event_type, hh)
+        |WHERE base.expected > 0
+        |  AND ((k.n * 1000000) // base.expected > 2000000
+        |       OR (k.n * 1000000) // base.expected < 500000)""".stripMargin,
+
+    "q127_record_linkage" ->
+      """WITH pairs AS MATERIALIZED (
+        |  SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+        |    levenshtein(a.p_name, b.p_name) AS d
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand
+        |   AND split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+        |   AND a.p_partkey < b.p_partkey
+        |   AND ABS(length(a.p_name) - length(b.p_name)) <= 2
+        |  WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 5),
+        |attrs AS (
+        |  SELECT p_partkey, length(p_name) AS len,
+        |    CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT) AS pc, p_size
+        |  FROM part),
+        |sc AS (
+        |  SELECT a_id, b_id,
+        |    (1000 * (GREATEST(x.len, y.len) - d)) // GREATEST(x.len, y.len)
+        |      AS name_pm,
+        |    1000 - LEAST(1000,
+        |      (ABS(x.pc - y.pc) * 1000) // GREATEST(x.pc, y.pc, 1)) AS price_pm,
+        |    CASE WHEN x.p_size = y.p_size THEN 1000 ELSE 0 END AS size_pm
+        |  FROM pairs JOIN attrs x ON x.p_partkey = a_id
+        |  JOIN attrs y ON y.p_partkey = b_id)
+        |SELECT a_id, b_id, CAST(name_pm AS BIGINT) AS name_pm,
+        |  CAST(price_pm AS BIGINT) AS price_pm,
+        |  CAST(size_pm AS BIGINT) AS size_pm,
+        |  CAST((5 * name_pm + 3 * price_pm + 2 * size_pm) // 10 AS BIGINT)
+        |    AS score_pm
+        |FROM sc
+        |WHERE (5 * name_pm + 3 * price_pm + 2 * size_pm) // 10 >= 800""".stripMargin,
 
     "q125_decay_leaderboard" ->
       """WITH q AS (
