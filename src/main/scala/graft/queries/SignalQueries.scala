@@ -154,6 +154,36 @@ object SignalQueries {
         .where(col("score_pm") >= 800L)
         .select(col("a_id"), col("b_id"), col("name_pm"), col("price_pm"),
           col("size_pm"), col("score_pm"))
+    }),
+
+    // Step-to-step funnel conversion in integer ppm over q88's counts —
+    // the 4-row funnel table windows in one partition by construction.
+    "q128_funnel_rates" -> ((s, dir) => {
+      val f = graft.analytics.Behavior.funnel(t(s, dir, "events"),
+        Seq("signup", "view", "click", "purchase"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("step_idx"))
+      f.withColumn("prev_users", lag(col("users"), 1).over(w))
+        .withColumn("conv_ppm",
+          when(col("prev_users") > 0,
+            expr("(users * 1000000) div prev_users")))
+        .select(col("step_idx"), col("step"), col("users"), col("conv_ppm"))
+    }),
+
+    // Rapid-repeat burst detector: the same user re-firing the same event
+    // type within the hour (double-submit/bot signature). A lag window
+    // per (user, type) — one exchange, O(1) state per row — flags the
+    // repeat rows; the sessionizer groups, this FLAGS.
+    "q129_rapid_repeats" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("tus"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("tus"))
+        .withColumn("gap_us", col("tus") - lag(col("tus"), 1).over(w))
+        .where(col("gap_us").isNotNull && col("gap_us") <= 3600000000L)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("gap_us"))
     })
   )
 
@@ -215,6 +245,40 @@ object SignalQueries {
         |FROM (SELECT event_id, event_type, epoch_us(ts) AS tus,
         |        CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS y
         |      FROM events)""".stripMargin,
+
+    "q128_funnel_rates" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |       WHERE e.event_type = 'view' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s4 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |       JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+        |       WHERE e.event_type = 'purchase' GROUP BY 1),
+        |f AS (
+        |  SELECT 1 AS step_idx, 'signup' AS step, (SELECT COUNT(*) FROM s1) AS users
+        |  UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM s2)
+        |  UNION ALL SELECT 3, 'click', (SELECT COUNT(*) FROM s3)
+        |  UNION ALL SELECT 4, 'purchase', (SELECT COUNT(*) FROM s4)),
+        |r AS (SELECT step_idx, step, users,
+        |        lag(users) OVER (ORDER BY step_idx) AS prev_users FROM f)
+        |SELECT step_idx, step, users,
+        |  CASE WHEN prev_users > 0
+        |    THEN CAST((users * 1000000) // prev_users AS BIGINT) END AS conv_ppm
+        |FROM r""".stripMargin,
+
+    "q129_rapid_repeats" ->
+      """WITH q AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events)
+        |SELECT event_id, user_id, event_type, gap_us
+        |FROM q WHERE gap_us IS NOT NULL AND gap_us <= 3600000000""".stripMargin,
 
     "q126_seasonal_anomaly" ->
       """WITH b AS (
