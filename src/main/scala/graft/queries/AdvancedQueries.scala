@@ -449,7 +449,7 @@ object AdvancedQueries {
          |  WHERE length(t) >= 120 AND len(grams) > 0
          |    AND ((len(grams) - len(list_distinct(grams))) * 2000000 + len(grams))
          |        // (2 * len(grams)) <= 80000),
-         |exact AS (
+         |exact AS MATERIALIZED (
          |  SELECT doc_id, toks FROM (
          |    SELECT doc_id, toks,
          |      row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) AS rn
@@ -459,14 +459,14 @@ object AdvancedQueries {
          |sig AS (SELECT doc_id, list_sum(list_transform($powers::BIGINT[],
          |  e -> CASE WHEN 2 * len(list_filter(hl, v -> v % (e * 2) >= e)) > len(hl)
          |       THEN e ELSE 0 END))::BIGINT AS simhash FROM hs),
-         |bands AS (SELECT doc_id, simhash, unnest(list_transform(range(0, 4),
+         |bands AS MATERIALIZED (SELECT doc_id, simhash, unnest(list_transform(range(0, 4),
          |  k -> k::VARCHAR || '_' || ((simhash // (256**k)::BIGINT) % 256)::VARCHAR)) AS band
          |  FROM sig),
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
          |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
          |          UNION ALL SELECT id_b, id_a FROM pairs),
          |closure(a, b) AS (
          |  SELECT src, dst FROM edges

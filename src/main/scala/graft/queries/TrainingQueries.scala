@@ -253,7 +253,7 @@ object TrainingQueries {
          |    list_transform(shingles, sg -> ${h31("sg")}),
          |    h -> (h * (2*i + 3) + (7919*i + 1)) % 2147483647))) AS sig
          | FROM sh WHERE len(shingles) > 0),
-         |bk AS (
+         |bk AS MATERIALIZED (
          | SELECT doc_id, sig, unnest(list_transform(range(0, 4),
          |   b -> md5(concat_ws('_', b::VARCHAR, array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), '_'))))) AS bucket
          | FROM sig)
@@ -265,7 +265,7 @@ object TrainingQueries {
     "q25_ngram_jaccard" ->
       s"""WITH s AS (
          | SELECT doc_id, $shingles3 AS shingles FROM documents),
-         |e AS (
+         |e AS MATERIALIZED (
          | SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
          | FROM s WHERE len(shingles) > 0)
          |SELECT id_a, id_b, jaccard FROM (
