@@ -156,6 +156,33 @@ object TrainingQueries {
           Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.5))
         .withColumnRenamed("id", "doc_id")),
 
+    // ANN quality metric under the gate: recall@5 of the IVF path (q41)
+    // against the exact brute-force top-5 (q27), in integer ppm per query.
+    // Both neighbor sets are independently oracle-verified; this gates the
+    // EVALUATION arithmetic itself — the metric a 100 TB ANN deployment
+    // watches when tuning nlist/nprobe.
+    "q130_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exact = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      val assigned = Similarity.ivfAssign(emb, centroids)
+      val approx = Similarity.ivfTopK(assigned,
+          assigned.filter(col("vec_id") < 10), 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_match"))
+      exact.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_match"), lit(0L)).as("n_match"),
+          expr("(coalesce(n_match, 0L) * 1000000) div 5").as("recall_ppm"))
+    }),
+
     // IVF search path: assign corpus to 8 seed centroids, then cosine top-5
     // scored only within each query's own cluster (nprobe=1).
     "q41_ivf_topk" -> ((s, dir) => {
@@ -300,6 +327,45 @@ object TrainingQueries {
          |SELECT query_id, neighbor_id, cos_sim, rank FROM (
          | SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
          | FROM s) WHERE rank <= 5""".stripMargin,
+
+    "q130_ivf_recall" ->
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         |bfs AS (
+         | SELECT query_id, e.vec_id AS neighbor_id,
+         |  round(${dotSql("qv", "e.v")} / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("e.v", "e.v")})), 6) AS cos_sim
+         | FROM e CROSS JOIN q WHERE e.vec_id <> query_id),
+         |bf AS MATERIALIZED (
+         | SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+         |  FROM bfs) WHERE rank <= 5),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |d AS (
+         | SELECT e.vec_id, c.cid,
+         |  list_reduce([0.0]::DOUBLE[] || list_transform(range(1, len(e.v) + 1), i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),
+         |   (acc, x) -> acc + x) AS dist
+         | FROM e CROSS JOIN c),
+         |asg AS MATERIALIZED (
+         | SELECT vec_id, cid AS cluster_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM d)
+         | WHERE rn = 1),
+         |q2 AS (SELECT e.vec_id AS query_id, e.v AS qv, a.cluster_id AS qc
+         |       FROM e JOIN asg a ON e.vec_id = a.vec_id WHERE e.vec_id < 10),
+         |ivs AS (
+         | SELECT q2.query_id, e.vec_id AS neighbor_id,
+         |  round(${dotSql("q2.qv", "e.v")} / (sqrt(${dotSql("q2.qv", "q2.qv")}) * sqrt(${dotSql("e.v", "e.v")})), 6) AS cos_sim
+         | FROM e JOIN asg a ON e.vec_id = a.vec_id
+         | JOIN q2 ON a.cluster_id = q2.qc AND e.vec_id <> q2.query_id),
+         |ivf AS MATERIALIZED (
+         | SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+         |  FROM ivs) WHERE rank <= 5),
+         |h AS (SELECT bf.query_id, COUNT(*) AS n_match
+         |      FROM bf JOIN ivf USING (query_id, neighbor_id) GROUP BY 1)
+         |SELECT qq.query_id, CAST(COALESCE(h.n_match, 0) AS BIGINT) AS n_match,
+         |  CAST((COALESCE(h.n_match, 0) * 1000000) // 5 AS BIGINT) AS recall_ppm
+         |FROM (SELECT DISTINCT query_id FROM bf) qq
+         |LEFT JOIN h ON h.query_id = qq.query_id""".stripMargin,
 
     "q28_ivf_assign" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
