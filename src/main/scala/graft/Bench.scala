@@ -45,18 +45,15 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      // Quiesce per query: streaming queries leave memory-sink tables and
-      // state-store maintenance threads behind; 100+ queries of that
-      // accumulation degraded late queries 3-8x in a full-suite run
-      // (q62 33.7s in-suite vs 4.3s isolated) — heap pressure + state
-      // maintenance, not plan cost.
-      spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
-      try {
-        spark.catalog.listTables().collect()
-          .filter(t => t.name.contains("_mem_") && t.isTemporary)
-          .foreach(t => spark.catalog.dropTempView(t.name))
-        org.apache.spark.sql.graft.Bridge.stopStateStores()
-      } catch { case _: Throwable => () }
+      // Quiesce per query: accumulated state-store maintenance degraded
+      // late queries 3-8x in a full-suite run (q62 33.7s in-suite vs 4.3s
+      // isolated). Streaming queries run in CLONED sessions, so their
+      // memory-sink tables and query handles are invisible here — the
+      // sink-table lifecycle is handled at the source (Streams.runToMemory
+      // drops its table after checkpointing the result); this global
+      // state-store stop is the part only the bench can do.
+      try org.apache.spark.sql.graft.Bridge.stopStateStores()
+      catch { case _: Throwable => () }
       name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

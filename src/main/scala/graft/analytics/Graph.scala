@@ -66,6 +66,8 @@ object Graph {
       .unionAll(e.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
     val nN = nodes.count() // scalar metadata (|V|), not a data collect
+    if (nN == 0) // empty graph → empty ranks (not a driver-side div-by-zero)
+      return nodes.withColumn("pr_ppm", lit(0L)).select(col("node"), col("pr_ppm"))
     val base = 150000L / nN
     var pr = nodes.withColumn("pr", lit(1000000L / nN))
     // The rank vector is |V| rows against |E| edges — broadcast it (the

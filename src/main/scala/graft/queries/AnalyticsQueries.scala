@@ -282,20 +282,26 @@ object AnalyticsQueries {
     })
   )
 
+  /** DuckDB funnel-step CTE chain (strictly-after semantics) — shared with
+    * q128's conversion-rate oracle in [[SignalQueries]] so the two gates
+    * can't drift apart. */
+  private[queries] val funnelStepsSql: String =
+    """s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+      |            WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+      |       WHERE e.event_type = 'view' GROUP BY 1),
+      |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+      |       WHERE e.event_type = 'click' GROUP BY 1),
+      |s4 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      |       JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+      |       WHERE e.event_type = 'purchase' GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
 
     "q88_funnel" ->
-      """WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
-        |            WHERE event_type = 'signup' GROUP BY 1),
-        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
-        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
-        |       WHERE e.event_type = 'view' GROUP BY 1),
-        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
-        |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
-        |       WHERE e.event_type = 'click' GROUP BY 1),
-        |s4 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
-        |       JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
-        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+      s"""WITH $funnelStepsSql
         |SELECT 1 AS step_idx, 'signup' AS step, (SELECT COUNT(*) FROM s1) AS users
         |UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM s2)
         |UNION ALL SELECT 3, 'click', (SELECT COUNT(*) FROM s3)

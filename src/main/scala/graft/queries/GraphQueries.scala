@@ -60,6 +60,18 @@ object GraphQueries {
           col("pr_ppm").cast("long").as("pr_ppm")))
   )
 
+  /** DuckDB restatement of [[tradeEdges]] — ONE definition for both graph
+    * oracles, so the Spark helper and the SQL derivation can't drift apart
+    * per-query. */
+  private val tradeEdgesSql: String =
+    """SELECT c.c_nationkey AS src, sp.s_nationkey AS dst, COUNT(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier sp ON l.l_suppkey = sp.s_suppkey
+      |  WHERE c.c_nationkey <> sp.s_nationkey
+      |  GROUP BY 1, 2""".stripMargin
+
   val oracles: Map[String, String] = Map(
 
     "q111_copurchase_lift" ->
@@ -78,14 +90,8 @@ object GraphQueries {
         |FROM pairs CROSS JOIN no""".stripMargin,
 
     "q112_trade_triangles" ->
-      """WITH e AS MATERIALIZED (
-        |  SELECT c.c_nationkey AS src, sp.s_nationkey AS dst, COUNT(*) AS w
-        |  FROM lineitem l
-        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |  JOIN customer c ON o.o_custkey = c.c_custkey
-        |  JOIN supplier sp ON l.l_suppkey = sp.s_suppkey
-        |  WHERE c.c_nationkey <> sp.s_nationkey
-        |  GROUP BY 1, 2),
+      s"""WITH e AS MATERIALIZED (
+        |$tradeEdgesSql),
         |heavy AS MATERIALIZED (
         |  SELECT src, dst FROM (
         |    SELECT src, dst, row_number() OVER (
@@ -100,14 +106,8 @@ object GraphQueries {
         |  ON c.u = a.u AND c.v = b.v""".stripMargin,
 
     "q113_pagerank" ->
-      """WITH e0 AS MATERIALIZED (
-        |  SELECT c.c_nationkey AS src, sp.s_nationkey AS dst, COUNT(*) AS w
-        |  FROM lineitem l
-        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |  JOIN customer c ON o.o_custkey = c.c_custkey
-        |  JOIN supplier sp ON l.l_suppkey = sp.s_suppkey
-        |  WHERE c.c_nationkey <> sp.s_nationkey
-        |  GROUP BY 1, 2),
+      s"""WITH e0 AS MATERIALIZED (
+        |$tradeEdgesSql),
         |outw AS MATERIALIZED (SELECT src, SUM(w) AS outw FROM e0 GROUP BY 1),
         |e AS MATERIALIZED (SELECT e0.src, e0.dst, e0.w, outw.outw
         |      FROM e0 JOIN outw USING (src)),

@@ -86,13 +86,16 @@ object SignalQueries {
 
     // Time-decayed leaderboard per user: weight halves every week of age,
     // implemented as a RIGHT SHIFT of the integer measure (y >> age_weeks
-    // = floor(y/2^age) for y ≥ 0) — exponential decay with zero floating
+    // = floor(y/2^age) for y ≥ 0; negative measures are clamped to 0 first,
+    // since an arithmetic shift of a negative long converges to −1, never
+    // 0) — exponential decay with zero floating
     // point, so the ranking is bit-stable across engines and reruns. Age
     // anchors to the corpus max timestamp (1-row broadcast scalar).
     "q125_decay_leaderboard" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("user_id"), expr("unix_micros(ts)").as("tus"),
-          floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("y"))
+          greatest(floor(col("value") * lit(1e6) + lit(0.5)), lit(0))
+            .cast("long").as("y"))
       val anchor = ev.agg(max(col("tus")).as("t_max"))
       ev.crossJoin(broadcast(anchor))
         .withColumn("age_w",
@@ -107,14 +110,24 @@ object SignalQueries {
     // integer mean for that (type, hour-of-day) across all dates — the
     // hour's traffic "shape" is the baseline, so a 3am spike flags even
     // when it's smaller than normal 3pm traffic. Flag > 2× or < ½×
-    // (integer-ppm thresholds). Baselines broadcast back (|type×24| rows).
+    // (integer-ppm thresholds). The bucket grid is DENSIFIED (observed
+    // types × observed days × all 24 hours) so a total outage appears as
+    // n = 0 and flags — a sparse groupBy would silently miss the most
+    // extreme anomaly and bias the baseline upward. Baselines broadcast
+    // back (|type×24| rows).
     "q126_seasonal_anomaly" -> ((s, dir) => {
       val b = t(s, dir, "events").select(col("event_type"),
         (year(col("ts")) * 10000 + month(col("ts")) * 100 +
           dayofmonth(col("ts"))).cast("int").as("ymd"),
         hour(col("ts")).cast("int").as("hh"))
-      val buckets = b.groupBy(col("event_type"), col("ymd"), col("hh"))
-        .agg(count(lit(1)).as("n"))
+      val obs = b.groupBy(col("event_type"), col("ymd"), col("hh"))
+        .agg(count(lit(1)).as("n")).localCheckpoint(true)
+      val grid = obs.select(col("event_type")).distinct()
+        .crossJoin(obs.select(col("ymd")).distinct())
+        .withColumn("hh", explode(sequence(lit(0), lit(23))))
+        .withColumn("hh", col("hh").cast("int"))
+      val buckets = grid.join(obs, Seq("event_type", "ymd", "hh"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
       val baseline = buckets.groupBy(col("event_type"), col("hh"))
         .agg(sum(col("n")).as("tot"), count(lit(1)).as("n_days"))
         .select(col("event_type"), col("hh"),
@@ -247,17 +260,7 @@ object SignalQueries {
         |      FROM events)""".stripMargin,
 
     "q128_funnel_rates" ->
-      """WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
-        |            WHERE event_type = 'signup' GROUP BY 1),
-        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
-        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
-        |       WHERE e.event_type = 'view' GROUP BY 1),
-        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
-        |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
-        |       WHERE e.event_type = 'click' GROUP BY 1),
-        |s4 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
-        |       JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
-        |       WHERE e.event_type = 'purchase' GROUP BY 1),
+      s"""WITH ${AnalyticsQueries.funnelStepsSql},
         |f AS (
         |  SELECT 1 AS step_idx, 'signup' AS step, (SELECT COUNT(*) FROM s1) AS users
         |  UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM s2)
@@ -286,13 +289,22 @@ object SignalQueries {
         |    CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS INT) AS ymd,
         |    CAST(hour(ts) AS INT) AS hh
         |  FROM events),
-        |buckets AS (SELECT event_type, ymd, hh, COUNT(*) AS n
-        |            FROM b GROUP BY 1, 2, 3),
+        |obs AS MATERIALIZED (SELECT event_type, ymd, hh, COUNT(*) AS n
+        |       FROM b GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT t.event_type, d.ymd, h.hh
+        |  FROM (SELECT DISTINCT event_type FROM obs) t
+        |  CROSS JOIN (SELECT DISTINCT ymd FROM obs) d
+        |  CROSS JOIN (SELECT CAST(unnest(range(0, 24)) AS INT) AS hh) h),
+        |buckets AS MATERIALIZED (
+        |  SELECT g.event_type, g.ymd, g.hh, COALESCE(o.n, 0) AS n
+        |  FROM grid g LEFT JOIN obs o USING (event_type, ymd, hh)),
         |base AS (
         |  SELECT event_type, hh,
         |    CAST(CAST(SUM(n) AS HUGEINT) // COUNT(*) AS BIGINT) AS expected
         |  FROM buckets GROUP BY 1, 2)
-        |SELECT k.event_type, k.ymd, k.hh, k.n, base.expected,
+        |SELECT k.event_type, k.ymd, k.hh, CAST(k.n AS BIGINT) AS n,
+        |  base.expected,
         |  CAST((k.n * 1000000) // base.expected AS BIGINT) AS dev_ppm
         |FROM buckets k JOIN base USING (event_type, hh)
         |WHERE base.expected > 0
@@ -333,7 +345,7 @@ object SignalQueries {
     "q125_decay_leaderboard" ->
       """WITH q AS (
         |  SELECT user_id, epoch_us(ts) AS tus,
-        |    CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS y
+        |    GREATEST(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT), 0) AS y
         |  FROM events),
         |a AS (SELECT MAX(tus) AS t_max FROM q),
         |d AS (

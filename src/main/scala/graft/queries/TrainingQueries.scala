@@ -163,14 +163,17 @@ object TrainingQueries {
     // watches when tuning nlist/nprobe.
     "q130_ivf_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      // both derived sets are referenced twice below — materialize once
+      // (MEMORY: spark-materialize-before-reuse)
       val exact = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 5)
         .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true)
       val centroids = emb.filter(col("vec_id") < 8)
         .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
         .sortBy(_._1)
-      val assigned = Similarity.ivfAssign(emb, centroids)
+      val assigned = Similarity.ivfAssign(emb, centroids).localCheckpoint(true)
       val approx = Similarity.ivfTopK(assigned,
           assigned.filter(col("vec_id") < 10), 5)
         .select(col("query_id"), col("neighbor_id"))

@@ -267,6 +267,14 @@ object Streams {
       .outputMode(outputMode).trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    // Copy the (small, bounded-by-watermark) result out of the memory sink
+    // and DROP the sink table immediately: the table lives in this (often
+    // cloned) session's temp catalog where no outer-session cleanup can
+    // reach it, and a 100+ query suite of pinned sink tables is real heap
+    // accumulation. The checkpointed copy keeps the returned DataFrame
+    // valid after the drop.
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
   }
 }
