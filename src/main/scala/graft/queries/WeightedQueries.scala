@@ -40,6 +40,35 @@ object WeightedQueries {
         .agg(min(col("qc")).as("wmedian_qc"), min(col("tot")).as("total_wc"))
     }),
 
+    // Gini coefficient of customer spend per market segment — inequality
+    // of the spend distribution via the sorted-rank identity
+    // G = (2·Σ(i·yᵢ) − (n+1)·Σy) / (n·Σy) over a TOTAL order (spend,
+    // custkey). Both moment sums are exact decimals; doubles appear once
+    // in the final ratio, floor-quantized to ppm.
+    "q131_gini_spend" -> ((s, dir) => {
+      val spend = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("sp"))
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_custkey"),
+          (col("sp") * 100).cast("decimal(38,0)").as("yc"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_mktsegment"))
+        .orderBy(col("yc"), col("o_custkey"))
+      spend.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("yc")).as("sy"),
+          sum(col("yc") * col("i")).as("siy"))
+        .select(col("c_mktsegment"), col("n"),
+          floor((
+            (lit(2) * col("siy") - (col("n") + lit(1)) * col("sy"))
+              .cast("double") /
+            (col("n") * col("sy")).cast("double")) * lit(1e6) + lit(0.5))
+            .cast("long").as("gini_ppm"))
+    }),
+
     // Vocabulary top-5 per language through TopKPerKeyNode → partial/final
     // bounded-heap exec: ≤ 5 rows per (lang, partition) cross the
     // exchange, vs the window formulation shuffling every distinct term.
@@ -73,6 +102,31 @@ object WeightedQueries {
         |SELECT l_returnflag, CAST(MIN(qc) AS BIGINT) AS wmedian_qc,
         |  CAST(MIN(tot) AS BIGINT) AS total_wc
         |FROM c WHERE cum * 2 >= tot GROUP BY 1""".stripMargin,
+
+    "q131_gini_spend" ->
+      """WITH sp AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+        |  FROM orders GROUP BY 1),
+        |y AS (
+        |  SELECT c.c_mktsegment, sp.o_custkey,
+        |    CAST(sp.s * 100 AS HUGEINT) AS yc
+        |  FROM sp JOIN customer c ON sp.o_custkey = c.c_custkey),
+        |r AS (
+        |  SELECT c_mktsegment, yc,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY yc, o_custkey) AS BIGINT) AS i
+        |  FROM y),
+        |m AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n,
+        |    CAST(SUM(yc) AS HUGEINT) AS sy,
+        |    CAST(SUM(yc * i) AS HUGEINT) AS siy
+        |  FROM r GROUP BY 1)
+        |SELECT c_mktsegment, n,
+        |  CAST(FLOOR(
+        |    (CAST(2 * siy - (n + 1) * sy AS DOUBLE)
+        |     / CAST(n * sy AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |    AS gini_ppm
+        |FROM m""".stripMargin,
 
     "q123_vocab_topk" ->
       """WITH c AS (
