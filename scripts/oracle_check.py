@@ -1,14 +1,18 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir> [--time=OUT.json]
 
 For each query output parquet under <verifyOutDir>/<name>/ and its SQL in
 <verifyOutDir>/oracle_sql.json, run the SQL in DuckDB over views named after
 the tables in <sfDir>, then compare: columns sorted by name, rows sorted by
 all columns, values exact (tiny float tolerance reported separately).
+
+With --time=OUT.json, additionally time each oracle query (min of 2 runs,
+fully materialized via .df()) and write a per-query baseline JSON — the
+published DuckDB reference for the "Spark within 2x per query" bar.
 """
-import json, sys, glob, os
+import json, sys, glob, os, time
 import duckdb
 import pandas as pd
 
@@ -87,5 +91,42 @@ def main(sf_dir: str, out_dir: str) -> int:
     return 1 if n_fail else 0
 
 
+def time_oracle(sf_dir: str, out_dir: str, out_json: str, reps: int = 2) -> None:
+    con = duckdb.connect()
+    con.sql(f"SET threads TO {os.cpu_count()}")
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    times = {}
+    for name in sorted(oracle):
+        best = None
+        for _ in range(reps):
+            t0 = time.monotonic()
+            try:
+                con.sql(oracle[name]).df()
+            except Exception as e:
+                print(f"TIME-ERR {name}: {e}")
+                break
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        if best is not None:
+            times[name] = round(best, 3)
+            print(f"TIME {name} {best:.3f}s")
+    doc = {"engine": "duckdb", "threads": os.cpu_count(), "reps": reps,
+           "sf": sf_dir, "total_sec": round(sum(times.values()), 1),
+           "queries": times}
+    with open(out_json, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(f"== wrote {out_json}: {len(times)} queries, "
+          f"total {doc['total_sec']}s")
+
+
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    rc = main(sys.argv[1], sys.argv[2])
+    for a in sys.argv[3:]:
+        if a.startswith("--time"):
+            dest = a.split("=", 1)[1] if "=" in a else "BASELINE_duckdb.json"
+            time_oracle(sys.argv[1], sys.argv[2], dest)
+    sys.exit(rc)

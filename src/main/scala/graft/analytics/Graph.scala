@@ -51,6 +51,16 @@ object Graph {
     * across engines and partitionings — reproducibility the double-valued
     * formulation can't give.
     *
+    * Dangling-node simplification: nodes that appear only as `dst` have no
+    * out-edges, so the rank mass flowing INTO them is not redistributed —
+    * 85% of a sink's rank leaks each iteration, and on graphs with sinks
+    * Σ pr_ppm lands well below 1e6 (the "Σ ≈ 1e6, truncation-only loss"
+    * contract holds only for sink-free graphs, which the gated q112/q113
+    * inputs are). The standard fix — add Σ_dangling·850 div 1000 uniformly
+    * per iteration — costs one extra 1-row aggregate+cross-join per round;
+    * callers that need mass conservation on sinky graphs should request
+    * that variant rather than assume it here.
+    *
     * Each iteration is one equi-join (edges ⋈ ranks on src, ranks
     * broadcast when |nodes| ≪ |edges|) + one hash-agg on dst. The edge
     * list with out-weights is localCheckpoint'd once so iterations join a

@@ -108,9 +108,12 @@ object Signal {
 
   /** CUSUM change detection, distributed via the prefix-sum identity.
     * The textbook recursion C_t = max(0, C_{t−1} + y_t − target − slack) is
-    * sequential, but C_t = S_t − min_{j≤t} S_j where S is the running sum
-    * of (y − target − slack): a cumulative sum plus a running min — two
-    * pipelined window passes over ONE exchange+sort on the group key.
+    * sequential, but C_t = S_t − min_{0≤j≤t} S_j where S is the running sum
+    * of (y − target − slack) and S_0 = 0: a cumulative sum plus a running
+    * min (clamped to include the empty prefix — without the S_0 term a
+    * series that drifts upward from the very first row underestimates by
+    * min_j S_j and the earliest rows can never alarm) — two pipelined
+    * window passes over ONE exchange+sort on the group key.
     * target is the per-group integer mean (decimal-sum div count, exact);
     * slack = target div `slackDiv`. Returns rows whose CUSUM exceeds
     * `threshold` (all-integer; alarms can't flip on a float ulp). */
@@ -128,7 +131,8 @@ object Signal {
     q.join(broadcast(tgt), groupCol)
       .withColumn("_run",
         sum(col("y") - col("target") - expr(s"target div $slackDiv")).over(w))
-      .withColumn("cusum", col("_run") - min(col("_run")).over(w))
+      .withColumn("cusum",
+        col("_run") - least(min(col("_run")).over(w), lit(0L)))
       .where(col("cusum") > lit(threshold))
       .select((groupCol +: keepCols).map(col) :+ col("cusum"): _*)
   }

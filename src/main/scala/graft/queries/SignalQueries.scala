@@ -367,8 +367,8 @@ object SignalQueries {
         |          ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS run
         |      FROM q JOIN m USING (event_type)),
         |c AS (SELECT event_id, event_type,
-        |        CAST(run - MIN(run) OVER (PARTITION BY event_type
-        |          ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |        CAST(run - LEAST(MIN(run) OVER (PARTITION BY event_type
+        |          ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING), 0) AS BIGINT)
         |          AS cusum
         |      FROM s)
         |SELECT event_id, event_type, cusum FROM c

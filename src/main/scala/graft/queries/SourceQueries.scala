@@ -98,6 +98,43 @@ object SourceQueries {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
           "yyyy-MM-dd HH:mm:ss")).as("utc_epoch"))),
 
+    // S8: zip ingestion, gated end-to-end — pack documents into 8 zip
+    // archives executor-side (ZipIngest.writeZipMembers), re-ingest them
+    // with the streamed extractor, and emit per-member identity facts
+    // (byte length + md5 of the decoded content). The oracle computes the
+    // same facts straight off the table, so any corruption, loss, or
+    // duplication across the zip boundary flips the row hash.
+    "q132_zip_roundtrip" -> ((s, dir) => {
+      val out = scratch("q132")
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      graft.sources.ZipIngest.writeZipMembers(docs, out,
+        archiveCol = pmod(col("doc_id"), lit(8)),
+        memberCol = concat(lit("doc_"), col("doc_id"), lit(".txt")),
+        contentCol = col("text"))
+      graft.sources.ZipIngest.readZipMembers(s, out).toDF()
+        .select(
+          regexp_extract(col("member"), "doc_(\\d+)\\.txt", 1)
+            .cast("bigint").as("doc_id"),
+          col("member"),
+          length(col("content")).cast("bigint").as("size_bytes"),
+          md5(col("content")).as("content_md5"))
+    }),
+
+    // F10: recipe-difficulty bucketing (reference recipe_tasks.py:206-239)
+    // gated on its threshold arithmetic: total times in half-minute steps
+    // hit both bucket edges exactly (29.5 easy, 30.0 medium, 60.0 medium,
+    // 60.5 hard) and the click rows exercise the null→unknown branch.
+    "q133_difficulty_buckets" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("total_us",
+          when(col("event_type") === "click", lit(null).cast("long"))
+            .otherwise((col("event_id") % 181) * 30L * 1000000L))
+        .withColumn("difficulty",
+          graft.functions.IsoDuration.difficulty(col("total_us")))
+        .groupBy("difficulty").agg(count(lit(1)).as("n"))),
+
     // F5: broadcast-dict lookup over a ;-separated code column — unknown
     // codes pass through, mirroring the reference's dict.get fallback
     // (ETL.py:56-69).
@@ -143,6 +180,25 @@ object SourceQueries {
     "q38_lookup_codes" ->
       s"""SELECT c_custkey, $segCase AS seg_code,
          | $segCase || ';NO_SUCH' AS multi_code
-         |FROM customer""".stripMargin
+         |FROM customer""".stripMargin,
+
+    // strlen = UTF-8 byte length (DuckDB length() counts characters)
+    "q132_zip_roundtrip" ->
+      """SELECT doc_id, 'doc_' || doc_id || '.txt' AS member,
+        | CAST(strlen(text) AS BIGINT) AS size_bytes,
+        | md5(text) AS content_md5
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
+    "q133_difficulty_buckets" ->
+      """WITH q AS (
+        |  SELECT CASE WHEN event_type = 'click' THEN NULL
+        |              ELSE (event_id % 181) * 30 * 1000000 END AS total_us
+        |  FROM events)
+        |SELECT CASE WHEN total_us IS NULL THEN 'unknown'
+        |            WHEN total_us / 60000000.0 < 30 THEN 'easy'
+        |            WHEN total_us / 60000000.0 <= 60 THEN 'medium'
+        |            ELSE 'hard' END AS difficulty,
+        |       COUNT(*) AS n
+        |FROM q GROUP BY 1""".stripMargin
   )
 }

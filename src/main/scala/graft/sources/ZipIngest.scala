@@ -1,11 +1,11 @@
 package graft.sources
 
-import java.io.ByteArrayInputStream
-import java.util.zip.ZipInputStream
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Zip/binary ingestion (SURVEY.md §2.1 S8): archives land as opaque binary
@@ -68,6 +68,47 @@ object ZipIngest {
   def listZipMembers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     readZipMembers(spark, dir).select("archive", "member", "sizeBytes").toDF()
+  }
+
+  /** Inverse of [[readZipMembers]]: pack (archive, member, content) rows
+    * into one `.zip` file per archive key under `dir`. Archives are built
+    * executor-side (one `mapGroups` shuffle on the archive key) and written
+    * through the Hadoop FileSystem API, so the path works unchanged against
+    * file://, hdfs:// or s3a://. Members are sorted by name and entry
+    * timestamps pinned to epoch, so an archive's bytes are a pure function
+    * of its rows. Each archive is assembled in executor memory — callers
+    * size the archive key so one archive stays well under task memory
+    * (same bound the extract path already implies). */
+  def writeZipMembers(df: DataFrame, dir: String, archiveCol: Column,
+                      memberCol: Column, contentCol: Column): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(archiveCol.cast("string").as("archive"),
+        memberCol.cast("string").as("member"),
+        contentCol.cast("binary").as("content"))
+      .as[(String, String, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (arch, it) =>
+        val bos = new ByteArrayOutputStream()
+        val zout = new ZipOutputStream(bos)
+        it.toSeq.sortBy(_._2).foreach { case (_, m, c) =>
+          val e = new ZipEntry(m)
+          e.setTime(0L)
+          zout.putNextEntry(e)
+          zout.write(c)
+          zout.closeEntry()
+        }
+        zout.close()
+        (s"$arch.zip", bos.toByteArray)
+      }
+      .foreachPartition { (it: Iterator[(String, Array[Byte])]) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.foreach { case (name, bytes) =>
+          val p = new org.apache.hadoop.fs.Path(dir, name)
+          val os = p.getFileSystem(conf).create(p, true)
+          try os.write(bytes) finally os.close()
+        }
+      }
   }
 
   /** Text members decoded to (archive, member, line) rows — the zip-to-

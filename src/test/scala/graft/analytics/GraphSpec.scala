@@ -21,8 +21,20 @@ class GraphSpec extends SparkSpec {
     val pr = Graph.pagerank(edges, iters = 3)
       .as[(Int, Long)].collect().toMap
     assert(pr(1) == pr(2))
-    // truncating div loses at most a few ppm per node per iteration
+    // truncating div loses at most a few ppm per node per iteration.
+    // NOTE: mass conservation holds only on sink-free graphs like this
+    // cycle — dangling nodes leak 85% of their inflow per iteration (the
+    // documented no-dangling-redistribution simplification in pagerank).
     assert(math.abs(pr.values.sum - 1000000L) < 100L)
+  }
+
+  test("pagerank on a graph with a sink leaks dangling mass (documented)") {
+    // 1→2, 2 has no out-edges: node 2's inflow is never redistributed, so
+    // total mass settles well below 1e6 — pin the documented behavior.
+    val edges = Seq((1, 2, 1L)).toDF("src", "dst", "w")
+    val pr = Graph.pagerank(edges, iters = 5).as[(Int, Long)].collect().toMap
+    assert(pr.values.sum < 900000L)
+    assert(pr(2) > pr(1)) // the sink still accumulates more than its source
   }
 
   test("pagerank is partitioning-independent (integer arithmetic)") {

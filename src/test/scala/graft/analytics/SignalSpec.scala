@@ -44,6 +44,19 @@ class SignalSpec extends SparkSpec {
     assert(got == Seq((3L, 17L), (4L, 34L), (5L, 21L)))
   }
 
+  test("cusum alarms immediately when the series drifts up from row 1 (S_0 term)") {
+    // y: 40,10,10 target = 20 (60 div 3), slack = 1 → d = y-21: 19,-11,-11
+    // S: 19,8,-3. Recursion: C_1 = max(0,19) = 19, C_2 = 8, C_3 = 0.
+    // Without the S_0 = 0 term the running min is 19 at t=1, so C_1 would
+    // be 0 and the first-row alarm is missed.
+    val df = Seq((1L, 40L), (2L, 10L), (3L, 10L))
+      .map { case (i, y) => ("k", i, y) }.toDF("k", "id", "y")
+    val got = Signal.cusum(df, "k", Seq(col("id")), col("y"),
+        slackDiv = 20L, threshold = 5L, keepCols = Seq("id"))
+      .orderBy("id").select("id", "cusum").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 19L), (2L, 8L)))
+  }
+
   test("madOutliers flags the far point and ignores zero-MAD groups") {
     val df = (Seq.fill(9)(100L) :+ 100L).zipWithIndex
       .map { case (y, i) => ("flat", i.toLong, y) }
