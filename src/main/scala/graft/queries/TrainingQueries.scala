@@ -177,10 +177,12 @@ object TrainingQueries {
       val approx = Similarity.ivfTopK(assigned,
           assigned.filter(col("vec_id") < 10), 5)
         .select(col("query_id"), col("neighbor_id"))
-      val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+      // both joins carry |queries|*k rows — broadcast them explicitly
+      // (checkpointed inputs have no stats, the static planner would SMJ)
+      val hits = broadcast(exact).join(approx, Seq("query_id", "neighbor_id"))
         .groupBy(col("query_id")).agg(count(lit(1)).as("n_match"))
       exact.select(col("query_id")).distinct()
-        .join(hits, Seq("query_id"), "left")
+        .join(broadcast(hits), Seq("query_id"), "left")
         .select(col("query_id"),
           coalesce(col("n_match"), lit(0L)).as("n_match"),
           expr("(coalesce(n_match, 0L) * 1000000) div 5").as("recall_ppm"))

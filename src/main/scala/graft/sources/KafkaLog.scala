@@ -20,6 +20,12 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
   * cannot exercise is `save()`/`start()` — the `spark-sql-kafka` connector
   * jar and a broker are deployment-time dependencies (zero-egress env);
   * everything up to that line is real and spec-covered (KafkaLogSpec).
+  *
+  * Boundary verified final (round 6): `/opt/spark/jars` ships NO kafka
+  * artifact at all — no `spark-sql-kafka`, no `kafka-clients` — and the
+  * offline coursier cache resolves only scalatest/scalacheck, so even an
+  * embedded-broker spec cannot be compiled here. The connector boundary
+  * (`writer(...).save()`) is the documented deployment seam.
   */
 object KafkaLog {
 

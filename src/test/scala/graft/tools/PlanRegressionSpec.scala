@@ -221,6 +221,86 @@ class PlanRegressionSpec extends AnyFunSuite {
       "bucketed co-located join must not shuffle either side")
   }
 
+  // ---- round-5/6 pack (q118-q133): pins matching the PLANS.md rows ----
+
+  test("q118: neardup pipeline composes without SMJ or any pairwise scan") {
+    val p = plan("q118_neardup_pipeline")
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop") &&
+      !p.contains("CartesianProduct"))
+  }
+
+  test("q119/q129: pure window passes — one exchange, no join") {
+    for (n <- Seq("q119_sequence_packing", "q129_rapid_repeats")) {
+      val p = plan(n)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, n)
+      assert(!p.contains("Join"), s"$n must not join")
+      assert(p.contains("Window"), s"$n rides a window")
+    }
+  }
+
+  test("q122: the two median windows share a single sort") {
+    val p = plan("q122_weighted_median")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+    assert("Sort \\[".r.findAllIn(p).size == 1,
+      "compatible window specs must reuse one sort")
+  }
+
+  test("q123: vocab top-k uses the partial+final TopKPerKey operator") {
+    val p = plan("q123_vocab_topk")
+    assert("TopKPerKey".r.findAllIn(p).size >= 2,
+      "expect partial and final TopKPerKeyExec nodes")
+    assert(!p.contains("Window"), "must not fall back to row_number")
+  }
+
+  test("q124/q127: blocked self-joins stay broadcast-equi, never pairwise") {
+    for (n <- Seq("q124_source_overlap", "q127_record_linkage")) {
+      val p = plan(n)
+      assert(p.contains("BroadcastHashJoin"), s"$n expects broadcast joins")
+      assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop") &&
+        !p.contains("CartesianProduct"), s"$n must not go pairwise")
+    }
+  }
+
+  test("q125: the only nested loop is the 1-row decay-anchor scalar") {
+    val p = plan("q125_decay_leaderboard")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q126: dim-grid cross joins are the only nested loops; no SMJ") {
+    val p = plan("q126_seasonal_anomaly")
+    // types × days densification grid: two tiny-distinct cross joins
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 2)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q128: funnel stage joins never degrade to cartesian/nested loop") {
+    val p = plan("q128_funnel_rates")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+
+  test("q130: recall joins broadcast the materialized neighbor sets (no SMJ)") {
+    val p = plan("q130_ivf_recall")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "checkpointed |queries|*k sides must be broadcast-hinted")
+  }
+
+  test("q131: gini windows sort once per segment partition; no SMJ") {
+    val p = plan("q131_gini_spend")
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop"))
+  }
+
+  test("q132/q133: roundtrip read is scan-only; bucketing aggregates two-phase") {
+    val p32 = plan("q132_zip_roundtrip")
+    assert(!p32.contains("Exchange") && !p32.contains("Join"),
+      "zip read side is a pure scan+project")
+    val p33 = plan("q133_difficulty_buckets")
+    assert("Exchange hashpartitioning".r.findAllIn(p33).size == 1)
+    assert("HashAggregate".r.findAllIn(p33).size == 2,
+      "partial+final aggregation expected")
+  }
+
   test("q102: custom top-k plans as partial+final exec, exactly one exchange") {
     val p = plan("q102_topk_per_group")
     assert("TopKPerKey".r.findAllIn(p).size >= 2,
