@@ -76,6 +76,9 @@ object Bench {
         quiesce(gc = i == reps) // full GC only once per query, off the clock
         dt
       }
+      // Progress marker on stderr: identifies the in-flight query when a
+      // run dies mid-suite (stdout stays clean for the final JSON line).
+      System.err.println(f"[bench] $name ${times.min}%.2fs (${times.size} reps)")
       name -> times.min
     }
     val total = results.map(_._2).sum

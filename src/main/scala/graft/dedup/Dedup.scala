@@ -73,7 +73,7 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numPerms: Int, shingleN: Int): DataFrame = {
-    val hashed = df
+    val hashed = graft.core.Parallelize.fanOut(df)
       .select(col(idCol).as("id"),
         explode(TextOps.wordShingles(col(textCol), shingleN)).as("shingle"))
       .select(col("id"), TextOps.h31(col("shingle")).as("h"))
@@ -113,44 +113,87 @@ object Dedup {
 
   // ---- exact n-gram Jaccard via inverted index ---------------------------
 
-  /** Exact Jaccard near-dup pairs above `threshold` via one inverted-index
-    * self-join: explode distinct shingles (carrying each doc's shingle-set
-    * size), self-join on the shingle, and count matches per (id_a, id_b) —
-    * the count IS the intersection size, so jaccard = inter/(n_a+n_b-inter)
-    * needs no second pass over the shingle sets. Shingling runs once per
-    * side (2 scans total) and everything after the explode is codegen'd
-    * joins/aggs. Singleton shingles (df = 1) can't produce a pair, so the
-    * self-join prunes them for free.
+  /** Exact Jaccard near-dup pairs above `threshold` via PREFIX-FILTERED
+    * inverted-index self-join (AllPairs family — Bayardo/Ma/Srikant, WWW'07;
+    * Chaudhuri/Ganti/Kaushik, ICDE'06). The naive inverted-index join counts
+    * every co-occurring shingle of every pair: Σ df² join rows and — far
+    * worse at scale — one AGGREGATION GROUP per pair sharing even a single
+    * shingle. On a corpus of 50k docs with 10 near-replicas each, that was
+    * 142M join rows and 116.7M distinct groups (measured): the partial
+    * hash-agg degenerates (1.2 rows/group) and the group state, not the
+    * join, is what kills the stage.
     *
-    * `maxDocFreq` (default: unbounded = exact) caps shingle document
-    * frequency for the 100 TB shape: the self-join is Σ df², which a single
-    * hot boilerplate shingle turns quadratic. Capping drops those shingles
-    * from BOTH candidate generation and intersection counts — pairs whose
-    * overlap is exclusively boilerplate are missed and reported jaccard for
-    * surviving pairs can undercount; the standard recall/cost trade. */
+    * Prefix filtering makes the candidate set proportional to the TRUE
+    * near-dup pairs instead: order every doc's shingles by global
+    * (df ASC, shingle ASC) — rarest first — and index only the first
+    * ⌊(1−t)·n⌋+1 of them. Any pair with jaccard ≥ t must share an INDEXED
+    * shingle (prefix lemma: a pair needs inter ≥ t/(1+t)·(n_a+n_b), and
+    * since survivors also satisfy n_b ≥ t·n_a, inter ≥ ⌈t·n_a⌉ — so
+    * skipping the ⌈t·n_a⌉−1 most-common shingles of a doc cannot skip ALL
+    * shared ones). High-df boilerplate shingles sort to the ends and never
+    * generate candidates — lossless, unlike a df cap. Candidates are then
+    * verified exactly with one `array_intersect` against the two full
+    * shingle sets. Candidate generation uses t−1e-6 so the 6-decimal
+    * rounding of the reported jaccard can't admit a pair the prefix bound
+    * excluded.
+    *
+    * `maxDocFreq` (default: unbounded = exact) additionally caps shingle
+    * document frequency: capped shingles drop from BOTH candidate
+    * generation and intersection counts while denominators keep the full
+    * set sizes — pairs whose overlap is exclusively boilerplate are missed
+    * and reported jaccard can undercount; the standard recall/cost trade.
+    * The prefix bound stays valid under the cap (inter still ≥ ⌈t·n_a⌉ for
+    * survivors, and the capped list is a suffix-truncation of the same
+    * global order), so the formula is one and the same in both modes.
+    *
+    * Plan shape: explode → df hash-agg → shingle join → one window pass on
+    * id (prefix rank) + one collect_list agg on id (verification sets) →
+    * prefix self-join → two id-keyed joins. Every exchange carries data
+    * proportional to corpus postings or surviving pairs — nothing Σ df². */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int, threshold: Double,
                    maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    val base = df.select(col(idCol).as("id"),
+    val base = graft.core.Parallelize.fanOut(df)
+      .select(col(idCol).as("id"),
         TextOps.wordShingles(col(textCol), shingleN).as("shingles"))
       .filter(size(col("shingles")) > 0)
     val postings = base.select(col("id"), size(col("shingles")).as("n_sh"),
       explode(col("shingles")).as("shingle"))
-    val indexed =
-      if (maxDocFreq == Int.MaxValue) postings
-      else {
-        val informative = postings.groupBy(col("shingle"))
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDocFreq)
-          .select(col("shingle"))
-        postings.join(informative, "shingle")
-      }
-    indexed.as("a")
-      .join(indexed.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
-      .agg(count(lit(1)).as("inter"))
+    val dfreq = postings.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val withDf = postings.join(dfreq, "shingle")
+    val kept =
+      if (maxDocFreq == Int.MaxValue) withDf
+      else withDf.filter(col("df") <= maxDocFreq)
+    // Per-doc prefix of the global (df, shingle) order. n_sh is the FULL
+    // set size even under a cap — that is what the lemma needs.
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df").asc, col("shingle").asc)
+    val prefix = kept
+      .withColumn("rn", row_number().over(byRarity))
+      .where(col("rn") <=
+        floor(col("n_sh") * lit(1.0 - (threshold - 1e-6))).cast("int") + lit(1))
+      .select(col("id"), col("n_sh"), col("shingle"))
+    // Size filter (also lossless): jaccard ≥ t forces inter ≥ t·max(n_a,n_b)
+    // while inter ≤ min(n_a,n_b), so min ≥ t·max. Evaluating it inside the
+    // join keeps size-incompatible pairs out of the candidate distinct and
+    // the verification joins entirely.
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
+          least(col("a.n_sh"), col("b.n_sh")).cast("double") >=
+            greatest(col("a.n_sh"), col("b.n_sh")) * lit(threshold - 1e-6))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // Verification sets: the CAPPED shingle list (intersection counts only
+    // surviving shingles) alongside the full size for the denominator.
+    val sets = kept.groupBy(col("id"))
+      .agg(first(col("n_sh")).as("n_sh"), collect_list(col("shingle")).as("sh"))
+    cands
+      .join(sets.select(col("id").as("id_a"), col("n_sh").as("n_a"),
+        col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("n_sh").as("n_b"),
+        col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
@@ -408,7 +451,7 @@ object Dedup {
   }
 
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashed = df
+    val hashed = graft.core.Parallelize.fanOut(df)
       .select(col(idCol).as("id"),
         explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
       .select(col("id"), TextOps.h31(col("tok")).as("h"))

@@ -30,7 +30,14 @@ object StringSim {
         col(nameCol).as(s"${tag}_name"),
         expr(s"split_part($nameCol, ' ', 1)").as(s"${tag}_tok"),
         length(col(nameCol)).as(s"${tag}_len")): _*)
-    val a = side("a")
+    // Parallelism of the quadratic in-block work is governed by the PROBE
+    // side's partitioning, not the data volume: a dim table small enough to
+    // broadcast is usually also small enough to arrive as ONE scan partition,
+    // and then every in-block levenshtein runs in a single task (measured 5×
+    // against the oracle engine on q108). Parallelize.fanOut spreads the
+    // pair enumeration + banded DP across the cluster for one tiny exchange
+    // — and passes big many-partition inputs through untouched.
+    val a = graft.core.Parallelize.fanOut(side("a"), minBytes = 0L)
     val b = side("b").withColumnsRenamed(
       blockCols.map(c => c -> s"b_$c").toMap)
     val joinCond = blockCols.map(c => col(c) === col(s"b_$c"))

@@ -44,7 +44,8 @@ object Corpus {
 
   /** (id, term, tf) — term frequency per document, whitespace tokens. */
   def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"),
+    graft.core.Parallelize.fanOut(docs)
+      .select(col(idCol).as("id"),
         explode(TextOps.tokens(col(textCol))).as("term"))
       .groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -149,8 +150,9 @@ object Corpus {
     * construction — the hint is safe) → per-doc hash-agg. Corpus-linear. */
   def oovRate(docs: DataFrame, idCol: String, textCol: String,
               vocabSize: Int): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      explode(TextOps.tokens(col(textCol))).as("term"))
+    val toks = graft.core.Parallelize.fanOut(docs)
+      .select(col(idCol).as("id"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
     val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("ctf"))
       .orderBy(col("ctf").desc, col("term").asc).limit(vocabSize)
       .select(col("term"), lit(1).as("in_vocab"))
@@ -204,7 +206,8 @@ object Corpus {
     // astral-plane characters (emoji, math alphanumerics) count once —
     // `split(text, "")` would halve their surrogate pairs into two bogus
     // "characters" and diverge from DuckDB's codepoint string_split
-    val chars = docs.select(col(idCol).as("id"),
+    val chars = graft.core.Parallelize.fanOut(docs)
+      .select(col(idCol).as("id"),
         explode(regexp_extract_all(col(textCol), lit("(?s)."), lit(0))).as("ch"))
       .filter(col("ch") =!= "")
     val cc = chars.groupBy(col("id"), col("ch")).agg(count(lit(1)).as("nc"))
