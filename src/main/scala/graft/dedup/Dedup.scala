@@ -21,6 +21,12 @@ object Dedup {
 
   import TextOps.P31
 
+  /** Input-corpus size below which [[jaccardPairs]] broadcasts the per-doc
+    * verification sets instead of shuffle-joining them (hashed-long sets
+    * are about the size of the text itself, so 128 MiB of corpus is order
+    * hundreds of MiB broadcast — comfortably within executor memory). */
+  private val SetsBroadcastMaxInputBytes = BigInt(128L << 20)
+
   // ---- exact -------------------------------------------------------------
 
   /** Exact dedup by content hash: one row per distinct content with the
@@ -146,6 +152,31 @@ object Dedup {
     * survivors, and the capped list is a suffix-truncation of the same
     * global order), so the formula is one and the same in both modes.
     *
+    * Three constant-factor hardenings, each measured on an adversarially
+    * DENSE corpus (50k distinct ~300-char docs over only 35k distinct
+    * shingles — every shingle common, so the prefix alone cut join rows
+    * just 2.9×, 287M→100M, and left 31.8M candidates):
+    *
+    *  - **Shingles are hashed to 60-bit longs** ([[ColumnOps.stable64]])
+    *    right after the explode. Candidate generation and intersection
+    *    counts are hash-set arithmetic either way; on longs the
+    *    verification arrays are ~8 B/element instead of ~17-byte strings
+    *    and every join/intersect compares words, not bytes. Collisions
+    *    (~n_pair·|union|²/2⁶¹) are negligible at any realistic corpus
+    *    size, and the REPORTED jaccard is pure set-count arithmetic, so a
+    *    string-computing reference engine agrees bit-for-bit.
+    *  - **Positional filter** (PPJoin, Xiao/Wang/Lin/Yu, WWW'08): a match
+    *    at per-doc sorted positions (i, j) caps the achievable overlap at
+    *    min(n_a−i, n_b−j)+1, which must reach ⌈t/(1+t)·(n_a+n_b)⌉ — late-
+    *    position-only matches prune inside the join, before the distinct.
+    *  - **Verification sets broadcast when the input corpus is small**
+    *    (analyzed-plan stats, same source as [[graft.core.Parallelize]]):
+    *    the per-doc set table is corpus-sized, so shipping it to every
+    *    executor once beats shuffling candidate×set rows — at 10× bench
+    *    scale the two set joins otherwise move ~|cands|·|set| bytes twice.
+    *    Big corpora keep the shuffle joins (sets grow with the corpus;
+    *    candidates are what they are).
+    *
     * Plan shape: explode → df hash-agg → shingle join → one window pass on
     * id (prefix rank) + one collect_list agg on id (verification sets) →
     * prefix self-join → two id-keyed joins. Every exchange carries data
@@ -153,41 +184,55 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int, threshold: Double,
                    maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val tau = threshold - 1e-6
     val base = graft.core.Parallelize.fanOut(df)
       .select(col(idCol).as("id"),
         TextOps.wordShingles(col(textCol), shingleN).as("shingles"))
       .filter(size(col("shingles")) > 0)
+    // stable64 is injective on any real shingle vocabulary (60-bit md5
+    // prefix); distinct strings → distinct longs, so counts are unchanged.
     val postings = base.select(col("id"), size(col("shingles")).as("n_sh"),
       explode(col("shingles")).as("shingle"))
-    val dfreq = postings.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val withDf = postings.join(dfreq, "shingle")
+      .select(col("id"), col("n_sh"), ColumnOps.stable64(col("shingle")).as("h"))
+    val dfreq = postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val withDf = postings.join(dfreq, "h")
     val kept =
       if (maxDocFreq == Int.MaxValue) withDf
       else withDf.filter(col("df") <= maxDocFreq)
-    // Per-doc prefix of the global (df, shingle) order. n_sh is the FULL
-    // set size even under a cap — that is what the lemma needs.
+    // Per-doc prefix of the global (df, h) order. n_sh is the FULL set
+    // size even under a cap — that is what the lemma needs. rn (the sorted
+    // position) rides along for the positional filter.
     val byRarity = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("df").asc, col("shingle").asc)
+      .partitionBy(col("id")).orderBy(col("df").asc, col("h").asc)
     val prefix = kept
       .withColumn("rn", row_number().over(byRarity))
       .where(col("rn") <=
-        floor(col("n_sh") * lit(1.0 - (threshold - 1e-6))).cast("int") + lit(1))
-      .select(col("id"), col("n_sh"), col("shingle"))
+        floor(col("n_sh") * lit(1.0 - tau)).cast("int") + lit(1))
+      .select(col("id"), col("n_sh"), col("rn"), col("h"))
     // Size filter (also lossless): jaccard ≥ t forces inter ≥ t·max(n_a,n_b)
     // while inter ≤ min(n_a,n_b), so min ≥ t·max. Evaluating it inside the
     // join keeps size-incompatible pairs out of the candidate distinct and
-    // the verification joins entirely.
+    // the verification joins entirely. The positional filter prunes pairs
+    // whose matches all sit too late in the sorted sets to reach the
+    // required overlap ⌈t/(1+t)·(n_a+n_b)⌉ — a pair survives iff ANY of
+    // its prefix matches passes, which the post-filter distinct preserves.
     val cands = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           least(col("a.n_sh"), col("b.n_sh")).cast("double") >=
-            greatest(col("a.n_sh"), col("b.n_sh")) * lit(threshold - 1e-6))
+            greatest(col("a.n_sh"), col("b.n_sh")) * lit(tau) &&
+          (least(col("a.n_sh") - col("a.rn"), col("b.n_sh") - col("b.rn"))
+            + lit(1)).cast("double") * lit(1.0 + tau) >=
+            (col("a.n_sh") + col("b.n_sh")).cast("double") * lit(tau))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // Verification sets: the CAPPED shingle list (intersection counts only
     // surviving shingles) alongside the full size for the denominator.
-    val sets = kept.groupBy(col("id"))
-      .agg(first(col("n_sh")).as("n_sh"), collect_list(col("shingle")).as("sh"))
+    val sets0 = kept.groupBy(col("id"))
+      .agg(first(col("n_sh")).as("n_sh"), collect_list(col("h")).as("sh"))
+    val inputBytes = df.queryExecution.analyzed.stats.sizeInBytes
+    val sets =
+      if (inputBytes < SetsBroadcastMaxInputBytes) broadcast(sets0) else sets0
     cands
       .join(sets.select(col("id").as("id_a"), col("n_sh").as("n_a"),
         col("sh").as("sh_a")), "id_a")
@@ -375,41 +420,122 @@ object Dedup {
     * per-row HOF version's md5s get inlined into every bit lambda (31×
     * recompute), while here hashing is linear and the aggregation is a
     * materialization barrier with map-side partial aggregation. */
-  /** SimHash near-duplicate pairs via byte-band LSH over the 31-bit
-    * signature: docs sharing ANY of the 4 bands meet in a bucket join
-    * (Σ bucket² cost, never n²), then the exact Hamming distance filters to
-    * `maxHamming`. Pairs differing in every band are missed — with 4 bands
-    * that's only possible for hamming >= 4, so recall is perfect for
-    * maxHamming <= 3 and degrades gracefully above. */
+  /** SimHash near-duplicate pairs, computed at the SIGNATURE level and
+    * expanded back to documents. Near-dup corpora concentrate onto few
+    * distinct signatures (replica groups hash identically), so doc-level
+    * band joins pay Σ bucket² over DOCUMENTS for work that only depends on
+    * the distinct signature values: on a 50k-doc corpus with 17k distinct
+    * signatures, doc-level 8-bit bands cost 1.96G join rows where the
+    * sig-level join costs 3.2M (both measured). Three stages:
+    *
+    *  1. **Identical-signature groups** pair directly (hamming 0) via one
+    *     equi-join on the signature — output-proportional.
+    *  2. **Distinct signatures** band-join with `maxHamming + 1` bands of
+    *     ~31/(maxHamming+1) bits: by pigeonhole, ≤ maxHamming differing
+    *     bits cannot touch every band, so recall is PERFECT for any
+    *     maxHamming ≤ 30 — and fewer, wider bands mean exponentially finer
+    *     buckets than fixed 8-bit bands (16-bit bands are 256× finer).
+    *  3. Surviving signature pairs (≤ the corpus's true near-dup sig
+    *     structure; materialized, counted, and broadcast when small)
+    *     expand through two id joins — again output-proportional.
+    *
+    * `maxBucketSize` is the boilerplate mega-group guard: identical-
+    * signature groups larger than it are dropped from BOTH stages (their
+    * C(g,2) self-pairs are exactly the junk output a boilerplate template
+    * generates), with the dropped-group count logged — same explicit
+    * recall trade as [[minhashCandidatePairs]]'s bucket cap. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int,
                           maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val bands = capBuckets(simhashBands(df, idCol, textCol),
-      maxBucketSize, "simhashNearDupPairs", bucketCol = "band")
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+    // signatures are referenced by both stages and the distinct —
+    // materialize once (the explode+31-agg derivation is the dominant cost)
+    val sigs0 = simhashSignatures(df, idCol, textCol).localCheckpoint(true)
+    val sigs =
+      if (maxBucketSize == Int.MaxValue) sigs0
+      else {
+        val sizes = sigs0.groupBy(col("simhash")).agg(count(lit(1)).as("g"))
+        val dropped = sizes.filter(col("g") > maxBucketSize).count()
+        if (dropped > 0)
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"simhashNearDupPairs: dropped $dropped identical-signature " +
+              s"group(s) larger than $maxBucketSize docs (boilerplate skew " +
+              "guard; pairs involving a dropped group are not generated)")
+        sigs0.join(sizes.filter(col("g") <= maxBucketSize)
+          .select(col("simhash")), "simhash")
+      }
+    val within = sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.simhash") === col("b.simhash") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+        lit(0).cast("int").as("hamming"))
+    val cross = sigPairs(sigs.select(col("simhash")).distinct(),
+        sigs.select(col("simhash")).distinct(), maxHamming, ordered = true)
+      .join(sigs.select(col("simhash").as("s1"), col("id").as("ida")), "s1")
+      .join(sigs.select(col("simhash").as("s2"), col("id").as("idb")), "s2")
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"), col("hamming"))
+    within.unionAll(cross)
   }
 
   /** Cross-corpus simhash near-dup pairs — the CONTAMINATION shape: every
-    * (left, right) pair sharing a byte band, exact-Hamming-filtered. Same
-    * Σ bucket² bucket join as [[simhashNearDupPairs]] but across two
-    * disjoint document sets (eval vs train), so no `id <` dedup triangle —
-    * directionality is the point. Band recall is perfect for
-    * maxHamming <= 3 (4 bands). */
+    * (left, right) doc pair within `maxHamming`, directionally (no `id <`
+    * triangle — eval×train is the point). Same sig-level band join +
+    * expansion as [[simhashNearDupPairs]], with equal signatures flowing
+    * through the band join (every band matches), so no separate
+    * within-group stage. Recall is perfect for maxHamming ≤ 30. */
   def simhashCrossPairs(left: DataFrame, right: DataFrame, idCol: String,
-                        textCol: String, maxHamming: Int): DataFrame =
-    simhashBands(left, idCol, textCol).as("a")
-      .join(simhashBands(right, idCol, textCol).as("b"),
-        col("a.band") === col("b.band"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+                        textCol: String, maxHamming: Int): DataFrame = {
+    val sl = simhashSignatures(left, idCol, textCol).localCheckpoint(true)
+    val sr = simhashSignatures(right, idCol, textCol).localCheckpoint(true)
+    sigPairs(sl.select(col("simhash")).distinct(),
+        sr.select(col("simhash")).distinct(), maxHamming, ordered = false)
+      .join(sl.select(col("simhash").as("s1"), col("id").as("id_a")), "s1")
+      .join(sr.select(col("simhash").as("s2"), col("id").as("id_b")), "s2")
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Signature pairs within `maxHamming` between two distinct-signature
+    * sets, via the pigeonhole band join (`maxHamming + 1` bands). With
+    * `ordered` the pair triangle (s1 < s2) is kept — the self-join shape;
+    * without, all directed pairs including equal signatures — the
+    * cross-corpus shape. The result is materialized (it is executed once
+    * per expansion join otherwise) and broadcast when small enough that
+    * the expansion joins can run map-side against corpus-sized id tables. */
+  private def sigPairs(dsigA: DataFrame, dsigB: DataFrame, maxHamming: Int,
+                       ordered: Boolean): DataFrame = {
+    val nb = math.max(1, math.min(maxHamming + 1, 31))
+    def bands(dsig: DataFrame): DataFrame =
+      dsig.select(col("simhash"),
+        explode(array(sigBandCols(col("simhash"), nb): _*)).as("band"))
+    val pairCond =
+      if (ordered) col("a.simhash") < col("b.simhash")
+      else lit(true)
+    val sp = bands(dsigA).as("a")
+      .join(bands(dsigB).as("b"), col("a.band") === col("b.band") && pairCond &&
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
+      .select(col("a.simhash").as("s1"), col("b.simhash").as("s2"))
       .distinct()
+      .withColumn("hamming",
+        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("int"))
+      .localCheckpoint(true)
+    // checkpointed → the count is a cheap scan; broadcast keeps the two
+    // expansion joins shuffle-free on the corpus side when the near-dup
+    // sig structure is small (it almost always is — it is bounded by the
+    // corpus's true near-dup pair structure, not its size)
+    if (sp.count() <= 5000000L) broadcast(sp) else sp
+  }
+
+  /** `numBands` contiguous bit slices of the 31-bit signature as join-key
+    * strings, wider slices first (31 = base·n + extra). */
+  private def sigBandCols(sig: Column, numBands: Int): Seq[Column] = {
+    val base = 31 / numBands
+    val extra = 31 % numBands
+    val widths = Seq.tabulate(numBands)(k => base + (if (k < extra) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    (0 until numBands).map(k =>
+      concat_ws("_", lit(k.toString),
+        (shiftright(sig, offsets(k)) % (1L << widths(k))).cast("string")))
+  }
 
   /** Drop LSH buckets larger than `maxBucketSize` — the skew guard for the
     * Σ bucket² bucket joins. A boilerplate-heavy corpus (licence headers,
@@ -440,15 +566,6 @@ object Dedup {
       b.join(sizes.filter(col("bsz") <= maxBucketSize)
         .select(col(bucketCol)), bucketCol)
     }
-
-  /** (id, simhash, band) with one row per 8-bit band of the signature. */
-  private def simhashBands(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bandCols = (0 until 4).map(k =>
-      concat_ws("_", lit(k.toString),
-        (shiftright(col("simhash"), 8 * k) % 256).cast("string")))
-    simhashSignatures(df, idCol, textCol).select(col("id"), col("simhash"),
-      explode(array(bandCols: _*)).as("band"))
-  }
 
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hashed = graft.core.Parallelize.fanOut(df)

@@ -93,7 +93,8 @@ object AdvancedQueries {
     // benchmark number silently depends on.
     "q75_contamination" -> ((s, dir) => {
       import graft.functions.TextOps
-      val docs = t(s, dir, "documents")
+      // fanOut(minBytes=0): per-char rolling-hash fold, same rationale as q29
+      val docs = graft.core.Parallelize.fanOut(t(s, dir, "documents"), 0L)
         .select(col("doc_id"), col("text"),
           (TextOps.h31(col("doc_id").cast("string")) % 100 < 80).as("in_train"),
           TextOps.rollingHash(TextOps.normalizeNfc(col("text"))).as("fp"))

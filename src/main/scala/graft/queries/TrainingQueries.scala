@@ -95,8 +95,11 @@ object TrainingQueries {
     }),
 
     // Document fingerprints: Karp-Rabin rolling hash + winnowing min-hash.
+    // fanOut(minBytes=0): the per-char HOF folds cost ~1000× a scan of the
+    // same bytes, so even a single-split corpus is worth one exchange —
+    // measured 59.5s single-task vs ~2s fanned on a 50k-doc corpus.
     "q29_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents").select(
+      graft.core.Parallelize.fanOut(t(s, dir, "documents"), 0L).select(
         col("doc_id"),
         TextOps.rollingHash(col("text")).as("doc_hash"),
         TextOps.minShingleFingerprint(col("text"), 3).as("min_shingle_hash"))),
