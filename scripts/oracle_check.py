@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir> [--time=OUT.json]
+Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir> [--time=OUT.json] [--out=RESULTS.json]
 
 For each query output parquet under <verifyOutDir>/<name>/ and its SQL in
 <verifyOutDir>/oracle_sql.json, run the SQL in DuckDB over views named after
@@ -26,7 +26,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, res_json: str | None = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -34,10 +34,20 @@ def main(sf_dir: str, out_dir: str) -> int:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # per-query outcome in the driver's CORRECTNESS_r{N} format
+    results = {}
+
+    def record(name, rows_match, schema_match, hash_match,
+               spark_rows, oracle_rows, err):
+        results[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                         "hash_match": hash_match, "spark_rows": spark_rows,
+                         "oracle_rows": oracle_rows, "err": err}
+
     for name in sorted(oracle):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
+            record(name, False, False, False, 0, -1, "no spark output")
             n_fail += 1
             continue
         try:
@@ -46,10 +56,13 @@ def main(sf_dir: str, out_dir: str) -> int:
             want = canon(con.sql(oracle[name]).df())
         except Exception as e:
             print(f"FAIL {name}: {e}")
+            record(name, False, False, False, -1, -1, str(e)[:200])
             n_fail += 1
             continue
         if list(mine.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(mine.columns)} != {list(want.columns)}")
+            record(name, len(mine) == len(want), False, False,
+                   len(mine), len(want), "column mismatch")
             n_fail += 1
             continue
         # Driver hashes the *encoded* values, so a dtype mismatch (e.g. DuckDB
@@ -62,16 +75,21 @@ def main(sf_dir: str, out_dir: str) -> int:
                    if mine[c].dtype.kind != want[c].dtype.kind]
         if dt_mism:
             print(f"FAIL {name}: dtype mismatch {dt_mism}")
+            record(name, len(mine) == len(want), False, False,
+                   len(mine), len(want), f"dtype mismatch {dt_mism}"[:200])
             n_fail += 1
             continue
         if len(mine) != len(want):
             print(f"FAIL {name}: rows {len(mine)} != {len(want)}")
+            record(name, False, True, False, len(mine), len(want),
+                   "row count mismatch")
             n_fail += 1
             continue
         try:
             pd.testing.assert_frame_equal(mine, want, check_dtype=False,
                                           check_exact=True)
             print(f"PASS {name} ({len(mine)} rows)")
+            record(name, True, True, True, len(mine), len(want), None)
             n_pass += 1
         except AssertionError:
             try:
@@ -86,8 +104,14 @@ def main(sf_dir: str, out_dir: str) -> int:
                 for c in bad_cols[:3]:
                     i = mism[c].idxmax()
                     print(f"   {c}[{i}]: mine={mine[c][i]!r} want={want[c][i]!r}")
+            record(name, True, True, False, len(mine), len(want),
+                   "value mismatch")
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail")
+    if res_json:
+        with open(res_json, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"== wrote {res_json}: {len(results)} queries")
     return 1 if n_fail else 0
 
 
@@ -124,7 +148,11 @@ def time_oracle(sf_dir: str, out_dir: str, out_json: str, reps: int = 2) -> None
 
 
 if __name__ == "__main__":
-    rc = main(sys.argv[1], sys.argv[2])
+    res_json = None
+    for a in sys.argv[3:]:
+        if a.startswith("--out"):
+            res_json = a.split("=", 1)[1] if "=" in a else None
+    rc = main(sys.argv[1], sys.argv[2], res_json)
     for a in sys.argv[3:]:
         if a.startswith("--time"):
             dest = a.split("=", 1)[1] if "=" in a else "BASELINE_duckdb.json"

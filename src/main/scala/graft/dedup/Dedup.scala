@@ -494,6 +494,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Near-dup connected components WITHOUT materializing the doc-pair
+    * graph: (id, cluster_id) for every doc, cluster_id = smallest doc id
+    * in its near-dup component — the survivor-selection primitive a dedup
+    * pipeline actually needs ([[graft.pipelines.PretrainCorpus]]).
+    *
+    * Components are computed over SIGNATURES and lifted: same-signature
+    * docs form a clique through their shared sig node, and a sig-pair edge
+    * connects all docs of both sigs, so doc components and sig components
+    * coincide exactly — but the sig graph is near-dup-STRUCTURE-sized
+    * (17k nodes / 29k edges where the doc-pair graph held 47M edges, 10×
+    * corpus, hamming ≤ 1), which keeps [[dupClusters]] on its driver
+    * union-find fast path long after the doc-pair formulation has pushed
+    * into multi-round distributed propagation. Same output as
+    * `dupClusters(simhashNearDupPairs(...))` plus explicit singleton rows
+    * (cluster_id = id for docs with no near-dup).
+    *
+    * `maxBucketSize`: identical-signature groups larger than the cap are
+    * EXCLUDED from the output entirely (their docs neither cluster nor
+    * appear), matching the pair formulation where capped groups generate
+    * no pairs — callers treat absent docs as self-survivors. */
+  def simhashComponents(df: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int,
+                        maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val sigs0 = simhashSignatures(df, idCol, textCol).localCheckpoint(true)
+    val sigs =
+      if (maxBucketSize == Int.MaxValue) sigs0
+      else {
+        val sizes = sigs0.groupBy(col("simhash")).agg(count(lit(1)).as("g"))
+        sigs0.join(sizes.filter(col("g") <= maxBucketSize)
+          .select(col("simhash")), "simhash")
+      }
+    val dsig = sigs.select(col("simhash")).distinct()
+    val sigComp = dupClusters(
+      sigPairs(dsig, dsig, maxHamming, ordered = true)
+        .select(col("s1").as("id_a"), col("s2").as("id_b")))
+      .select(col("id").as("simhash"), col("cluster_id").as("sig_comp"))
+    // one exchange on the component key; min-per-component as a window
+    // over that same partitioning (a groupBy+join would shuffle twice)
+    sigs.join(sigComp, Seq("simhash"), "left")
+      .select(col("id"),
+        coalesce(col("sig_comp"), col("simhash")).as("comp"))
+      .withColumn("cluster_id",
+        min(col("id")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("comp"))))
+      .select(col("id"), col("cluster_id"))
+  }
+
   /** Signature pairs within `maxHamming` between two distinct-signature
     * sets, via the pigeonhole band join (`maxHamming + 1` bands). With
     * `ordered` the pair triangle (s1 < s2) is kept — the self-join shape;

@@ -62,11 +62,12 @@ object PretrainCorpus {
       .withColumn("rn", row_number().over(
         Window.partitionBy(md5(col("text"))).orderBy(col("id"))))
       .filter(col("rn") === 1).drop("rn")
-    // near-dup dedup: simhash pairs → connected components → the cluster's
-    // min id survives; docs in no pair never enter the cluster table
-    val pairs = Dedup.simhashNearDupPairs(exact, "id", "text",
-      cfg.simhashMaxHamming, cfg.maxBucketSize)
-    val losers = Dedup.dupClusters(pairs)
+    // near-dup dedup: sig-level components (the doc-pair graph never
+    // materializes — see Dedup.simhashComponents) → the cluster's min id
+    // survives; capped/singleton docs are absent or self-labeled and
+    // therefore survive
+    val losers = Dedup.simhashComponents(exact, "id", "text",
+        cfg.simhashMaxHamming, cfg.maxBucketSize)
       .filter(col("cluster_id") =!= col("id")).select(col("id"))
     exact.join(losers, Seq("id"), "left_anti")
   }

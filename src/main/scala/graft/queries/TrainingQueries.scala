@@ -26,9 +26,12 @@ object TrainingQueries {
       Dedup.exactDupGroups(t(s, dir, "documents"), "doc_id", col("text"))),
 
     // Token statistics: whitespace + BPE-ish counts, mean token length.
+    // fanOut(minBytes=0) on q21-q23/q53: pure per-row text work whose
+    // interpreted-HOF/regex cost is orders beyond the scan, so a
+    // single-split corpus must not run it on one core (see q29).
     "q21_token_stats" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
-      t(s, dir, "documents").select(
+      graft.core.Parallelize.fanOut(t(s, dir, "documents"), 0L).select(
         col("doc_id"),
         size(toks).as("n_tokens"),
         TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"),
@@ -38,7 +41,7 @@ object TrainingQueries {
 
     // Quality scoring: stopword/punct ratios + composite score.
     "q22_quality_score" -> ((s, dir) =>
-      t(s, dir, "documents").select(
+      graft.core.Parallelize.fanOut(t(s, dir, "documents"), 0L).select(
         col("doc_id"),
         round(TextOps.stopwordRatio(col("text")), 6).as("stop_ratio"),
         round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
@@ -46,7 +49,7 @@ object TrainingQueries {
 
     // Language ID: marker-profile argmax vs the labeled lang column.
     "q23_lang_id" -> ((s, dir) =>
-      t(s, dir, "documents")
+      graft.core.Parallelize.fanOut(t(s, dir, "documents"), 0L)
         .select(col("lang").as("actual_lang"), TextOps.langId(col("text")).as("predicted_lang"))
         .groupBy(col("actual_lang"), col("predicted_lang"))
         .agg(count(lit(1)).as("n"))),
@@ -133,7 +136,7 @@ object TrainingQueries {
     // a pre-scrub email count as the audit metric. Output hashes the
     // scrubbed text so the gate verifies every replacement byte-exactly.
     "q53_pii_scrub" -> ((s, dir) =>
-      t(s, dir, "documents").select(
+      graft.core.Parallelize.fanOut(t(s, dir, "documents"), 0L).select(
         col("doc_id"),
         md5(TextOps.scrubPii(col("text"))).as("scrubbed_hash"),
         TextOps.emailCount(col("text")).cast("int").as("n_emails"))),

@@ -107,6 +107,20 @@ class DedupSpec extends SparkSpec {
     assert(distributed == got)
   }
 
+  test("simhashComponents lifts sig-level components to the doc-pair answer") {
+    // must equal dupClusters over the enumerated pair graph, plus explicit
+    // singletons (cluster_id = id) for docs with no near-dup
+    val viaPairs = rows(Dedup.dupClusters(
+        Dedup.simhashNearDupPairs(docs, "doc_id", "text", 3)))
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    val viaSigs = rows(Dedup.simhashComponents(docs, "doc_id", "text", 3))
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    val allIds = rows(docs.select(col("doc_id"))).map(_.getLong(0)).toSet
+    assert(viaSigs.keySet == allIds)
+    viaPairs.foreach { case (id, c) => assert(viaSigs(id) == c) }
+    (allIds -- viaPairs.keySet).foreach(id => assert(viaSigs(id) == id))
+  }
+
   test("embeddingNearDups finds the planted high-cosine pair, IVF variant agrees in-cluster") {
     import spark.implicits._
     val emb = Seq(
