@@ -168,10 +168,12 @@ object Corpus {
     * per document (templated/spammy text repeats itself; a high duplicate
     * fraction is a standard pre-training quality-filter signal). Entirely
     * per-row (one pass over each doc's shingle multiset), integer-ppm
-    * output — zero shuffle, engine-exact. */
+    * output, engine-exact; fanOut(0) because the per-row shingle multiset
+    * work dwarfs the scan (no shuffle once the corpus scans wide). */
   def ngramRepetition(docs: DataFrame, idCol: String, textCol: String,
                       n: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
+    graft.core.Parallelize.fanOut(docs, 0L)
+      .select(col(idCol).as("id"),
         TextOps.wordShinglesAll(col(textCol), n).as("grams"))
       .select(col("id"), size_(col("grams")).cast("long").as("n_grams"),
         size_(array_distinct(col("grams"))).cast("long").as("n_distinct"))
