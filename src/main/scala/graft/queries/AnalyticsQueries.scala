@@ -180,7 +180,9 @@ object AnalyticsQueries {
         .withColumn("n", count(lit(1)).over(wn))
         .where(col("n") > 1)
         .withColumn("prank_ppm",
-          expr("((rk - 1) * 1000000) div (n - 1)").cast("long"))
+          // rk is row_number's INT: widen before the ppm multiply or months
+          // with >2148 orders overflow 32-bit (caught by the 10× stress)
+          expr("((cast(rk as bigint) - 1) * 1000000) div (n - 1)"))
         .where(col("prank_ppm") < 50000L)
         .select(col("o_orderkey"), col("ym"), col("rk").cast("long").as("rk"),
           col("prank_ppm"))
