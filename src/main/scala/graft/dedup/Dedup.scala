@@ -104,17 +104,34 @@ object Dedup {
         "division would silently drop trailing signature positions from every " +
         "band, reducing recall while est_jaccard still uses the full signature")
     val rows = numPerms / bands
+    // signatures are referenced by the banding AND the two estimate joins —
+    // materialize once so the explode+min-agg derivation runs once
     val sigs = minhashSignatures(df, idCol, textCol, numPerms, shingleN)
-    val buckets = capBuckets(sigs.select(col("id"), col("sig"),
+      .localCheckpoint(true)
+    // The bucket self-join carries NARROW (id, bucket) rows; signature
+    // arrays (numPerms longs per side) attach only after the pair distinct,
+    // so the Σ bucket² join and the distinct shuffle 16-byte rows instead
+    // of ~2·numPerms·8 B. est_jaccard is a pure function of the pair, so
+    // distinct-then-estimate equals estimate-then-distinct. The estimate
+    // joins broadcast the corpus-sized signature table only when the input
+    // corpus is small (same stats source as jaccardPairs' verification).
+    val buckets = capBuckets(sigs.select(col("id"),
       explode(lshBandKeys(col("sig"), bands, rows)).as("bucket")),
       maxBucketSize, "minhashCandidatePairs")
-    val a = buckets.as("a")
-    val b = buckets.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), e => e))
-          .cast("double") / numPerms.toDouble).as("est_jaccard"))
+    val cands = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    val inputBytes = df.queryExecution.analyzed.stats.sizeInBytes
+    val sigSide =
+      if (inputBytes < SetsBroadcastMaxInputBytes) broadcast(sigs) else sigs
+    cands
+      .join(sigSide.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigSide.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), e => e))
+          .cast("double") / numPerms.toDouble).as("est_jaccard"))
   }
 
   // ---- exact n-gram Jaccard via inverted index ---------------------------
