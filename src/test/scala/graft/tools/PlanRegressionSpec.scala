@@ -109,8 +109,14 @@ class PlanRegressionSpec extends AnyFunSuite {
       "the k-row vocabulary must broadcast, not shuffle the token stream")
   }
 
-  test("q80: repetition features are per-row (zero exchanges before the sink)") {
-    assert(!plan("q80_ngram_repetition").contains("Exchange"))
+  test("q80: repetition features are per-row (only the fanOut exchange)") {
+    // Parallelize.fanOut contributes the one round-robin exchange on small
+    // corpora (single-split scan floor); the feature math itself stays
+    // per-row — no aggregation/join exchange may appear.
+    val p = plan("q80_ngram_repetition")
+    assert("Exchange".r.findAllIn(p).size <= 1)
+    assert(!p.contains("Exchange hashpartitioning"),
+      "repetition features must not introduce a keyed shuffle")
   }
 
   test("q81: sliding window is one Expand + two-phase hash-agg, one exchange") {
