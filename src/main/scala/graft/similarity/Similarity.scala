@@ -112,7 +112,10 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("cv"))
+    // fanOut(0): the corpus is the BNLJ stream side — |queries|·|corpus|
+    // dot products run at the SCAN's parallelism unless spread
+    val c = graft.core.Parallelize.fanOut(corpus, 0L)
+      .select(col(idCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cos_sim"))
