@@ -233,7 +233,7 @@ object Dedup {
     // whose matches all sit too late in the sorted sets to reach the
     // required overlap ⌈t/(1+t)·(n_a+n_b)⌉ — a pair survives iff ANY of
     // its prefix matches passes, which the post-filter distinct preserves.
-    val cands = prefix.as("a")
+    val joined = prefix.as("a")
       .join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           least(col("a.n_sh"), col("b.n_sh")).cast("double") >=
@@ -242,15 +242,12 @@ object Dedup {
             + lit(1)).cast("double") * lit(1.0 + tau) >=
             (col("a.n_sh") + col("b.n_sh")).cast("double") * lit(tau))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
     // Verification sets: the CAPPED shingle list (intersection counts only
     // surviving shingles) alongside the full size for the denominator.
     val sets0 = kept.groupBy(col("id"))
       .agg(first(col("n_sh")).as("n_sh"), collect_list(col("h")).as("sh"))
     val inputBytes = df.queryExecution.analyzed.stats.sizeInBytes
-    val sets =
-      if (inputBytes < SetsBroadcastMaxInputBytes) broadcast(sets0) else sets0
-    cands
+    def verify(pairs: DataFrame, sets: DataFrame): DataFrame = pairs
       .join(sets.select(col("id").as("id_a"), col("n_sh").as("n_a"),
         col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("n_sh").as("n_b"),
@@ -260,6 +257,20 @@ object Dedup {
         (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    if (inputBytes < SetsBroadcastMaxInputBytes)
+      // Small corpus: the set table broadcasts, so verification is
+      // map-side and PIPELINES with the prefix join — verify every join
+      // row (duplicates included; jaccard is a pure pair function) and
+      // distinct only the SURVIVORS. This removes the one remaining
+      // candidate-proportional exchange (a distinct over tens of millions
+      // of candidate rows) in exchange for re-running the in-stage
+      // intersect per duplicate match — measured cheaper by far.
+      verify(joined, broadcast(sets0)).distinct()
+    else
+      // Big corpus: sets shuffle-join, so dedup candidates FIRST — the
+      // distinct is cheaper than widening every duplicated match with two
+      // corpus-sized array joins.
+      verify(joined.distinct(), sets0)
   }
 
   // ---- dup-cluster resolution (connected components) ---------------------
