@@ -84,10 +84,15 @@ object Bench {
     val total = results.map(_._2).sum
 
     // Full-name per-query map for humans (not printed: too long for the
-    // harness tail window).
+    // harness tail window). Only FULL official-testdata runs refresh the
+    // committed artifact — a stress run against a scratch dir or a
+    // SPARK_GRAFT_ONLY subset must not overwrite it (it happened: a 10×
+    // pass shipped as the round artifact).
     val detail = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    try {
+    val official = sfDir.startsWith("/root/testdata/") &&
+      sys.env.get("SPARK_GRAFT_ONLY").forall(_.trim.isEmpty)
+    if (official) try {
       val w = new java.io.PrintWriter("BENCH_detail.json")
       w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir"}""")
       w.close()
