@@ -198,6 +198,32 @@ class PlanRegressionSpec extends AnyFunSuite {
       }
   }
 
+  test("q111: one scan, two real shuffles — the fused basket emission holds") {
+    // The (ka, kb) aggregate serves pair counts, item supports and the
+    // order count from ONE cached table; every consumer must read that
+    // cache, and the cache-build plan itself must be one lineitem scan
+    // feeding one repartition exchange feeding one fused-agg exchange. A
+    // second distinct cache, a second scan, or a third shuffle inside the
+    // build means the fusion regressed to per-consumer pipelines.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = SparkEntry.queries("q111_copurchase_lift")(spark, sf)
+    def nodes(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children ++ p.subqueries).flatMap(nodes)
+    val executed = nodes(df.queryExecution.executedPlan)
+    val cacheScans = executed.collect { case s: InMemoryTableScanExec => s }
+    assert(cacheScans.nonEmpty, "q111: consumers must read the fused-agg cache")
+    val relations = cacheScans.map(_.relation.cacheBuilder).distinct
+    assert(relations.size == 1,
+      s"q111: expected ONE shared cached aggregate, got ${relations.size}")
+    val build = nodes(relations.head.cachedPlan)
+    assert(build.count(_.isInstanceOf[FileSourceScanExec]) == 1,
+      "q111: cache build must scan lineitem exactly once")
+    assert(build.count(_.isInstanceOf[ShuffleExchangeExec]) == 2,
+      "q111: cache build must shuffle exactly twice (repartition o, fused agg)")
+  }
+
   test("q114/q116: governance audits are single hash-agg passes") {
     val p14 = plan("q114_kanonymity")
     assert("Exchange".r.findAllIn(p14).size == 1)
