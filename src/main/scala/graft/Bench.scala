@@ -58,8 +58,10 @@ object Bench {
       if (gc) System.gc() // drive ContextCleaner (broadcast/shuffle refs)
     }
 
-    // Optional comma-separated query-name filter for focused profiling runs.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Optional comma-separated query-name filter for focused profiling
+    // runs; a blank value means unset, not "select nothing".
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.trim).filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // min-of-N: a transient CPU-contention spike during one execution (GC,
@@ -84,17 +86,22 @@ object Bench {
     val total = results.map(_._2).sum
 
     // Full-name per-query map for humans (not printed: too long for the
-    // harness tail window). Only FULL official-testdata runs refresh the
-    // committed artifact — a stress run against a scratch dir or a
-    // SPARK_GRAFT_ONLY subset must not overwrite it (it happened: a 10×
-    // pass shipped as the round artifact).
+    // harness tail window). The committed artifact refreshes ONLY when the
+    // caller explicitly declares the run official (SPARK_GRAFT_OFFICIAL=1)
+    // AND no query filter is active — a stress run or a profiling subset
+    // must never overwrite it (it happened: a 10× pass shipped as the
+    // round artifact). The artifact records its own provenance (commit,
+    // sf dir, rep count) so a mismatched or stale file is self-evident.
     val detail = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val official = sfDir.startsWith("/root/testdata/") &&
-      sys.env.get("SPARK_GRAFT_ONLY").forall(_.trim.isEmpty)
+    val official = sys.env.get("SPARK_GRAFT_OFFICIAL").contains("1") &&
+      only.isEmpty
     if (official) try {
+      val commit = scala.util.Try(
+        sys.process.Process(Seq("git", "rev-parse", "--short", "HEAD")).!!.trim
+      ).getOrElse("unknown")
       val w = new java.io.PrintWriter("BENCH_detail.json")
-      w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir"}""")
+      w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir","commit":"$commit","reps":$reps}""")
       w.close()
     } catch { case _: Throwable => () }
 

@@ -21,11 +21,20 @@ object Dedup {
 
   import TextOps.P31
 
-  /** Input-corpus size below which [[jaccardPairs]] broadcasts the per-doc
-    * verification sets instead of shuffle-joining them (hashed-long sets
-    * are about the size of the text itself, so 128 MiB of corpus is order
-    * hundreds of MiB broadcast — comfortably within executor memory). */
+  /** Cap on the ESTIMATED derived-table bytes below which [[jaccardPairs]]
+    * broadcasts the per-doc verification sets (and
+    * [[minhashCandidatePairs]] its signature table) instead of
+    * shuffle-joining them. Callers pass an estimate of the table actually
+    * shipped — postings × 8 B for shingle sets, rows × numPerms × 8 B for
+    * signatures — not raw input bytes, which under-counts short-doc /
+    * high-numPerms corpora. */
   private val SetsBroadcastMaxInputBytes = BigInt(128L << 20)
+
+  /** Byte cap for re-broadcasting the connected-components label table
+    * each propagation round ([[dupClusters]]). Estimated, not measured:
+    * the threshold exists to stop a 10M-node label table (hundreds of MB
+    * as a HashedRelation) being shipped to every executor per iteration. */
+  private val LabelBroadcastMaxBytes = 64L << 20
 
   // ---- exact -------------------------------------------------------------
 
@@ -123,9 +132,15 @@ object Dedup {
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val inputBytes = df.queryExecution.analyzed.stats.sizeInBytes
+    // Broadcast decision sized on the DERIVED table, not the input text:
+    // a signature row is numPerms longs regardless of doc length, so a
+    // corpus of short docs can have signatures far larger than its text
+    // (1M 50-byte docs at numPerms=128 → 50 MB text, ~1 GB signatures).
+    // sigs is already materialized (eager localCheckpoint), so the row
+    // count is a cheap cached-scan action.
+    val sigBytes = BigInt(sigs.count()) * (numPerms.toLong * 8L + 48L)
     val sigSide =
-      if (inputBytes < SetsBroadcastMaxInputBytes) broadcast(sigs) else sigs
+      if (sigBytes < SetsBroadcastMaxInputBytes) broadcast(sigs) else sigs
     cands
       .join(sigSide.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigSide.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
@@ -246,7 +261,13 @@ object Dedup {
     // surviving shingles) alongside the full size for the denominator.
     val sets0 = kept.groupBy(col("id"))
       .agg(first(col("n_sh")).as("n_sh"), collect_list(col("h")).as("sh"))
-    val inputBytes = df.queryExecution.analyzed.stats.sizeInBytes
+    // The broadcast table is postings × 8 B (one hashed long per word
+    // shingle). Shingle count ≤ word count, and a whitespace-separated
+    // word occupies ≥5 input bytes on real text, so the derived sets are
+    // ≤ ~2× the input text bytes — that factor, applied to the analyzed-
+    // plan stats, bounds the broadcast size without forcing an extra
+    // action on the un-materialized postings plan.
+    val inputBytes = df.queryExecution.analyzed.stats.sizeInBytes * 2
     def verify(pairs: DataFrame, sets: DataFrame): DataFrame = pairs
       .join(sets.select(col("id").as("id_a"), col("n_sh").as("n_a"),
         col("sh").as("sh_a")), "id_a")
@@ -352,10 +373,16 @@ object Dedup {
     // bounded by the per-round scan of the materialized edge list, versus
     // ~50s with the per-round edge shuffle. Node count is round-invariant,
     // so decide once; big node sets keep the shuffle join, which is the
-    // correct plan at that shape.
+    // correct plan at that shape. The gate is a BYTE estimate, not a node
+    // count: the table is rebroadcast every round, so the cap is what one
+    // executor comfortably re-receives per iteration (~64 MiB), estimated
+    // at two ids per row plus HashedRelation overhead — ~32 B for integral
+    // ids, ~96 B for strings.
     val nNodes = labels.count()
+    val labelRowBytes = if (integral) 32L else 96L
     val hintLabels: DataFrame => DataFrame =
-      if (nNodes <= 10000000L) broadcast else identity
+      if (nNodes * labelRowBytes <= LabelBroadcastMaxBytes) broadcast
+      else identity
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {

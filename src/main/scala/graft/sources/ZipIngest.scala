@@ -83,6 +83,8 @@ object ZipIngest {
                       memberCol: Column, contentCol: Column): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     df.select(archiveCol.cast("string").as("archive"),
         memberCol.cast("string").as("member"),
         contentCol.cast("binary").as("content"))
@@ -102,7 +104,10 @@ object ZipIngest {
         (s"$arch.zip", bos.toByteArray)
       }
       .foreachPartition { (it: Iterator[(String, Array[Byte])]) =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        // The session's Hadoop conf (spark.hadoop.* credentials, s3a
+        // endpoints), not a fresh Configuration() that would only see
+        // core-default.xml on the executor.
+        val conf = serConf.value
         it.foreach { case (name, bytes) =>
           val p = new org.apache.hadoop.fs.Path(dir, name)
           val os = p.getFileSystem(conf).create(p, true)
