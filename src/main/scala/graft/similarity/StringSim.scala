@@ -20,12 +20,47 @@ object StringSim {
   /** Pairs (a_id < b_id) within the same (`blockCols`, first
     * whitespace-token) block whose names differ by 1..`maxDist` edits and
     * at most `maxLenDiff` characters of length. Distance 0 (exact dups) is
-    * excluded — that's exact dedup's job, done without pairing. */
+    * excluded — that's exact dedup's job, done without pairing.
+    *
+    * `maxBlockSize` is the skew guard the LSH paths already have
+    * (Dedup's maxBucketSize): in-block work is quadratic, so one hot
+    * (blockCols, first-token) block — a brand whose every product starts
+    * with the same word — costs block²·O(maxDist·len) DP cells no matter
+    * how AQE splits it. Blocks larger than the cap are dropped WHOLE
+    * (pairs wholly inside them are not generated) and the drop is logged;
+    * the default keeps the guard off, matching exact semantics. */
   def blockedEditPairs(df: DataFrame, idCol: String, nameCol: String,
                        blockCols: Seq[String], maxLenDiff: Int,
-                       maxDist: Int): DataFrame = {
+                       maxDist: Int,
+                       maxBlockSize: Int = Int.MaxValue): DataFrame = {
+    val inBounds =
+      if (maxBlockSize == Int.MaxValue) df
+      else {
+        // Block sizes are one narrow agg over the (few-column) key
+        // projection; the count of dropped blocks is a deliberate extra
+        // action so the skew decision is VISIBLE in logs, mirroring
+        // Dedup.capBuckets.
+        val keyCols = blockCols.map(col) :+
+          expr(s"split_part($nameCol, ' ', 1)").as("__tok")
+        // Renamed key columns: both join sides descend from `df`, and
+        // same-lineage attribute references would resolve ambiguously.
+        val sizes = df.groupBy(keyCols: _*).agg(count(lit(1)).as("__bsz"))
+          .toDF(blockCols.map(c => s"__k_$c") ++ Seq("__tok", "__bsz"): _*)
+        val dropped = sizes.filter(col("__bsz") > maxBlockSize).count()
+        if (dropped > 0)
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"blockedEditPairs: dropped $dropped block(s) larger " +
+              s"than $maxBlockSize rows (quadratic-skew guard; pairs " +
+              "wholly inside a dropped block are not generated)")
+        df.join(
+          sizes.filter(col("__bsz") <= maxBlockSize).drop("__bsz"),
+          blockCols.map(c => col(c) === col(s"__k_$c"))
+            .reduce(_ && _) &&
+            expr(s"split_part($nameCol, ' ', 1)") === col("__tok"),
+          "left_semi")
+      }
     def side(tag: String): DataFrame =
-      df.select(blockCols.map(col) ++ Seq(
+      inBounds.select(blockCols.map(col) ++ Seq(
         col(idCol).as(s"${tag}_id"),
         col(nameCol).as(s"${tag}_name"),
         expr(s"split_part($nameCol, ' ', 1)").as(s"${tag}_tok"),

@@ -82,4 +82,21 @@ class SignalSpec extends SparkSpec {
       .select("a_id", "b_id", "d").as[(Long, Long, Int)].collect().toSeq
     assert(got.sorted == Seq((1L, 2L, 1), (2L, 3L, 1)))
   }
+
+  test("blockedEditPairs maxBlockSize drops oversized blocks whole, keeps the rest") {
+    // Hot block: one (brand, first-token) key with 5 rows; cool block: 2.
+    val hot = (1L to 5L).map(i => (i, "B1", s"red widget$i"))
+    val cool = Seq((10L, "B2", "blue thing"), (11L, "B2", "blue thingy"))
+    val df = (hot ++ cool).toDF("id", "brand", "name")
+    val unguarded = StringSim.blockedEditPairs(df, "id", "name", Seq("brand"),
+        maxLenDiff = 2, maxDist = 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    // every hot pair + the cool pair
+    assert(unguarded.size == 10 + 1)
+    val guarded = StringSim.blockedEditPairs(df, "id", "name", Seq("brand"),
+        maxLenDiff = 2, maxDist = 5, maxBlockSize = 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    // the 5-row block is dropped WHOLE; pairs outside it are untouched
+    assert(guarded == Seq((10L, 11L)))
+  }
 }
