@@ -21,11 +21,17 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
   * jar and a broker are deployment-time dependencies (zero-egress env);
   * everything up to that line is real and spec-covered (KafkaLogSpec).
   *
-  * Boundary verified final (round 6): `/opt/spark/jars` ships NO kafka
-  * artifact at all — no `spark-sql-kafka`, no `kafka-clients` — and the
-  * offline coursier cache resolves only scalatest/scalacheck, so even an
-  * embedded-broker spec cannot be compiled here. The connector boundary
-  * (`writer(...).save()`) is the documented deployment seam.
+  * Boundary verified final (rounds 6-7): `/opt/spark/jars` ships NO kafka
+  * artifact at all — no `spark-sql-kafka`, no `kafka-clients` — and a
+  * full-filesystem search (round 7) finds no kafka jar anywhere: the
+  * offline coursier cache holds only sbt/scala toolchain artifacts plus
+  * scalatest/scalacheck/duckdb-jdbc, so neither an embedded KRaft broker
+  * nor even the client classes can be compiled here, and the zero-egress
+  * network forbids fetching them. CLOSED AS ENVIRONMENTAL BOUNDARY: the
+  * connector seam (`writer(...).save()` / `streamWriter(...).start()`) is
+  * where a connector-equipped deployment takes over; everything up to it
+  * — record shaping, writer/stream-writer configuration, trigger and
+  * checkpoint wiring — is real code under KafkaLogSpec.
   */
 object KafkaLog {
 

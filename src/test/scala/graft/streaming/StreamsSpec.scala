@@ -238,6 +238,60 @@ class StreamsSpec extends SparkSpec {
     } finally spark.streams.removeListener(recorder)
   }
 
+  test("upsertSink survives a mid-run kill: restart from checkpoint equals the batch oracle") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_upsert_restart")
+    val src = base.resolve("in").toString
+    val target = s"$base/target"
+    val chk = s"$base/ckpt"
+    // Same micro-batch body upsertSink wires in, plus a kill switch that
+    // fires AFTER batch 1's merge lands in the target but BEFORE the
+    // checkpoint commit is written — the exact window a real process kill
+    // leaves behind. foreachBatch is at-least-once; the restart MUST
+    // replay batch 1 against the already-merged target, and the merge's
+    // replay idempotence is what upgrades the pipeline to effective
+    // exactly-once.
+    @volatile var killAfterBatch = -1L
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema("id LONG, payload STRING, version LONG").parquet(src)
+        .writeStream
+        .option("checkpointLocation", chk)
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          Streams.upsertBatch(b, id, target, Seq("id"), "version", 16)
+          if (id == killAfterBatch) {
+            killAfterBatch = -1L
+            throw new RuntimeException("induced mid-run kill")
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException
+          if e.getMessage.contains("induced mid-run kill") => ()
+      }
+    }
+    Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "payload", "version")
+      .coalesce(1).write.mode("append").parquet(src)
+    run()
+    Seq((1L, "a2", 2L), (3L, "c", 1L)).toDF("id", "payload", "version")
+      .coalesce(1).write.mode("append").parquet(src)
+    killAfterBatch = 1L
+    run() // dies with batch 1 merged but uncommitted
+    run() // restart from the checkpoint: replays batch 1, then drains
+    // Batch oracle: newest version per key over ALL delivered rows,
+    // computed by the batch resolution the sink embeds.
+    val want = graft.warehouse.Cdc.snapshot(
+        spark.read.parquet(src), Seq("id"), Seq("version"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("payload"))
+      .toMap
+    val got = Streams.readUpsertTarget(spark, target).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("payload")).toMap
+    assert(got == want && want == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+  }
+
   test("AvailableNow + checkpoint ingests each file exactly once across restarts") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_incr")
