@@ -63,11 +63,15 @@ object Basket {
     // RemoveRedundantAggregates collapses distinct(o)-over-distinct(o,p)
     // to distinct(o) and re-splits the scan the same way.
     val dist = op.groupBy(col("o"), col("p")).agg(count(lit(1)).as("cnt"))
+    // NULL placeholders must carry the item column's own type, or the
+    // unionAll with pairRows type-mismatches for non-bigint item keys.
+    val itemType = op.schema("p").dataType
+    val nullKey = lit(null).cast(itemType)
     val itemRows = dist
-      .select(col("p").as("ka"), lit(null).cast("bigint").as("kb"))
+      .select(col("p").as("ka"), nullKey.as("kb"))
     val markerRows = dist.where(col("cnt") > 0)
       .groupBy(col("o")).agg(count(lit(1)))
-      .select(lit(null).cast("bigint").as("ka"), lit(null).cast("bigint").as("kb"))
+      .select(nullKey.as("ka"), nullKey.as("kb"))
     val auxRows = itemRows.unionAll(markerRows)
     // The cache point (see scaladoc): one shuffle produces pair counts,
     // item supports and the order count together; the cached merge result

@@ -8,11 +8,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. We read nanos as raw longs (legacy.parquet.nanosAsLong) and
-    * truncate to microseconds with integer division — same truncation DuckDB
-    * applies when it casts ns→µs, keeping the oracle exact. Plain `/` would
-    * go through DOUBLE and lose precision above 2^53 (~1.7e18 ns here).
+  /** events.ts has shipped in two physical forms across driver testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects — read as raw longs via legacy.parquet.nanosAsLong and truncated
+    * ns→µs with integer division, the same truncation DuckDB applies, keeping
+    * the oracle exact; plain `/` would go through DOUBLE and lose precision
+    * above 2^53) and native TIMESTAMP(MICROS) without UTC adjustment (which
+    * Spark reads as TIMESTAMP_NTZ). [[normalizeEventTs]] maps both to
+    * TimestampType; under the fixed UTC session timezone the NTZ→LTZ cast is
+    * value-identical, so plans and oracle hashes match either generation.
     *
     * Loads are MEMOIZED per (session, path): `spark.read.parquet` pays
     * ~100 ms of file listing + footer schema inference on every call, which
@@ -30,10 +34,21 @@ object Tables {
     if (cache.size > 512) cache.clear()
     cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"), { case (s, path) =>
       val df = s.read.parquet(path)
-      if (name == "events")
-        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      else df
+      if (name == "events") normalizeEventTs(df) else df
     })
+  }
+
+  /** Normalize events.ts to TimestampType regardless of which physical form
+    * the driver wrote (see the class doc). Works on batch and streaming
+    * frames alike — it only inspects the analyzed schema. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType          => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType  => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                 => df
+    }
   }
 
   /** Register every table as a temp view (for spark.sql-level operators). */

@@ -31,11 +31,12 @@ object StreamQueries {
       s.conf.set("spark.sql.shuffle.partitions", "8") // state sized to stream
       val tmp = Files.createTempDirectory("graft_q42")
       Files.copy(Paths.get(s"$dir/events.parquet"), tmp.resolve("events.parquet"))
-      val events = s.readStream
-        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-          "event_type STRING, value DOUBLE, props STRING")
-        .parquet(tmp.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // Streaming needs an explicit schema; infer it from the landed file's
+      // footer so either testdata generation of events.ts (raw nanos long /
+      // native micros) streams, then normalize exactly as the batch loader.
+      val events = graft.core.Tables.normalizeEventTs(s.readStream
+        .schema(s.read.parquet(tmp.toString).schema)
+        .parquet(tmp.toString))
       val agg = events
         .withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -65,11 +66,9 @@ object StreamQueries {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       val tmp = Files.createTempDirectory("graft_q62")
       Files.copy(Paths.get(s"$dir/events.parquet"), tmp.resolve("events.parquet"))
-      def src() = s.readStream
-        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-          "event_type STRING, value DOUBLE, props STRING")
-        .parquet(tmp.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val srcSchema = s.read.parquet(tmp.toString).schema
+      def src() = graft.core.Tables.normalizeEventTs(
+        s.readStream.schema(srcSchema).parquet(tmp.toString))
       val views = src().filter(col("event_type") === "view")
         .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
           col("ts").as("v_ts"))
@@ -123,8 +122,7 @@ object StreamQueries {
       val tmp = Files.createTempDirectory("graft_q77")
       Files.copy(Paths.get(s"$dir/events.parquet"), tmp.resolve("events.parquet"))
       val stream = s.readStream
-        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-          "event_type STRING, value DOUBLE, props STRING")
+        .schema(s.read.parquet(tmp.toString).schema)
         .parquet(tmp.toString)
       val dim = graft.core.Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
@@ -148,11 +146,9 @@ object StreamQueries {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       val tmp = Files.createTempDirectory("graft_q117")
       Files.copy(Paths.get(s"$dir/events.parquet"), tmp.resolve("events.parquet"))
-      val events = s.readStream
-        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-          "event_type STRING, value DOUBLE, props STRING")
-        .parquet(tmp.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val events = graft.core.Tables.normalizeEventTs(s.readStream
+        .schema(s.read.parquet(tmp.toString).schema)
+        .parquet(tmp.toString))
       val deduped = Streams.dedupWithinWatermark(events,
           Seq("user_id", "event_type"), watermark = "2 hours")
         .select(col("user_id"), col("event_type"))
