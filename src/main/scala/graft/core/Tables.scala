@@ -38,6 +38,18 @@ object Tables {
     })
   }
 
+  /** Physical file schema, for streaming readers that must declare one up
+    * front. Memoized on the path ALONE (footers of the immutable test
+    * tables never change, and a schema is session-independent), so the
+    * four stream queries that stage a copy of the same source file stop
+    * paying ~100 ms of listing + footer inference per invocation — they
+    * pass the SOURCE path here and apply the schema to the staged copy. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def fileSchema(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
+    schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+
   /** Normalize events.ts to TimestampType regardless of which physical form
     * the driver wrote (see the class doc). Works on batch and streaming
     * frames alike — it only inspects the analyzed schema. */

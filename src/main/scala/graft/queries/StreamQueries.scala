@@ -31,11 +31,12 @@ object StreamQueries {
       s.conf.set("spark.sql.shuffle.partitions", "8") // state sized to stream
       val tmp = Files.createTempDirectory("graft_q42")
       Files.copy(Paths.get(s"$dir/events.parquet"), tmp.resolve("events.parquet"))
-      // Streaming needs an explicit schema; infer it from the landed file's
-      // footer so either testdata generation of events.ts (raw nanos long /
-      // native micros) streams, then normalize exactly as the batch loader.
+      // Streaming needs an explicit schema; infer it from the SOURCE file's
+      // footer (memoized — the staged copy is byte-identical) so either
+      // testdata generation of events.ts (raw nanos long / native micros)
+      // streams, then normalize exactly as the batch loader.
       val events = graft.core.Tables.normalizeEventTs(s.readStream
-        .schema(s.read.parquet(tmp.toString).schema)
+        .schema(graft.core.Tables.fileSchema(s, s"$dir/events.parquet"))
         .parquet(tmp.toString))
       val agg = events
         .withWatermark("ts", "2 hours")
@@ -66,7 +67,7 @@ object StreamQueries {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       val tmp = Files.createTempDirectory("graft_q62")
       Files.copy(Paths.get(s"$dir/events.parquet"), tmp.resolve("events.parquet"))
-      val srcSchema = s.read.parquet(tmp.toString).schema
+      val srcSchema = graft.core.Tables.fileSchema(s, s"$dir/events.parquet")
       def src() = graft.core.Tables.normalizeEventTs(
         s.readStream.schema(srcSchema).parquet(tmp.toString))
       val views = src().filter(col("event_type") === "view")
@@ -121,9 +122,13 @@ object StreamQueries {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       val tmp = Files.createTempDirectory("graft_q77")
       Files.copy(Paths.get(s"$dir/events.parquet"), tmp.resolve("events.parquet"))
-      val stream = s.readStream
-        .schema(s.read.parquet(tmp.toString).schema)
-        .parquet(tmp.toString)
+      // Normalized like q42/q62/q117 even though ts is unused here: the ts
+      // column's physical form varies by testdata generation, and leaving
+      // one sibling raw is a latent trap the moment the query grows a
+      // time predicate.
+      val stream = graft.core.Tables.normalizeEventTs(s.readStream
+        .schema(graft.core.Tables.fileSchema(s, s"$dir/events.parquet"))
+        .parquet(tmp.toString))
       val dim = graft.core.Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
       val enriched = stream
@@ -147,7 +152,7 @@ object StreamQueries {
       val tmp = Files.createTempDirectory("graft_q117")
       Files.copy(Paths.get(s"$dir/events.parquet"), tmp.resolve("events.parquet"))
       val events = graft.core.Tables.normalizeEventTs(s.readStream
-        .schema(s.read.parquet(tmp.toString).schema)
+        .schema(graft.core.Tables.fileSchema(s, s"$dir/events.parquet"))
         .parquet(tmp.toString))
       val deduped = Streams.dedupWithinWatermark(events,
           Seq("user_id", "event_type"), watermark = "2 hours")
