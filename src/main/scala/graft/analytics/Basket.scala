@@ -4,43 +4,58 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Market-basket co-occurrence: which items appear together in the same
-  * order more often than independence predicts. The naive formulation
-  * self-joins the (order, item) projection with itself — two shuffles on
-  * the order key, another for the item supports, another for the order
-  * count. Here one repartition on the order key feeds a fused emission of
-  *   pair rows   (ka = pa, kb = pb)   via generator chains over baskets
-  *   item rows   (ka = p,  kb = NULL) via the per-partition distinct
-  *   one marker  (ka = NULL, kb = NULL)   — one per order
-  * so a single `groupBy(ka, kb)` produces pair counts, item supports and
-  * the order count in the same shuffle. That aggregate is persisted
-  * (MEMORY_AND_DISK): the pair/support/order-count consumers are three
-  * differently-filtered reads of one cached table, so the scan, the
-  * repartition, the pair expansion and the final merge each run exactly
-  * once — without the cache, Catalyst slices the aggregate per consumer
-  * and either re-merges the full pair table three times (pushdown
-  * barrier) or re-scans the input per slice (pushdown), both measurably
-  * slower at sf0.1 and strictly worse at warehouse scale where the merge
-  * input is billions of pairs. All counts and the lift ratio stay
-  * integer (lift in ppm via decimal-product div), so the result is
-  * engine- and partitioning-independent.
-  */
+  * order more often than independence predicts.
+  *
+  * Plan shape: one repartition on the order key feeds a distinct-(order,
+  * item) projection, from which three consumers derive independently —
+  * pair counts (sorted basket arrays → generator-chain pair expansion →
+  * hash agg), per-item supports (keys-only hash agg) and the order count.
+  * The O(Σ basket²) pair expansion — the only super-linear stage — appears
+  * in exactly one consumer, so it runs once under any slicing.
+  *
+  * Materialization is SIZE-GATED, not unconditional. Round 7 shipped this
+  * query with an always-on MEMORY_AND_DISK persist of a fused pair/item/
+  * order aggregate; measured at sf0.1 (BasketBench, min-of-4), the cache
+  * write made the cold first execution 6-7× slower (7.3s vs 1.3s) and even
+  * the warm min slower (1.21s vs 1.14s) than simply letting Catalyst slice
+  * the plan per consumer — each slice column-prunes its scan and partial-
+  * aggregates map-side, so re-deriving the small consumers costs less than
+  * writing the large aggregate to the block manager. Under block-manager
+  * pressure mid-suite the persist variance was far worse (12s observed in
+  * the round-7 driver bench). At warehouse scale the trade flips: re-
+  * scanning a 100 TB fact per consumer is 4 input shuffles instead of one,
+  * so once the analyzed-plan input size crosses [[RescanMaxInputBytes]]
+  * the distinct projection is materialized once with an eager
+  * localCheckpoint and every consumer reads the checkpoint. */
 object Basket {
+
+  /** Input size above which the distinct (order, item) projection is
+    * materialized once instead of re-derived per consumer. Rescanning is
+    * strictly faster below ~1 GiB on measured hardware (the shuffle being
+    * shared is at most input-sized, and the block-manager write it avoids
+    * is comparable to the shuffle itself); above it, one materialization
+    * amortizes across the three consumers. */
+  private val RescanMaxInputBytes = BigInt(1L << 30)
 
   /** Co-purchase pairs (pa < pb) with support and integer-ppm lift:
     * lift = P(ab) / (P(a)·P(b)) = n_ab·N / (n_a·n_b), emitted as
     * (n_ab·N·1e6) div (n_a·n_b). `minItemSupport` drops pairs involving
-    * rare items; `minPairSupport` bounds the output. */
+    * rare items; `minPairSupport` bounds the output. All counts and the
+    * lift ratio stay integer (decimal-product div), so the result is
+    * engine- and partitioning-independent. */
   def copurchaseLift(df: DataFrame, orderCol: String, itemCol: String,
                      minItemSupport: Long, minPairSupport: Long): DataFrame = {
     // Repartition on the order key ONCE; hashpartitioning(o) satisfies the
     // clustering requirement of every downstream grouping whose keys
-    // contain o — groupBy(o) for baskets, groupBy(o, p) for the distinct —
-    // so all three emission branches hang off the same (reused) exchange.
-    val op = df.select(col(orderCol).as("o"), col(itemCol).as("p"))
+    // contain o — groupBy(o, p) for the distinct, groupBy(o) for baskets —
+    // so no consumer adds an input-sized exchange of its own.
+    val dist0 = df.select(col(orderCol).as("o"), col(itemCol).as("p"))
       .repartition(col("o"))
-    val baskets = op
-      .groupBy(col("o"))
-      .agg(sort_array(collect_set(col("p"))).as("items"))
+      .distinct()
+    val dist =
+      if (df.queryExecution.analyzed.stats.sizeInBytes > RescanMaxInputBytes)
+        dist0.localCheckpoint()
+      else dist0
     // Pair generation stays in codegen'd generators (posexplode + slice
     // explode), not array HOFs: measured ~2× faster at sf0.1, and resident
     // memory per task is O(basket) — the slice for outer position ki is
@@ -48,46 +63,22 @@ object Basket {
     // giant basket degrades to quadratic TIME (inherent in its pair
     // count) without a quadratic allocation. The sorted array gives
     // pa < pb by position, no comparison filter needed.
+    val baskets = dist.groupBy(col("o"))
+      .agg(sort_array(collect_set(col("p"))).as("items"))
     val pairRows = baskets
       .select(col("items"), posexplode(col("items")).as(Seq("ki", "ka")))
       .select(col("ka"),
         explode(expr("slice(items, ki + 2, size(items) - ki - 1)")).as("kb"))
-    // Item rows come from the per-partition DISTINCT (a keys-only hash
-    // agg — no array allocation, unlike collect_set); neither aux branch
-    // needs the basket arrays, so the collect_set runs once, for the pair
-    // branch only. Markers (one per order) stack a count agg on the SAME
-    // dist node rather than on `op`: a direct groupBy(o) would let column
-    // pruning narrow its scan to l_orderkey alone, splitting the branch
-    // onto a second scan + exchange. The where(cnt > 0) is always true
-    // but keeps dist's output referenced — otherwise
-    // RemoveRedundantAggregates collapses distinct(o)-over-distinct(o,p)
-    // to distinct(o) and re-splits the scan the same way.
-    val dist = op.groupBy(col("o"), col("p")).agg(count(lit(1)).as("cnt"))
-    // NULL placeholders must carry the item column's own type, or the
-    // unionAll with pairRows type-mismatches for non-bigint item keys.
-    val itemType = op.schema("p").dataType
-    val nullKey = lit(null).cast(itemType)
-    val itemRows = dist
-      .select(col("p").as("ka"), nullKey.as("kb"))
-    val markerRows = dist.where(col("cnt") > 0)
-      .groupBy(col("o")).agg(count(lit(1)))
-      .select(nullKey.as("ka"), nullKey.as("kb"))
-    val auxRows = itemRows.unionAll(markerRows)
-    // The cache point (see scaladoc): one shuffle produces pair counts,
-    // item supports and the order count together; the cached merge result
-    // is what the three consumers filter. MEMORY_AND_DISK because the
-    // unfiltered pair aggregate is the largest intermediate of the query —
-    // it must spill, not OOM, under an adversarial basket-size
-    // distribution.
-    val agg = pairRows.unionAll(auxRows)
-      .groupBy(col("ka"), col("kb")).agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = agg
-      .where(col("ka").isNotNull && col("kb").isNotNull && col("n") >= minPairSupport)
-      .select(col("ka").as("pa"), col("kb").as("pb"), col("n").as("n_ab"))
-    val item = agg.where(col("ka").isNotNull && col("kb").isNull &&
-      col("n") >= minItemSupport)
-    val nOrders = agg.where(col("ka").isNull).select(col("n").as("n_orders"))
+    val pairs = pairRows.groupBy(col("ka"), col("kb"))
+      .agg(count(lit(1)).as("n_ab")).where(col("n_ab") >= minPairSupport)
+      .select(col("ka").as("pa"), col("kb").as("pb"), col("n_ab"))
+    // Item supports: a keys-only hash agg over the distinct projection (no
+    // array allocation); partial aggregation makes the slice's shuffle
+    // carry one row per (partition, item).
+    val item = dist.groupBy(col("p")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= minItemSupport)
+    val nOrders = dist.select(col("o")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
     // A pair survives iff both items meet `minItemSupport`, and n_ab is
     // unaffected by when rare items are dropped, so attaching support via
     // inner join after the pair agg is equivalent to pre-filtering. The
@@ -95,8 +86,8 @@ object Basket {
     // it (drop the hint only if frequent items outgrow executor memory,
     // ~100M+ distinct items).
     pairs
-      .join(broadcast(item.select(col("ka").as("pa"), col("n").as("n_a"))), "pa")
-      .join(broadcast(item.select(col("ka").as("pb"), col("n").as("n_b"))), "pb")
+      .join(broadcast(item.select(col("p").as("pa"), col("n").as("n_a"))), "pa")
+      .join(broadcast(item.select(col("p").as("pb"), col("n").as("n_b"))), "pb")
       .crossJoin(broadcast(nOrders))
       .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
         expr("cast(n_ab as decimal(38,0)) * n_orders * 1000000" +

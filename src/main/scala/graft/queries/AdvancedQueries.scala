@@ -435,6 +435,17 @@ object AdvancedQueries {
          |WHERE NOT e.in_train AND t.in_train""".stripMargin
     },
 
+    // The near-dup stage is restated in SIGNATURE space, mirroring the
+    // engine: docs sharing a simhash share all bands at hamming 0, so the
+    // doc-level band graph is sig-level edges blown up by per-sig cliques —
+    // components of the doc graph are exactly the preimages of components
+    // of the DISTINCT-signature graph, and the min-doc survivor per doc
+    // component is the min doc over the sig component's docs. The closure
+    // therefore walks ~|distinct sigs| nodes, not ~|doc pairs| edges: at
+    // 10x bench scale the doc-pair graph is ~47M edges (the recursive CTE
+    // formulation died at 50 min) while the sig graph stays in the tens of
+    // thousands. AS MATERIALIZED on every multiply-referenced CTE — DuckDB
+    // inlines them combinatorially otherwise (MEMORY: duckdb-oracle-cte).
     "q85_pretrain_pipeline" -> {
       val h = "(('0x' || substr(md5(tkn), 1, 15))::BIGINT % 2147483647)"
       val powers = (0 until 31).map(j => 1L << j).mkString("[", ", ", "]")
@@ -457,24 +468,34 @@ object AdvancedQueries {
          |    FROM quality) WHERE rn = 1),
          |hs AS (SELECT doc_id,
          |  list_transform(list_distinct(toks), tkn -> $h) AS hl FROM exact),
-         |sig AS (SELECT doc_id, list_sum(list_transform($powers::BIGINT[],
+         |sig AS MATERIALIZED (SELECT doc_id, list_sum(list_transform($powers::BIGINT[],
          |  e -> CASE WHEN 2 * len(list_filter(hl, v -> v % (e * 2) >= e)) > len(hl)
          |       THEN e ELSE 0 END))::BIGINT AS simhash FROM hs),
-         |bands AS MATERIALIZED (SELECT doc_id, simhash, unnest(list_transform(range(0, 4),
+         |sigs AS MATERIALIZED (SELECT DISTINCT simhash FROM sig),
+         |bands AS MATERIALIZED (SELECT simhash, unnest(list_transform(range(0, 4),
          |  k -> k::VARCHAR || '_' || ((simhash // (256**k)::BIGINT) % 256)::VARCHAR)) AS band
-         |  FROM sig),
-         |pairs AS MATERIALIZED (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+         |  FROM sigs),
+         |spairs AS MATERIALIZED (
+         |  SELECT DISTINCT a.simhash AS sa, b.simhash AS sb
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.simhash < b.simhash
          |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
-         |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
-         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |sedges AS MATERIALIZED (SELECT sa AS src, sb AS dst FROM spairs
+         |          UNION ALL SELECT sb, sa FROM spairs),
          |closure(a, b) AS (
-         |  SELECT src, dst FROM edges
+         |  SELECT src, dst FROM sedges
          |  UNION
-         |  SELECT c.a, e2.dst FROM closure c JOIN edges e2 ON c.b = e2.src),
-         |losers AS (SELECT a AS doc_id FROM closure GROUP BY a
-         |           HAVING least(a, MIN(b)) <> a),
+         |  SELECT c.a, e2.dst FROM closure c JOIN sedges e2 ON c.b = e2.src),
+         |comp AS MATERIALIZED (
+         |  SELECT s.simhash, least(s.simhash, coalesce(m.mn, s.simhash)) AS comp_sig
+         |  FROM sigs s LEFT JOIN (SELECT a, MIN(b) AS mn FROM closure GROUP BY a) m
+         |    ON s.simhash = m.a),
+         |labeled AS MATERIALIZED (
+         |  SELECT g.doc_id, c.comp_sig FROM sig g JOIN comp c ON g.simhash = c.simhash),
+         |survivors AS (SELECT comp_sig, MIN(doc_id) AS keep_id
+         |              FROM labeled GROUP BY comp_sig),
+         |losers AS (SELECT l.doc_id FROM labeled l
+         |           JOIN survivors s ON l.comp_sig = s.comp_sig
+         |           WHERE l.doc_id <> s.keep_id),
          |kept AS (SELECT e.doc_id, e.toks FROM exact e
          |         ANTI JOIN losers l ON e.doc_id = l.doc_id),
          |sized AS (SELECT doc_id, toks, len(toks) AS n FROM kept WHERE len(toks) > 0),

@@ -198,30 +198,28 @@ class PlanRegressionSpec extends AnyFunSuite {
       }
   }
 
-  test("q111: one scan, two real shuffles — the fused basket emission holds") {
-    // The (ka, kb) aggregate serves pair counts, item supports and the
-    // order count from ONE cached table; every consumer must read that
-    // cache, and the cache-build plan itself must be one lineitem scan
-    // feeding one repartition exchange feeding one fused-agg exchange. A
-    // second distinct cache, a second scan, or a third shuffle inside the
-    // build means the fusion regressed to per-consumer pipelines.
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+  test("q111: quadratic pair expansion runs once; small consumers rescan, not cache") {
+    // Round-8 shape (BasketBench, min-of-4 at sf0.1): below the
+    // materialization gate the plan must NOT cache — the block-manager
+    // write made the cold execution 6-7× slower than letting Catalyst
+    // slice the three consumers, each column-pruned and partial-agged.
+    // What must hold instead: the O(Σ basket²) stage — the collect_set
+    // basket build and its generator-chain pair expansion — appears in
+    // exactly ONE consumer slice, and the support/order-count sides reach
+    // the pair table as broadcasts, never sort-merge.
+    import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val df = SparkEntry.queries("q111_copurchase_lift")(spark, sf)
     def nodes(p: SparkPlan): Seq[SparkPlan] =
       p +: (p.children ++ p.subqueries).flatMap(nodes)
     val executed = nodes(df.queryExecution.executedPlan)
-    val cacheScans = executed.collect { case s: InMemoryTableScanExec => s }
-    assert(cacheScans.nonEmpty, "q111: consumers must read the fused-agg cache")
-    val relations = cacheScans.map(_.relation.cacheBuilder).distinct
-    assert(relations.size == 1,
-      s"q111: expected ONE shared cached aggregate, got ${relations.size}")
-    val build = nodes(relations.head.cachedPlan)
-    assert(build.count(_.isInstanceOf[FileSourceScanExec]) == 1,
-      "q111: cache build must scan lineitem exactly once")
-    assert(build.count(_.isInstanceOf[ShuffleExchangeExec]) == 2,
-      "q111: cache build must shuffle exactly twice (repartition o, fused agg)")
+    assert(!executed.exists(_.isInstanceOf[InMemoryTableScanExec]),
+      "q111: bench-scale plan must not pay a cache build (size gate broken?)")
+    val p = df.queryExecution.executedPlan.toString
+    assert("collect_set".r.findAllIn(p).size <= 2, // partial + final of ONE agg
+      "q111: the basket build (quadratic stage) must appear exactly once")
+    assert("Generate".r.findAllIn(p).size <= 2,
+      "q111: pair expansion (posexplode + slice explode) must run once")
   }
 
   test("q114/q116: governance audits are single hash-agg passes") {
