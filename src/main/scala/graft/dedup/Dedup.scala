@@ -559,12 +559,22 @@ object Dedup {
                         textCol: String, maxHamming: Int): DataFrame = {
     val sl = simhashSignatures(left, idCol, textCol).localCheckpoint(true)
     val sr = simhashSignatures(right, idCol, textCol).localCheckpoint(true)
+    simhashCrossPairsFromSigs(sl, sr, maxHamming)
+  }
+
+  /** [[simhashCrossPairs]] over PRE-DERIVED signature tables (id, simhash),
+    * both already materialized. When the two sides partition ONE corpus
+    * (the train/eval contamination shape), derive signatures once over the
+    * whole corpus and filter the sig table per side — the explode + 31-bit
+    * aggregation is the dominant cost and halves versus deriving per side
+    * (one corpus scan instead of two at warehouse scale). */
+  def simhashCrossPairsFromSigs(sl: DataFrame, sr: DataFrame,
+                                maxHamming: Int): DataFrame =
     sigPairs(sl.select(col("simhash")).distinct(),
         sr.select(col("simhash")).distinct(), maxHamming, ordered = false)
       .join(sl.select(col("simhash").as("s1"), col("id").as("id_a")), "s1")
       .join(sr.select(col("simhash").as("s2"), col("id").as("id_b")), "s2")
       .select(col("id_a"), col("id_b"), col("hamming"))
-  }
 
   /** Near-dup connected components WITHOUT materializing the doc-pair
     * graph: (id, cluster_id) for every doc, cluster_id = smallest doc id

@@ -143,12 +143,19 @@ object AdvancedQueries {
     // Hamming <= 3 keeps band recall perfect (4 bands over 31 bits).
     "q78_neardup_contamination" -> ((s, dir) => {
       import graft.functions.TextOps
-      val docs = t(s, dir, "documents")
+      // Both sides split ONE corpus and the split flag is a pure function
+      // of the id — derive signatures once over the whole corpus (the
+      // explode + 31-bit agg dominates) and filter the materialized sig
+      // table per side instead of running the derivation twice.
+      val sigs = graft.dedup.Dedup.simhashSignatures(
+          t(s, dir, "documents"), "doc_id", "text")
         .withColumn("in_train",
-          TextOps.h31(col("doc_id").cast("string")) % 100 < 80)
-      graft.dedup.Dedup.simhashCrossPairs(
-          docs.filter(!col("in_train")), docs.filter(col("in_train")),
-          "doc_id", "text", maxHamming = 3)
+          TextOps.h31(col("id").cast("string")) % 100 < 80)
+        .localCheckpoint(true)
+      graft.dedup.Dedup.simhashCrossPairsFromSigs(
+          sigs.filter(!col("in_train")).drop("in_train"),
+          sigs.filter(col("in_train")).drop("in_train"),
+          maxHamming = 3)
         .select(col("id_a").as("eval_doc_id"), col("id_b").as("train_doc_id"),
           col("hamming"))
     }),
