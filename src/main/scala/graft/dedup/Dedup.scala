@@ -696,19 +696,15 @@ object Dedup {
         .select(col(bucketCol)), bucketCol)
     }
 
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashed = graft.core.Parallelize.fanOut(df)
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // Per-row codegen'd signature (graft.functions.SimHash31Expr): zero
+    // shuffle, linear token hashing, bit-for-bit the old explode + 31-sum
+    // aggregation formulation — which paid a corpus×tokens exchange into
+    // a 31-aggregate hash agg, the largest exchange in the dedup family
+    // at warehouse scale. Token-less docs produce NULL and are dropped,
+    // matching the explode shape where they generate no rows.
+    graft.core.Parallelize.fanOut(df)
       .select(col(idCol).as("id"),
-        explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
-      .select(col("id"), TextOps.h31(col("tok")).as("h"))
-    val bitAggs = Pow2.zipWithIndex.map { case (e, j) =>
-      sum(when(col("h") % (e * 2L) >= e, 1L).otherwise(-1L)).as(s"b$j")
-    }
-    hashed.groupBy(col("id"))
-      .agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("id"),
-        Pow2.zipWithIndex.map { case (e, j) =>
-          when(col(s"b$j") > 0, e).otherwise(0L)
-        }.reduce(_ + _).as("simhash"))
-  }
+        graft.functions.SimHash31.simhash(col(textCol)).as("simhash"))
+      .filter(col("simhash").isNotNull)
 }

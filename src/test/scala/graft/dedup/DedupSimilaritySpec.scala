@@ -148,6 +148,34 @@ class DedupSpec extends SparkSpec {
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)))
   }
+
+  test("SimHash31Expr matches the independent HOF formulation bit-for-bit") {
+    import spark.implicits._
+    // Two independent implementations of the same spec: the interpreted
+    // HOF majority-vote chain and the codegen'd expression. Unicode,
+    // repeated tokens, mixed whitespace, and single-token docs included.
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy cat",
+      "naïve café déjà-vu ünïcödé 東京 数据",
+      "a a a a a b b b c", "x", "  tabs\tand\nnewlines  mixed\r\nhere ",
+      "punct! punct? (parens) [brackets] {braces}")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = rows(df.select(col("doc_id"),
+      graft.functions.SimHash31.simhash(col("text")).as("e"),
+      Dedup.simhash31(col("text")).as("h")))
+    got.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"doc ${r.getLong(0)}: expr ${r.getLong(1)} != hof ${r.getLong(2)}"))
+    // token-less docs: expression yields NULL (signatures drop the row),
+    // where the HOF's empty-input value is 0
+    val empty = rows(Seq((0L, ""), (1L, "   \t\n ")).toDF("doc_id", "text")
+      .select(graft.functions.SimHash31.simhash(col("text")).as("e")))
+    assert(empty.forall(_.isNullAt(0)))
+    assert(rows(Dedup.simhashSignatures(
+      Seq((0L, ""), (1L, "hello world")).toDF("doc_id", "text"),
+      "doc_id", "text")).map(_.getLong(0)) == Seq(1L))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
