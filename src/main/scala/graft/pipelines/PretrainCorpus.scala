@@ -57,11 +57,18 @@ object PretrainCorpus {
       .filter(length(col("text")) >= cfg.minChars && col("n_grams") > 0)
       .filter(Corpus.repetitionPpm(col("n_grams"), col("n_distinct")) <= cfg.maxRepPpm)
       .select(col("id"), col("text"))
-    // exact dedup: smallest id per content fingerprint survives
+    // exact dedup: smallest id per content fingerprint survives.
+    // Materialized eagerly: two consumers read it (the near-dup signature
+    // derivation and the final anti-join), and without the checkpoint each
+    // would re-run the normalize + shingle gates AND the fingerprint
+    // window's full-text shuffle — at warehouse scale, two corpus-sized
+    // exchanges for one. The checkpoint write is local (no network), the
+    // same bytes the window shuffle already moved once.
     val exact = quality
       .withColumn("rn", row_number().over(
         Window.partitionBy(md5(col("text"))).orderBy(col("id"))))
       .filter(col("rn") === 1).drop("rn")
+      .localCheckpoint(true)
     // near-dup dedup: sig-level components (the doc-pair graph never
     // materializes — see Dedup.simhashComponents) → the cluster's min id
     // survives; capped/singleton docs are absent or self-labeled and
