@@ -87,17 +87,17 @@ object Dedup {
     * expression trees. Docs with < shingleN tokens drop out (no shingles).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numPerms: Int, shingleN: Int): DataFrame = {
-    val hashed = graft.core.Parallelize.fanOut(df)
+                        numPerms: Int, shingleN: Int): DataFrame =
+    // Per-row codegen'd signature (graft.functions.MinHashExpr): zero
+    // shuffle, one shingle-hash pass per document — replaces the explode
+    // of every shingle into a corpus×shingles exchange feeding numPerms
+    // min-aggregates. Docs with fewer than shingleN tokens produce NULL
+    // and are dropped, matching the explode shape (no shingle rows).
+    graft.core.Parallelize.fanOut(df)
       .select(col(idCol).as("id"),
-        explode(TextOps.wordShingles(col(textCol), shingleN)).as("shingle"))
-      .select(col("id"), TextOps.h31(col("shingle")).as("h"))
-    val mins = (0 until numPerms).map(i =>
-      min((col("h") * permA(i) + permB(i)) % P31).as(s"m$i"))
-    hashed.groupBy(col("id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until numPerms).map(i => col(s"m$i")): _*).as("sig"))
-  }
+        graft.functions.MinHash.signature(col(textCol), numPerms, shingleN)
+          .as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** Candidate near-dup pairs via MinHash LSH: band the signatures, self-join
     * on the bucket, keep each (a<b) pair once with its signature-estimated

@@ -71,11 +71,29 @@ object SimHash31 {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
+  /** Raw whitespace split (may contain empty strings — callers filter),
+    * shared with [[MinHash]] so both expressions tokenize identically. */
+  private[functions] def splitTokens(s: String): Array[String] =
+    Whitespace.split(s, -1)
+
+  /** `TextOps.h31` of a single string, computed from the md5 bytes:
+    * first 15 hex chars = 7 full bytes + the high nibble of byte 7,
+    * exactly `conv(substring(md5(t), 1, 15), 16, 10) % (2^31-1)`. */
+  private[functions] def h31(t: String): Long = {
+    val md = Md5.get()
+    md.reset()
+    val d = md.digest(t.getBytes(StandardCharsets.UTF_8))
+    var v = 0L
+    var k = 0
+    while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+    v = (v << 4) | ((d(7) >> 4) & 0xfL)
+    v % TextOps.P31
+  }
+
   /** 31-bit SimHash of `s`; −1 when the document has no tokens (the
     * caller maps it to NULL — a sentinel keeps the hot path primitive). */
   def compute(s: String): Long = {
-    val md = Md5.get()
-    val parts = Whitespace.split(s, -1)
+    val parts = splitTokens(s)
     val seen = new java.util.HashSet[String](math.max(16, parts.length * 2))
     val counts = new Array[Int](31)
     var n = 0
@@ -84,15 +102,7 @@ object SimHash31 {
       val t = parts(i)
       if (t.nonEmpty && seen.add(t)) {
         n += 1
-        md.reset()
-        val d = md.digest(t.getBytes(StandardCharsets.UTF_8))
-        // first 15 hex chars = 7 full bytes + the high nibble of byte 7,
-        // exactly `conv(substring(md5(t), 1, 15), 16, 10)` (TextOps.h31)
-        var v = 0L
-        var k = 0
-        while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
-        v = (v << 4) | ((d(7) >> 4) & 0xfL)
-        val h = v % TextOps.P31
+        val h = h31(t)
         var j = 0
         while (j < 31) {
           if (((h >> j) & 1L) == 1L) counts(j) += 1

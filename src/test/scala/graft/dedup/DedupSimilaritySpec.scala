@@ -176,6 +176,31 @@ class DedupSpec extends SparkSpec {
       Seq((0L, ""), (1L, "hello world")).toDF("doc_id", "text"),
       "doc_id", "text")).map(_.getLong(0)) == Seq(1L))
   }
+
+  test("MinHashExpr matches the independent HOF formulation element-wise") {
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs today",
+      "naïve café déjà-vu ünïcödé 東京 数据 tokens here",
+      "a b a b a b a b a b", "one two three")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = rows(df.select(col("doc_id"),
+      graft.functions.MinHash.signature(col("text"), 16, 3).as("e"),
+      Dedup.minhashSignature(col("text"), 16, 3).as("h")))
+    got.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"doc ${r.getLong(0)}: expr ${r.getSeq[Long](1)} != hof ${r.getSeq[Long](2)}")
+    }
+    // fewer than shingleN tokens → NULL signature; signatures drop the doc
+    val short = rows(Seq((0L, "two tokens"), (1L, "")).toDF("doc_id", "text")
+      .select(graft.functions.MinHash.signature(col("text"), 16, 3).as("e")))
+    assert(short.forall(_.isNullAt(0)))
+    assert(rows(Dedup.minhashSignatures(
+      Seq((0L, "a b"), (1L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+      "doc_id", "text", 16, 3)).map(_.getLong(0)) == Seq(1L))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
