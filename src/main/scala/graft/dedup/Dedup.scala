@@ -145,7 +145,9 @@ object Dedup {
       .join(sigSide.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigSide.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), e => e))
+        // codegen'd position-agreement count — the HOF spelling ran
+        // interpreted lambdas + two array allocations per candidate pair
+        (graft.functions.MinHash.agreeCount(col("sig_a"), col("sig_b"))
           .cast("double") / numPerms.toDouble).as("est_jaccard"))
   }
 

@@ -65,7 +65,53 @@ case class MinHashExpr(child: Expression, numPerms: Int, shingleN: Int)
     copy(child = newChild)
 }
 
+/** Count of positions where two long-array signatures agree — the MinHash
+  * similarity estimator's kernel, as a codegen'd binary expression. The
+  * HOF spelling (`size(filter(zip_with(a, b, _ === _), e => e))`) runs
+  * interpreted lambdas and allocates two intermediate arrays PER PAIR;
+  * at candidate-join volume (millions of pairs) that is the dominant
+  * per-row cost. Compares over the common prefix length, like zip_with
+  * on equal-length signatures. */
+case class SigAgreeCountExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sig_agree_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val ys = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) { if (xs.getLong(i) == ys.getLong(i)) c += 1; i += 1 }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (xs, ys) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      s"""
+      int $n = Math.min($xs.numElements(), $ys.numElements());
+      int $c = 0;
+      for (int $i = 0; $i < $n; $i++) {
+        if ($xs.getLong($i) == $ys.getLong($i)) $c++;
+      }
+      ${ev.value} = $c;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object MinHash {
+
+  /** Number of agreeing positions between two long-array signatures. */
+  def agreeCount(a: Column, b: Column): Column =
+    Bridge.toColumn(SigAgreeCountExpr(Bridge.toExpr(a), Bridge.toExpr(b)))
 
   /** MinHash signature of `s`; null when the document has fewer than
     * `shingleN` whitespace tokens (no shingles — the caller drops it,

@@ -193,6 +193,16 @@ class DedupSpec extends SparkSpec {
       assert(r.getSeq[Long](1) == r.getSeq[Long](2),
         s"doc ${r.getLong(0)}: expr ${r.getSeq[Long](1)} != hof ${r.getSeq[Long](2)}")
     }
+    // agree-count kernel vs the HOF spelling, on signature pairs
+    val agree = rows(df.as("a").crossJoin(df.as("b")).select(
+      graft.functions.MinHash.agreeCount(
+        graft.functions.MinHash.signature(col("a.text"), 16, 3),
+        graft.functions.MinHash.signature(col("b.text"), 16, 3)).as("e"),
+      size(filter(zip_with(
+        Dedup.minhashSignature(col("a.text"), 16, 3),
+        Dedup.minhashSignature(col("b.text"), 16, 3),
+        (x, y) => x === y), e => e)).as("h")))
+    agree.foreach(r => assert(r.getInt(0) == r.getInt(1)))
     // fewer than shingleN tokens → NULL signature; signatures drop the doc
     val short = rows(Seq((0L, "two tokens"), (1L, "")).toDF("doc_id", "text")
       .select(graft.functions.MinHash.signature(col("text"), 16, 3).as("e")))
