@@ -29,12 +29,6 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.core.Scratch.cleanStale()
 
-    // JVM/codegen warmup on the smallest sf so per-query numbers measure the
-    // plan, not first-call classloading.
-    SparkEntry.queries.headOption.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    }
 
     /** Release everything a query parked in the block manager. Queries are
       * sorted lexically, which runs the checkpoint-heavy q100-q131 pack
@@ -64,6 +58,17 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // JVM/codegen warmup on the smallest sf, using the FIRST query that
+    // will actually run: with an arbitrary map-head query the first timed
+    // query absorbed suite-wide classloading/JIT (observed as +2-4s on
+    // whichever query sorts first, both in the driver's full run and in
+    // SPARK_GRAFT_ONLY profiling subsets).
+    selected.headOption.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    quiesce(gc = true)
+
     // min-of-N: a transient CPU-contention spike during one execution (GC,
     // another process on the box) otherwise lands as that query's "cost".
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)

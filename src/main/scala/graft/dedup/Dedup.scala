@@ -261,8 +261,14 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     // Verification sets: the CAPPED shingle list (intersection counts only
     // surviving shingles) alongside the full size for the denominator.
+    // Sets are SORTED once here so verification can run a fused two-pointer
+    // merge count (SortedIntersectCountExpr) instead of a per-pair hash-set
+    // + intersection-array build: O(n log n) once per doc buys zero
+    // allocation per candidate pair, where the pair volume dwarfs the doc
+    // count on every near-dup corpus.
     val sets0 = kept.groupBy(col("id"))
-      .agg(first(col("n_sh")).as("n_sh"), collect_list(col("h")).as("sh"))
+      .agg(first(col("n_sh")).as("n_sh"),
+        sort_array(collect_list(col("h"))).as("sh"))
     // The broadcast table is postings × 8 B (one hashed long per word
     // shingle). Shingle count ≤ word count, and a whitespace-separated
     // word occupies ≥5 input bytes on real text, so the derived sets are
@@ -275,7 +281,8 @@ object Dedup {
         col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("n_sh").as("n_b"),
         col("sh").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter",
+        graft.functions.Intersect.sortedCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)

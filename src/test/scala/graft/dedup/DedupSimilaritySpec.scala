@@ -177,6 +177,21 @@ class DedupSpec extends SparkSpec {
       "doc_id", "text")).map(_.getLong(0)) == Seq(1L))
   }
 
+  test("SortedIntersectCountExpr matches size(array_intersect) on sorted input") {
+    import spark.implicits._
+    val cases = Seq(
+      (Seq(1L, 3L, 5L, 7L), Seq(3L, 4L, 5L, 9L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(2L, 2L, 2L), Seq(2L, 2L)), // duplicate runs count once
+      (Seq(-5L, 0L, 5L), Seq(-5L, 0L, 5L)),
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)))
+    val df = cases.toDF("a", "b")
+    rows(df.select(
+      graft.functions.Intersect.sortedCount(col("a"), col("b")).as("fused"),
+      size(array_intersect(col("a"), col("b"))).as("builtin")))
+      .foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
   test("MinHashExpr matches the independent HOF formulation element-wise") {
     import spark.implicits._
     val texts = Seq(
