@@ -22,11 +22,14 @@ import graft.functions.ColumnOps
 object Checksums {
 
   /** Per-row 48-bit hash over `cols` (null-canonicalized, '~'-joined md5 —
-    * the [[ColumnOps.contentHash]] bytes, truncated to 12 hex digits so the
-    * per-row value fits comfortably in a BIGINT). */
+    * the [[ColumnOps.contentHash]] bytes, truncated to 48 bits so the
+    * per-row value fits comfortably in a BIGINT). Computed by the
+    * allocation-free [[graft.functions.Md5Prefix]] codegen kernel;
+    * bit-for-bit `conv(substring(contentHash, 1, 12), 16, 10)` — the
+    * portable formulation the DuckDB oracle keeps. */
   def rowHash48(cols: Seq[Column]): Column =
-    conv(substring(ColumnOps.contentHash(cols: _*), 1, 12), 16, 10)
-      .cast("long")
+    graft.functions.Md5Prefix.prefix48(
+      concat_ws("~", cols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*))
 
   /** (groupCols..., n_rows, checksum): the group's row count plus the
     * order-independent content checksum, emitted as a decimal STRING (the

@@ -30,4 +30,29 @@ class ChecksumsSpec extends SparkSpec {
     assert(sum(dropDup)._1 == sum(base)._1)
     assert(sum(dropDup)._2 != sum(base)._2)
   }
+
+  test("Md5Prefix48 kernel == portable conv/substring/md5 formulation") {
+    import org.apache.spark.sql.functions._
+    // Unicode (multi-byte UTF-8), empty, whitespace, long strings, and a
+    // NULL column exercising the chr(0) canonicalization — the codegen
+    // kernel must be bit-for-bit the formulation the DuckDB oracle runs.
+    val rows = Seq(
+      (Some("héllo wörld 你好"), Some(42L)),
+      (Some(""), Some(0L)),
+      (Some("   "), None),
+      (None, Some(-7L)),
+      (Some("x" * 10000), Some(Long.MaxValue)),
+      (None, None)
+    ).toDF("s", "k")
+    val cols = Seq($"s", $"k")
+    val joined = concat_ws("~",
+      cols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*)
+    val got = rows.select(
+      Checksums.rowHash48(cols).as("fast"),
+      conv(substring(md5(joined), 1, 12), 16, 10).cast("long").as("portable"))
+    assert(got.where($"fast" =!= $"portable" ||
+      $"fast".isNull =!= $"portable".isNull).count() == 0L)
+    // Sanity: values are non-degenerate 48-bit (distinct across rows).
+    assert(got.select($"fast").distinct.count() == 6L)
+  }
 }
