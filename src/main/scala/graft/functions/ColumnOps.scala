@@ -102,10 +102,13 @@ object ColumnOps {
   /** Stable 60-bit non-negative hash derived from md5 — deterministic across
     * engines and partitionings (unlike `hash`/`xxhash64` whose seeds are
     * Spark-specific). Used as the base hash for MinHash/SimHash so results
-    * are reproducible run-to-run.
+    * are reproducible run-to-run. Computed by the allocation-free
+    * [[Md5Prefix]] codegen kernel; bit-for-bit
+    * `conv(substring(md5(c), 1, 15), 16, 10)` — the portable formulation
+    * every oracle restatement keeps.
     */
   def stable64(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    Md5Prefix.prefix60(c.cast("string"))
 
   /** Salted composite key (reference: utils/spark.py:142-147). */
   def saltedKey(buckets: Int, cols: Column*): Column =

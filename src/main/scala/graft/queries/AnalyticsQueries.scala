@@ -140,6 +140,13 @@ object AnalyticsQueries {
           FROM e)
         SELECT src, dst FROM ranked WHERE r <= 3""")
         .localCheckpoint(true).createOrReplaceTempView("g5_heavy")
+      // Cost shape (tools/Q97Probe, warm): edges 0.55s, walk 0.9s — the
+      // walk's cost is the UnionLoop's per-iteration job floor (6 tiny
+      // jobs over a ≤3·|nations|-edge graph), not the join strategy (a
+      // BROADCAST hint measured no better). A fixed sub-second floor of
+      // the declarative-recursion feature, same class as the streaming
+      // micro-batch floor; at warehouse scale the fact-join edge
+      // derivation dominates and the walk stays nation-sized.
       s.sql("""
         WITH RECURSIVE walk(node, dist) AS (
           SELECT CAST(0 AS BIGINT), 0

@@ -98,6 +98,25 @@ class ColumnOpsSpec extends SparkSpec {
     assert(hs(0) == hs(1) && hs(0) != hs(2) && hs.forall(_ >= 0))
   }
 
+  test("stable64 kernel == portable conv/substring/md5 formulation") {
+    import spark.implicits._
+    // The codegen kernel must be bit-for-bit the formulation every oracle
+    // restatement runs, including multi-byte UTF-8, empty strings, NULL,
+    // and non-string inputs going through the string cast.
+    val strs = Seq(Some("héllo 你好"), Some(""), Some("  a\tb "),
+      Some("x" * 5000), None).toDF("c")
+    val sGot = strs.select(ColumnOps.stable64(col("c")).as("fast"),
+      conv(substring(md5(col("c").cast("string")), 1, 15), 16, 10)
+        .cast("long").as("portable"))
+    assert(sGot.where(col("fast") =!= col("portable") ||
+      col("fast").isNull =!= col("portable").isNull).count() == 0L)
+    val nums = Seq(0L, -1L, Long.MaxValue, 42L).toDF("c")
+    val nGot = nums.select(ColumnOps.stable64(col("c")).as("fast"),
+      conv(substring(md5(col("c").cast("string")), 1, 15), 16, 10)
+        .cast("long").as("portable"))
+    assert(nGot.where(col("fast") =!= col("portable")).count() == 0L)
+  }
+
   test("datetimeToGmt converts LA local time to UTC") {
     import spark.implicits._
     val df = Seq("2024-01-15 10:00:00").toDF("c")
