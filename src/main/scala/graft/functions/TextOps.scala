@@ -65,10 +65,59 @@ object TextOps {
           i => concat_ws(" ", slice(ts, i, lit(n)))))))
 
   /** Polynomial rolling hash of the full string, mod P31 — the classic
-    * Karp-Rabin document fingerprint. Left fold, so cross-engine exact. */
+    * Karp-Rabin document fingerprint. Left fold over code points, so
+    * cross-engine exact (oracles restate it as the portable
+    * `aggregate(transform(split(c, ''), ascii), ...)` HOF fold — Spark's
+    * empty-pattern split yields exactly the code points, and `ascii` is
+    * codePointAt(0), so the codegen kernel below is the same fold without
+    * the per-character UTF8String array the HOF version allocates: a
+    * document's fingerprint costs one String and zero per-char objects). */
   def rollingHash(c: Column): Column =
+    Bridge.toColumn(RollingHash31Expr(Bridge.toExpr(c)))
+
+  /** The HOF formulation of [[rollingHash]] — kept as the parity twin the
+    * spec checks the kernel against (it IS the oracle restatement). */
+  private[functions] def rollingHashHof(c: Column): Column =
     aggregate(transform(split(c, ""), ch => ascii(ch)),
       lit(0L), (acc, x) => (acc * 31L + x) % P31)
+
+  /** [[rollingHash]]'s codegen kernel: fold code points into
+    * `(acc * 31 + cp) % P31`. */
+  case class RollingHash31Expr(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType.isInstanceOf[StringType])
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"rolling_hash31 requires a string column, got ${child.dataType}")
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "rolling_hash31"
+    override protected def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(
+        TextOps.rollingHash31(input.asInstanceOf[UTF8String]))
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.rollingHash31($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Code-point fold behind [[RollingHash31Expr]]. */
+  def rollingHash31(s: UTF8String): Long = {
+    val str = s.toString
+    var v = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      v = (v * 31L + cp) % P31
+      i += Character.charCount(cp)
+    }
+    v
+  }
 
   /** Winnowing-style min-fingerprint: the minimum rolling hash over word
     * n-gram shingles. Two documents sharing any low-hash shingle collide —

@@ -197,6 +197,21 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(df).head.getLong(0) == ref("hello world"))
   }
 
+  test("rollingHash kernel == portable split/ascii HOF fold") {
+    import spark.implicits._
+    // Includes multi-byte UTF-8 and astral-plane code points (𝄞 is a
+    // surrogate pair in UTF-16): Spark's empty-pattern split yields code
+    // points and ascii is codePointAt(0), and the kernel must fold the
+    // identical sequence. Empty string and NULL included.
+    val df = Seq(Some("hello world"), Some("héllo wörld 你好"),
+      Some("music 𝄞 and emoji 🎵"), Some(""),
+      Some(" \t\n "), Some("x" * 3000), None).toDF("text")
+    val got = df.select(TextOps.rollingHash(col("text")).as("fast"),
+      TextOps.rollingHashHof(col("text")).as("portable"))
+    assert(got.where(col("fast") =!= col("portable") ||
+      col("fast").isNull =!= col("portable").isNull).count() == 0L)
+  }
+
   test("langId picks marker-profile argmax, und when no markers") {
     import spark.implicits._
     val df = Seq("the cat of the house", "el gato de la casa que", "xyzzy plugh")
