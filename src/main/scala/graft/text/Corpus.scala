@@ -200,14 +200,30 @@ object Corpus {
     * gate). Same integer-exactness discipline as [[unigramSurprisal]]: each
     * ln(p) is quantized once to nano-units, then every sum and the final
     * half-up division are exact integer arithmetic — engine-identical.
-    * Plan: explode chars → (doc, char) hash-agg (map-side combine soaks up
-    * the per-doc repeats) → per-doc totals join → per-doc hash-agg. Linear
-    * in corpus bytes, no self-joins. */
-  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // codepoint-aware split: Java regex `.` matches a full code POINT, so
-    // astral-plane characters (emoji, math alphanumerics) count once —
-    // `split(text, "")` would halve their surrogate pairs into two bogus
-    // "characters" and diverge from DuckDB's codepoint string_split
+    *
+    * Computed by the one-pass [[graft.functions.CharEntropyExpr]] codegen
+    * kernel: entropy needs no corpus statistics, so the per-row form runs
+    * at scan parallelism with zero shuffle — where the explode formulation
+    * (kept below as the spec's parity twin and the oracle restatement)
+    * shuffles a corpus×CHARS-sized exchange through two hash-aggs and a
+    * join. fanOut still applies: per-row cost is document-sized, and a
+    * sub-split corpus would otherwise fold single-core. */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.core.Parallelize.fanOut(docs)
+      .select(col(idCol).as("id"),
+        graft.functions.CharEntropy.charEntropy(col(textCol)).as("e"))
+      .filter(col("e").isNotNull)
+      .select(col("id"), col("e.n_chars").as("n_chars"),
+        col("e.entropy").as("entropy"))
+
+  /** The explode/aggregate formulation of [[charEntropy]] — the parity
+    * twin CorpusSpec checks the kernel against (it IS the shape the
+    * DuckDB oracle restates). Codepoint-aware split: Java regex `.`
+    * matches a full code POINT, so astral-plane characters count once —
+    * `split(text, "")` would halve surrogate pairs and diverge from
+    * DuckDB's codepoint string_split. */
+  private[graft] def charEntropyExploded(docs: DataFrame, idCol: String,
+                                         textCol: String): DataFrame = {
     val chars = graft.core.Parallelize.fanOut(docs)
       .select(col(idCol).as("id"),
         explode(regexp_extract_all(col(textCol), lit("(?s)."), lit(0))).as("ch"))
