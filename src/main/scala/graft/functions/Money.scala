@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact money aggregation without decimal-typed hot loops.
+  *
+  * Spark's decimal aggregation pays a per-row penalty the magnitude of the
+  * whole scan: every input double is converted to a `Decimal` object, the
+  * sum buffer is a `Decimal`, and the multiply in a discounted-price
+  * expression runs in scaled-BigInteger arithmetic — measured 1.01s vs a
+  * 0.23s scan floor on TPC-H Q1's shape at sf0.1 (tools/Q01Probe). But the
+  * money columns themselves are exact two-decimal values, so the identical
+  * result is available from integer arithmetic: quantize each value ONCE
+  * to long cents, sum longs, and only present the total in decimal.
+  *
+  * The naive long sum reintroduces an overflow at warehouse scale (a
+  * 4-group aggregate over ~10¹¹ rows of 10⁹-unit products exceeds 2⁶³ —
+  * the q99 lesson: 32/64-bit ceilings ARE reachable at the design target).
+  * [[sumUnitsExact]] therefore aggregates in TWO stages:
+  *
+  *  1. partial long sums per (group, input partition) — exact because a
+  *     split bounds partition rows (~4M at 128 MB) to ≥2000× below the
+  *     long ceiling even at 10⁹ units/row;
+  *  2. a decimal(38,0) combine of the per-partition partials — at most
+  *     #groups × #partitions tiny rows, so the decimal cost lands on
+  *     thousands of rows, not billions.
+  *
+  * Same single shuffle as a plain groupBy (the partials ARE the map-side
+  * combine), decimal exactness end-to-end, long-speed hot loop.
+  *
+  * Quantization parity: money inputs are exact 2-decimal values, so
+  * `floor(x·100 + 0.5)` recovers the cent count exactly — identical to
+  * the `CAST(x AS DECIMAL(18,2))` every oracle restatement uses (no
+  * rounding ties exist: a 2-decimal value's double representation is
+  * never exactly halfway between cents).
+  */
+object Money {
+
+  /** Exact cents of a 2-decimal money column (half-up, tie-free on money
+    * inputs — see object doc). */
+  def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
+
+  /** Two-stage exact sum of long `units` expressions per `keys`: long
+    * partials per input partition, decimal(38,0) totals. Output columns:
+    * keys, one decimal(38,0) column per unit name, and an optional exact
+    * row count. Callers scale/present the totals (e.g. `/ 100.0`). */
+  def sumUnitsExact(df: DataFrame, keys: Seq[String],
+                    units: Seq[(String, Column)],
+                    countAs: Option[String] = None): DataFrame = {
+    val partialAggs = units.map { case (n, c) => sum(c).as(n) } ++
+      countAs.map(n => count(lit(1)).as(n))
+    val partial = df
+      .groupBy((keys.map(col) :+ spark_partition_id().as("_pid")): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+    val finalAggs = units.map { case (n, _) =>
+      sum(col(n).cast("decimal(38,0)")).as(n)
+    } ++ countAs.map(n => sum(col(n)).as(n))
+    partial.groupBy(keys.map(col): _*)
+      .agg(finalAggs.head, finalAggs.tail: _*)
+  }
+}

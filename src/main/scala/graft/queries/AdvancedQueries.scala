@@ -30,13 +30,22 @@ object AdvancedQueries {
     // CUBE: all 2^2 grouping sets over (returnflag, linestatus) in ONE pass
     // (Spark expands grouping sets inside a single hash-agg — no N scans),
     // grouping_id disambiguates subtotal rows from real NULL groups.
-    "q57_cube" -> ((s, dir) =>
-      t(s, dir, "lineitem")
+    // The fact-table pass runs long-cents partials (functions.Money — the
+    // decimal hot loop costs ~4× the scan); the cube then expands over the
+    // handful of exact (flag, status) partials, where its 2^k row blowup
+    // and the decimal combine are both free. Sums of sums — identical
+    // totals, same gid semantics.
+    "q57_cube" -> ((s, dir) => {
+      import graft.functions.Money
+      Money.sumUnitsExact(t(s, dir, "lineitem"),
+          Seq("l_returnflag", "l_linestatus"),
+          Seq("sq" -> Money.cents(col("l_quantity"))), countAs = Some("pn"))
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-          count(lit(1)).as("n"),
+        .agg((sum(col("sq")).cast("double") / 100.0).as("sum_qty"),
+          sum(col("pn")).as("n"),
           grouping_id(col("l_returnflag"), col("l_linestatus")).cast("int")
-            .as("gid"))),
+            .as("gid"))
+    }),
 
     // Correlated scalar subquery + EXISTS + NOT EXISTS — Catalyst
     // decorrelates all three into aggregate/semi/anti joins (no per-row

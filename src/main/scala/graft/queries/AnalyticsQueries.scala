@@ -158,16 +158,23 @@ object AnalyticsQueries {
     }),
 
     // Explicit GROUPING SETS — the asymmetric subtotal shape rollup/cube
-    // can't express ((flag), (status), ()); one hash-agg pass, gid
-    // disambiguates subtotal rows from real NULL groups.
+    // can't express ((flag), (status), ()); gid disambiguates subtotal
+    // rows from real NULL groups. The grouping-sets expansion runs over
+    // the handful of exact (flag, status) long-cents partials
+    // (functions.Money) — same subtotals, decimal combine off the fact
+    // pass.
     "q98_grouping_sets" -> ((s, dir) => {
-      t(s, dir, "lineitem").createOrReplaceTempView("g5_lineitem")
+      graft.functions.Money.sumUnitsExact(t(s, dir, "lineitem"),
+          Seq("l_returnflag", "l_linestatus"),
+          Seq("sq" -> graft.functions.Money.cents(col("l_quantity"))),
+          countAs = Some("pn"))
+        .createOrReplaceTempView("g5_li_partial")
       s.sql("""
         SELECT l_returnflag, l_linestatus,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-          COUNT(*) AS n,
+          CAST(SUM(sq) AS DOUBLE) / 100.0 AS sum_qty,
+          SUM(pn) AS n,
           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid
-        FROM g5_lineitem
+        FROM g5_li_partial
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
     }),
 
@@ -201,15 +208,20 @@ object AnalyticsQueries {
     // any coarser grain by re-aggregating) proven lossless because every
     // carried moment (decimal sum, count) reassociates exactly.
     "q100_partial_reagg" -> ((s, dir) => {
-      val daily = t(s, dir, "lineitem")
-        .groupBy(
+      // Day-grain moments carried as exact long cents with a decimal
+      // combine (functions.Money) — the same reassociation proof, minus
+      // the decimal-typed hot loop on the fact pass.
+      val daily = graft.functions.Money.sumUnitsExact(
+        t(s, dir, "lineitem").withColumn("ymd",
           (year(col("l_shipdate")) * 10000 + month(col("l_shipdate")) * 100 +
-            dayofmonth(col("l_shipdate"))).cast("int").as("ymd"),
-          col("l_returnflag"))
-        .agg(sum(dec(col("l_quantity"))).as("sq"), count(lit(1)).as("nd"))
+            dayofmonth(col("l_shipdate"))).cast("int")),
+        Seq("ymd", "l_returnflag"),
+        Seq("sq" -> graft.functions.Money.cents(col("l_quantity"))),
+        countAs = Some("nd"))
       daily
         .groupBy(expr("ymd div 100").cast("int").as("ym"), col("l_returnflag"))
-        .agg(sum(col("sq")).cast("double").as("sum_qty"), sum(col("nd")).as("n"))
+        .agg((sum(col("sq")).cast("double") / 100.0).as("sum_qty"),
+          sum(col("nd")).as("n"))
     }),
 
     // Last-touch attribution: each purchase credits the user's most recent
@@ -252,17 +264,24 @@ object AnalyticsQueries {
     // Wide→long unpivot (melt) + per-metric rollup — the inverse of q52's
     // pivot; Spark's native unpivot emits (id, metric, value) without a
     // join or union of scans.
-    "q104_unpivot" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
-          col("l_discount"), col("l_tax"))
-        .unpivot(Array(col("l_orderkey")),
-          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
-            col("l_tax")),
-          "metric", "v")
-        .groupBy(col("metric"))
-        .agg(count(lit(1)).as("n"),
-          sum(dec(col("v"))).cast("double").as("sum_v"))),
+    "q104_unpivot" -> ((s, dir) => {
+      // Per-metric rollup over the melted rows via long-cents partials
+      // (functions.Money) — the unpivot quadruples the fact rows, so the
+      // decimal hot loop it fed was the suite's largest.
+      import graft.functions.Money
+      Money.sumUnitsExact(
+          t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+              col("l_discount"), col("l_tax"))
+            .unpivot(Array(col("l_orderkey")),
+              Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+                col("l_tax")),
+              "metric", "v"),
+          Seq("metric"),
+          Seq("sv" -> Money.cents(col("v"))), countAs = Some("n"))
+        .select(col("metric"), col("n"),
+          (col("sv").cast("double") / 100.0).as("sum_v"))
+    }),
 
     // LOCF imputation on the hourly spine: where q86 fills gaps with
     // explicit zeros, this carries the LAST OBSERVED value forward (the

@@ -29,17 +29,28 @@ object CoreQueries {
 
     // A1/A2: grouped aggregation with map-side partial agg; the filter is
     // pushed to the parquet scan (PushedFilters) and only 7 of 11 columns
-    // are read (ReadSchema pruning).
+    // are read (ReadSchema pruning). Money sums run through the two-stage
+    // long-cents/decimal-combine path (functions.Money): decimal-typed hot
+    // loops cost 4× the scan on this shape, and the long partials stay
+    // exact per-partition while the decimal combine keeps the 100 TB
+    // 4-group total overflow-proof. disc_price multiplies in 10⁻⁴ units:
+    // cents(ep)·(100 − cents(disc)) — the same integers the decimal
+    // formulation multiplies, so totals match the oracle digit-for-digit.
     "q01_pricing_summary" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      import graft.functions.Money
+      val li = t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
-            .cast("double").as("sum_disc_price"),
-          count(lit(1)).as("count_order"))
+      Money.sumUnitsExact(li, Seq("l_returnflag", "l_linestatus"),
+          Seq("sum_qty" -> Money.cents(col("l_quantity")),
+            "sum_base_price" -> Money.cents(col("l_extendedprice")),
+            "sum_disc_price" -> (Money.cents(col("l_extendedprice")) *
+              (lit(100L) - Money.cents(col("l_discount"))))),
+          countAs = Some("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          (col("sum_qty").cast("double") / 100.0).as("sum_qty"),
+          (col("sum_base_price").cast("double") / 100.0).as("sum_base_price"),
+          (col("sum_disc_price").cast("double") / 10000.0).as("sum_disc_price"),
+          col("count_order"))
     }),
 
     // P2/P4: projection + compound predicate — entirely pushed down.
@@ -328,13 +339,20 @@ object CoreQueries {
       val customer = t(s, dir, "customer")
       val nation = t(s, dir, "nation")
       val region = t(s, dir, "region")
-      orders
+      // Long-cents partials per (region, nation) off the joined fact rows
+      // (functions.Money), then the rollup expands over ≤|nations| exact
+      // partials — subtotal semantics and gid unchanged, decimal combine
+      // off the hot path.
+      val joined = orders
         .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
         .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
         .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      graft.functions.Money.sumUnitsExact(joined, Seq("r_name", "n_name"),
+          Seq("rev" -> graft.functions.Money.cents(col("o_totalprice"))),
+          countAs = Some("pn"))
         .rollup(col("r_name"), col("n_name"))
-        .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
-          count(lit(1)).as("n_orders"),
+        .agg((sum(col("rev")).cast("double") / 100.0).as("revenue"),
+          sum(col("pn")).as("n_orders"),
           grouping_id(col("r_name"), col("n_name")).cast("int").as("gid"))
     }),
 
