@@ -154,11 +154,15 @@ object CoreQueries {
         unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
     }),
 
-    // A3: group + HAVING (post-aggregation filter).
+    // A3: group + HAVING (post-aggregation filter). Long-cents partials +
+    // decimal combine (functions.Money) — totals identical, HAVING applied
+    // to the same double.
     "q16_having" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy(col("l_suppkey"))
-        .agg(sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+      import graft.functions.Money
+      Money.sumUnitsExact(t(s, dir, "lineitem"), Seq("l_suppkey"),
+          Seq("tq" -> Money.cents(col("l_quantity"))))
+        .select(col("l_suppkey"),
+          (col("tq").cast("double") / 100.0).as("total_qty"))
         .filter(col("total_qty") > 24000.0)
     }),
 
@@ -230,12 +234,16 @@ object CoreQueries {
     // partials keep the regrouped sum exact. lineitem has only 3 return
     // flags — exactly the shape where an unsalted shuffle melts a reducer.
     "q84_salted_agg" -> ((s, dir) => {
+      // Salt partials carry exact long cents; the 16-partial combine runs
+      // in decimal — the money discipline applied to the salted shape.
+      import graft.functions.Money
       val salted = t(s, dir, "lineitem")
         .withColumn("_salt", pmod(xxhash64(col("l_orderkey")), lit(16L)))
       salted.groupBy(col("l_returnflag"), col("_salt"))
-        .agg(sum(dec(col("l_quantity"))).as("pq"), count(lit(1)).as("pn"))
+        .agg(sum(Money.cents(col("l_quantity"))).as("pq"), count(lit(1)).as("pn"))
         .groupBy(col("l_returnflag"))
-        .agg(sum(col("pq")).cast("double").as("sum_qty"),
+        .agg((sum(col("pq").cast("decimal(38,0)")).cast("double") / 100.0)
+            .as("sum_qty"),
           sum(col("pn")).as("n"))
     }),
 
@@ -299,11 +307,17 @@ object CoreQueries {
         .filter(col("o_orderdate") < lit("2000-06-30").cast("timestamp"))
       val li = t(s, dir, "lineitem")
         .filter(col("l_shipdate") > lit("2000-06-30").cast("timestamp"))
+      // Revenue in 10⁻⁴-unit longs: the group is ONE order (≤7 lineitems),
+      // so the long sum is overflow-safe at any scale — no decimal in the
+      // per-row multiply or the agg buffer (same integers as the decimal
+      // formulation, totals digit-identical).
+      import graft.functions.Money
       li.join(orders, li("l_orderkey") === orders("o_orderkey"))
         .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderpriority"))
-        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
-          .cast("double").as("revenue"))
+        .agg((sum(Money.cents(col("l_extendedprice")) *
+            (lit(100L) - Money.cents(col("l_discount"))))
+          .cast("double") / 10000.0).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     }),
@@ -318,15 +332,22 @@ object CoreQueries {
       val supp = t(s, dir, "supplier")
       val nation = t(s, dir, "nation")
       val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
-      li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      // Per-nation revenue through the two-stage money path: a nation
+      // group spans the whole fact table, so the long partials stay
+      // per-partition and the decimal combine keeps the 100 TB total
+      // overflow-proof.
+      import graft.functions.Money
+      val joined = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
         .join(cust, orders("o_custkey") === cust("c_custkey"))
         .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
         .filter(cust("c_nationkey") === supp("s_nationkey"))
         .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
         .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
-        .groupBy(col("n_name"))
-        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
-          .cast("double").as("revenue"))
+      Money.sumUnitsExact(joined, Seq("n_name"),
+          Seq("rev" -> (Money.cents(col("l_extendedprice")) *
+            (lit(100L) - Money.cents(col("l_discount"))))))
+        .select(col("n_name"),
+          (col("rev").cast("double") / 10000.0).as("revenue"))
     }),
 
     // ROLLUP subtotals (beyond the reference's flat GROUP BY): revenue per
