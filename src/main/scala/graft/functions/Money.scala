@@ -41,6 +41,20 @@ object Money {
     * inputs — see object doc). */
   def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
 
+  /** Stage 1 alone: exact long partial sums per (`keys`, input partition)
+    * — for callers whose OWN re-aggregation (cube/rollup/grouping sets)
+    * is the decimal combine, so the partials feed it directly with no
+    * redundant middle exchange. Combine partial columns with
+    * `sum(col(n).cast("decimal(38,0)"))`. */
+  def partialUnits(df: DataFrame, keys: Seq[String],
+                   units: Seq[(String, Column)],
+                   countAs: Option[String] = None): DataFrame = {
+    val partialAggs = units.map { case (n, c) => sum(c).as(n) } ++
+      countAs.map(n => count(lit(1)).as(n))
+    df.groupBy((keys.map(col) :+ spark_partition_id().as("_pid")): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+  }
+
   /** Two-stage exact sum of long `units` expressions per `keys`: long
     * partials per input partition, decimal(38,0) totals. Output columns:
     * keys, one decimal(38,0) column per unit name, and an optional exact
@@ -48,15 +62,10 @@ object Money {
   def sumUnitsExact(df: DataFrame, keys: Seq[String],
                     units: Seq[(String, Column)],
                     countAs: Option[String] = None): DataFrame = {
-    val partialAggs = units.map { case (n, c) => sum(c).as(n) } ++
-      countAs.map(n => count(lit(1)).as(n))
-    val partial = df
-      .groupBy((keys.map(col) :+ spark_partition_id().as("_pid")): _*)
-      .agg(partialAggs.head, partialAggs.tail: _*)
     val finalAggs = units.map { case (n, _) =>
       sum(col(n).cast("decimal(38,0)")).as(n)
     } ++ countAs.map(n => sum(col(n)).as(n))
-    partial.groupBy(keys.map(col): _*)
+    partialUnits(df, keys, units, countAs).groupBy(keys.map(col): _*)
       .agg(finalAggs.head, finalAggs.tail: _*)
   }
 }

@@ -37,11 +37,12 @@ object AdvancedQueries {
     // totals, same gid semantics.
     "q57_cube" -> ((s, dir) => {
       import graft.functions.Money
-      Money.sumUnitsExact(t(s, dir, "lineitem"),
+      Money.partialUnits(t(s, dir, "lineitem"),
           Seq("l_returnflag", "l_linestatus"),
           Seq("sq" -> Money.cents(col("l_quantity"))), countAs = Some("pn"))
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg((sum(col("sq")).cast("double") / 100.0).as("sum_qty"),
+        .agg((sum(col("sq").cast("decimal(38,0)")).cast("double") / 100.0)
+            .as("sum_qty"),
           sum(col("pn")).as("n"),
           grouping_id(col("l_returnflag"), col("l_linestatus")).cast("int")
             .as("gid"))

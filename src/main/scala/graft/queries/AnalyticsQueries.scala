@@ -164,14 +164,14 @@ object AnalyticsQueries {
     // (functions.Money) — same subtotals, decimal combine off the fact
     // pass.
     "q98_grouping_sets" -> ((s, dir) => {
-      graft.functions.Money.sumUnitsExact(t(s, dir, "lineitem"),
+      graft.functions.Money.partialUnits(t(s, dir, "lineitem"),
           Seq("l_returnflag", "l_linestatus"),
           Seq("sq" -> graft.functions.Money.cents(col("l_quantity"))),
           countAs = Some("pn"))
         .createOrReplaceTempView("g5_li_partial")
       s.sql("""
         SELECT l_returnflag, l_linestatus,
-          CAST(SUM(sq) AS DOUBLE) / 100.0 AS sum_qty,
+          CAST(SUM(CAST(sq AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sum_qty,
           SUM(pn) AS n,
           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid
         FROM g5_li_partial

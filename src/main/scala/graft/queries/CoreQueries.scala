@@ -368,11 +368,12 @@ object CoreQueries {
         .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
         .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
         .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
-      graft.functions.Money.sumUnitsExact(joined, Seq("r_name", "n_name"),
+      graft.functions.Money.partialUnits(joined, Seq("r_name", "n_name"),
           Seq("rev" -> graft.functions.Money.cents(col("o_totalprice"))),
           countAs = Some("pn"))
         .rollup(col("r_name"), col("n_name"))
-        .agg((sum(col("rev")).cast("double") / 100.0).as("revenue"),
+        .agg((sum(col("rev").cast("decimal(38,0)")).cast("double") / 100.0)
+            .as("revenue"),
           sum(col("pn")).as("n_orders"),
           grouping_id(col("r_name"), col("n_name")).cast("int").as("gid"))
     }),

@@ -74,10 +74,17 @@ class PlanRegressionSpec extends AnyFunSuite {
       "map-side partial aggregation missing")
   }
 
-  test("q57: CUBE runs as a single Expand + hash-agg pass, one exchange") {
+  test("q57: CUBE expands over exact money partials, two exchanges") {
+    // Stage 1: long-cents partials per (flag, status, partition) — the
+    // fact-table exchange carries groups×partitions tiny rows. Stage 2:
+    // the cube's Expand + hash-agg (the decimal combine) over partials.
     val p = plan("q57_cube")
     assert(p.contains("Expand"), "grouping sets should expand, not rescan")
-    assert("Exchange".r.findAllIn(p).size == 1)
+    assert("Exchange".r.findAllIn(p).size == 2)
+    // The Expand must sit ABOVE the fact exchange (tree prints top-down):
+    // expanding before the partial agg would 4x the fact rows.
+    assert(p.indexOf("Expand") < p.lastIndexOf("Exchange"),
+      "Expand should run over partials, not the fact scan")
   }
 
   test("q58: subquery predicates are pushed into the lineitem scans") {
