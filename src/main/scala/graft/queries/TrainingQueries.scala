@@ -97,6 +97,30 @@ object TrainingQueries {
         .select(col("vec_id"), col("cluster_id"), col("cluster_dist"))
     }),
 
+    // SemDeDup-style semantic dedup, fully oracle-gated (the scale path
+    // q39's doc only described): IVF-assign to the 8 seed centroids, score
+    // pairs only WITHIN a cluster (Σ cluster² not n², shuffled on
+    // cluster_id so AQE splits skew), then the deterministic survivor rule
+    // — a vector is dropped iff some LOWER-id vector in its cluster is
+    // ≥ τ cosine-similar. Output is per-vector accounting (cluster, kept),
+    // so the gate certifies assignment, pair recall, and survivor logic.
+    "q134_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      val assigned = Similarity.ivfAssign(emb, centroids)
+        .select(col("vec_id"), col("cluster_id"))
+      val dropped = Dedup.embeddingNearDupsIvf(emb, centroids, 0.4)
+        .select(col("id_b").as("vec_id")).distinct()
+        .withColumn("dup", lit(true))
+      assigned.join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster_id"),
+          when(col("dup").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+    }),
+
     // Document fingerprints: Karp-Rabin rolling hash + winnowing min-hash.
     // fanOut(minBytes=0): the per-char HOF folds cost ~1000× a scan of the
     // same bytes, so even a single-split corpus is worth one exchange —
@@ -389,6 +413,29 @@ object TrainingQueries {
          |SELECT vec_id, cid AS cluster_id, round(dist, 6) AS cluster_dist FROM (
          | SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
          | FROM d) WHERE rn = 1""".stripMargin,
+
+    "q134_semantic_dedup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |d AS (
+         | SELECT e.vec_id, c.cid,
+         |  list_reduce([0.0]::DOUBLE[] || list_transform(range(1, len(e.v) + 1), i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),
+         |   (acc, x) -> acc + x) AS dist
+         | FROM e CROSS JOIN c),
+         |asg AS MATERIALIZED (
+         | SELECT vec_id, cid AS cluster_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM d)
+         | WHERE rn = 1),
+         |p AS (
+         | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${dotSql("a.v", "b.v")} / (sqrt(${dotSql("a.v", "a.v")}) * sqrt(${dotSql("b.v", "b.v")})), 6) AS cos_sim
+         | FROM e a JOIN asg aa ON a.vec_id = aa.vec_id
+         | JOIN asg bb ON bb.cluster_id = aa.cluster_id AND aa.vec_id < bb.vec_id
+         | JOIN e b ON b.vec_id = bb.vec_id),
+         |drp AS (SELECT DISTINCT id_b AS vec_id FROM p WHERE cos_sim >= 0.4)
+         |SELECT a.vec_id, a.cluster_id,
+         |  CASE WHEN drp.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+         |FROM asg a LEFT JOIN drp ON a.vec_id = drp.vec_id""".stripMargin,
 
     "q29_fingerprint" ->
       s"""SELECT doc_id,
