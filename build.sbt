@@ -30,4 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 8g left it GC-bound on the shuffle-heavy queries (multi-second pauses
   // showing up as 10-40x per-query variance run-to-run).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 134 codegen'd queries overflow the default 240 MB JIT code cache
+  // mid-suite; once it fills, compilation stops/flushes and later queries
+  // run partially interpreted — measured as q111 (the suite's widest
+  // codegen surface) at 0.90s isolated vs 1.2-1.6s after 100+ queries.
+  "-XX:ReservedCodeCacheSize=1g",
 )
