@@ -140,6 +140,30 @@ class DedupSpec extends SparkSpec {
     assert(ivf == Seq((0L, 1L)))
   }
 
+  test("semantic dedup survivor rule: lower id survives, cross-cluster dups ignored") {
+    import spark.implicits._
+    // 0-1 near-dups in cluster 0 (1 must drop); 2-3 near-dups but in
+    // DIFFERENT clusters (both survive — the documented IVF recall trade);
+    // 4 alone in cluster 0 (survives).
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.14f, 0.0f)),
+      (2L, Array(0.6f, 0.8f, 0.0f)),   // nearer centroid 1
+      (3L, Array(0.8f, 0.6f, 0.0f)),   // nearer centroid 0, cos(2,3)=0.96
+      (4L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val centroids = Array(
+      (0L, Array(1.0, 0.0, 0.0)), (1L, Array(0.0, 1.0, 0.0)))
+    val pairs = rows(Dedup.embeddingNearDupsIvf(emb, centroids, 0.9))
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b) == Set(2L, 3L) },
+      "cross-cluster pair must not surface in the bucketed path")
+    val droppedIds = pairs.map(_._2)
+    assert(droppedIds.contains(1L) && !droppedIds.contains(0L) &&
+      !droppedIds.contains(4L))
+  }
+
   test("simhash: identical docs collide, near-dups are hamming-close") {
     import spark.implicits._
     val sh = rows(docs.select(col("doc_id"), Dedup.simhash31(col("text")).as("s")))

@@ -34,4 +34,18 @@ class MoneySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(got == Seq(7L, 29L, 10499991L, 0L, 100L))
   }
+
+  test("decimal combine is exact past the long ceiling (the 100 TB claim)") {
+    // 24 rows of ~9.2e17 units spread over 8 partitions: every
+    // per-partition partial stays under 2^63 (≤3 rows × 9.2e17 ≈ 2.8e18),
+    // but the GROUP total (~2.2e19) exceeds Long.MaxValue — a naive long
+    // sum would wrap silently. The decimal(38,0) combine must report the
+    // exact BigInt total.
+    val unit = 920000000000000000L // 9.2e17
+    val df = (1 to 24).map(_ => ("g", unit)).toDF("k", "u").repartition(8)
+    val got = Money.sumUnitsExact(df, Seq("k"), Seq("s" -> col("u")))
+      .select(col("s").cast("string")).collect().head.getString(0)
+    assert(got == (BigInt(unit) * 24).toString)
+    assert(BigInt(got) > BigInt(Long.MaxValue), "test must actually cross 2^63")
+  }
 }
