@@ -142,11 +142,18 @@ object AnalyticsQueries {
         .localCheckpoint(true).createOrReplaceTempView("g5_heavy")
       // Cost shape (tools/Q97Probe, warm): edges 0.55s, walk 0.9s — the
       // walk's cost is the UnionLoop's per-iteration job floor (6 tiny
-      // jobs over a ≤3·|nations|-edge graph), not the join strategy (a
-      // BROADCAST hint measured no better). A fixed sub-second floor of
-      // the declarative-recursion feature, same class as the streaming
-      // micro-batch floor; at warehouse scale the fact-join edge
-      // derivation dominates and the walk stays nation-sized.
+      // jobs over a ≤3·|nations|-edge graph), not the join strategy.
+      // Two rejected-by-measurement alternatives: a BROADCAST hint on
+      // the edge derivation (no better locally; wrong at warehouse scale
+      // where orders outgrows the broadcast threshold), and pointer-
+      // doubling the recursion ({2,2,1}-hop steps over a materialized
+      // doubled edge set, 3 productive rounds instead of 5 — hash-exact,
+      // but the extra doubled-edge job costs what the saved rounds buy
+      // at local[32]: 1.36s vs 1.22s min-of-4). On a barrier-dominated
+      // real cluster the doubled form is the option to reach for; here
+      // the simple single-hop recursion stays, a documented fixed floor
+      // of the declarative-recursion feature, same class as the
+      // streaming micro-batch floor.
       s.sql("""
         WITH RECURSIVE walk(node, dist) AS (
           SELECT CAST(0 AS BIGINT), 0
