@@ -106,6 +106,88 @@ object TextOps {
       copy(child = newChild)
   }
 
+  /** One-pass word n-gram multiset stats — (n_grams, n_distinct) — the
+    * Gopher repetition filter's kernel. Bit-for-bit the
+    * `wordShinglesAll` → `size`/`size(array_distinct)` formulation (the
+    * shape the q80 oracle restates), without materializing the shingle
+    * string ARRAY column and running array_distinct's UTF8String
+    * machinery per document: one tokenizer pass, one StringBuilder per
+    * shingle, one HashSet — distinctness still decided on the real
+    * joined strings, so no hash-collision risk enters the counts. NULL
+    * for documents with fewer than n tokens (the array formulation
+    * yields an empty array there; callers filter). */
+  case class NGramStatsExpr(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1)
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType.isInstanceOf[StringType])
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_stats requires a string column, got ${child.dataType}")
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_grams",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_distinct",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    override def nullable: Boolean = true
+    override def prettyName: String = "ngram_stats"
+    override protected def nullSafeEval(input: Any): Any =
+      TextOps.ngramStats(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+        ${ev.value} = graft.functions.TextOps.ngramStats($c, $n);
+        if (${ev.value} == null) { ${ev.isNull} = true; }
+        """
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** (n_grams, n_distinct) over whitespace-token n-grams joined with a
+    * single space (exactly `concat_ws(" ", slice(tokens, i, n))`); null
+    * when the document has fewer than n tokens. */
+  def ngramStats(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val parts = SimHash31.splitTokens(s.toString)
+    // tokens(): whitespace split, empties removed — count and keep order.
+    var m = 0
+    var i = 0
+    while (i < parts.length) { if (parts(i).nonEmpty) m += 1; i += 1 }
+    if (m < n) return null
+    val toks = new Array[String](m)
+    var k = 0
+    i = 0
+    while (i < parts.length) {
+      if (parts(i).nonEmpty) { toks(k) = parts(i); k += 1 }
+      i += 1
+    }
+    val total = (m - n + 1).toLong
+    val seen = new java.util.HashSet[String](math.max(16, (total * 2).toInt))
+    val sb = new java.lang.StringBuilder
+    var p = 0
+    while (p <= m - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(p + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total, seen.size.toLong))
+  }
+
+  /** Column wrapper for [[NGramStatsExpr]]. */
+  def ngramStats(c: Column, n: Int): Column =
+    Bridge.toColumn(NGramStatsExpr(Bridge.toExpr(c), n))
+
   /** Code-point fold behind [[RollingHash31Expr]]. */
   def rollingHash31(s: UTF8String): Long = {
     val str = s.toString

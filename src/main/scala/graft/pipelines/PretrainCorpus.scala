@@ -43,19 +43,18 @@ object PretrainCorpus {
       if (cfg.scrubPii) normed0.withColumn("text", TextOps.scrubPii(col("text")))
       else normed0
     // quality gates, all per-row: length floor + duplicate-2-gram ceiling
-    // (the shared [[Corpus.repetitionPpm]] formula — same as q80's gate).
-    // `n_grams > 0` also drops sub-2-token documents that pass the length
-    // floor (a 500-char single token: URL, hash blob, unsegmented script) —
-    // deliberate: they carry no shingle signal for the near-dup stage and
-    // no usable training tokens, but it IS a third gate, stated here.
-    // The shingle array lands in its own projection first, so both counts
-    // reference the materialized attribute instead of re-shingling.
+    // (the shared [[Corpus.repetitionPpm]] formula — same as q80's gate,
+    // stats from the same one-pass [[TextOps.ngramStats]] kernel).
+    // The non-null-stats gate also drops sub-2-token documents that pass
+    // the length floor (a 500-char single token: URL, hash blob,
+    // unsegmented script) — deliberate: they carry no shingle signal for
+    // the near-dup stage and no usable training tokens, but it IS a
+    // third gate, stated here.
     val quality = normed
-      .withColumn("grams", TextOps.wordShinglesAll(col("text"), 2))
-      .withColumn("n_grams", size(col("grams")).cast("long"))
-      .withColumn("n_distinct", size(array_distinct(col("grams"))).cast("long"))
-      .filter(length(col("text")) >= cfg.minChars && col("n_grams") > 0)
-      .filter(Corpus.repetitionPpm(col("n_grams"), col("n_distinct")) <= cfg.maxRepPpm)
+      .withColumn("g", TextOps.ngramStats(col("text"), 2))
+      .filter(length(col("text")) >= cfg.minChars && col("g").isNotNull)
+      .filter(Corpus.repetitionPpm(col("g.n_grams"), col("g.n_distinct"))
+        <= cfg.maxRepPpm)
       .select(col("id"), col("text"))
     // exact dedup: smallest id per content fingerprint survives.
     // Materialized eagerly: two consumers read it (the near-dup signature

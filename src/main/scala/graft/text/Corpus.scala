@@ -174,6 +174,20 @@ object Corpus {
                       n: Int): DataFrame =
     graft.core.Parallelize.fanOut(docs, 0L)
       .select(col(idCol).as("id"),
+        TextOps.ngramStats(col(textCol), n).as("g"))
+      .filter(col("g").isNotNull)
+      .select(col("id"), col("g.n_grams").as("n_grams"),
+        col("g.n_distinct").as("n_distinct"))
+      .select(col("id"), col("n_grams"), col("n_distinct"),
+        repetitionPpm(col("n_grams"), col("n_distinct")).as("rep_ppm"))
+
+  /** The shingle-array formulation of [[ngramRepetition]]'s stats — the
+    * parity twin CorpusSpec checks the one-pass kernel against (it IS
+    * the shape the q80 oracle restates). */
+  private[graft] def ngramRepetitionArrays(docs: DataFrame, idCol: String,
+                                           textCol: String, n: Int): DataFrame =
+    graft.core.Parallelize.fanOut(docs, 0L)
+      .select(col(idCol).as("id"),
         TextOps.wordShinglesAll(col(textCol), n).as("grams"))
       .select(col("id"), size_(col("grams")).cast("long").as("n_grams"),
         size_(array_distinct(col("grams"))).cast("long").as("n_distinct"))
