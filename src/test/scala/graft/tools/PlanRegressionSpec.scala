@@ -275,11 +275,20 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
   }
 
-  test("q122: the two median windows share a single sort") {
+  test("q122: windows run over the weight histogram, not the fact sort") {
+    // Round 8: the crossing rule computes over the (group, value-cents)
+    // histogram — the fact table meets ONE hash-agg (exchange 1, full
+    // parallelism); the second exchange + the single shared sort serve
+    // the ~150-row histogram windows. A fact-table Sort would put the
+    // whole table through |groups| window reducers.
     val p = plan("q122_weighted_median")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2)
     assert("Sort \\[".r.findAllIn(p).size == 1,
-      "compatible window specs must reuse one sort")
+      "compatible window specs must reuse one sort (over the histogram)")
+    // The aggregate must sit BELOW the window machinery in execution
+    // order (above it in the printed tree): histogram first, then sort.
+    assert(p.indexOf("Window") < p.lastIndexOf("HashAggregate"),
+      "expected the histogram hash-agg under the window")
   }
 
   test("q123: vocab top-k uses the partial+final TopKPerKey operator") {
