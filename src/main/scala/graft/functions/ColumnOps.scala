@@ -96,8 +96,14 @@ object ColumnOps {
     * unchanged. The oracle SQL mirrors this as COALESCE(CAST(c AS VARCHAR),
     * chr(0)).
     */
-  def contentHash(cols: Column*): Column =
-    md5(concat_ws("~", cols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*))
+  def contentHash(cols: Column*): Column = md5(canonicalJoined(cols))
+
+  /** The NUL-canonicalized `~`-joined row string — THE canonical bytes
+    * behind [[contentHash]] and [[graft.quality.Checksums.rowHash48]].
+    * Shared so the full-md5 and 48-bit-prefix consumers can never desync:
+    * a canonicalization change lands in both or neither. */
+  def canonicalJoined(cols: Seq[Column]): Column =
+    concat_ws("~", cols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*)
 
   /** Stable 60-bit non-negative hash derived from md5 — deterministic across
     * engines and partitionings (unlike `hash`/`xxhash64` whose seeds are

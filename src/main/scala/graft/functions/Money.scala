@@ -19,11 +19,16 @@ import org.apache.spark.sql.functions._
   * the q99 lesson: 32/64-bit ceilings ARE reachable at the design target).
   * [[sumUnitsExact]] therefore aggregates in TWO stages:
   *
-  *  1. partial long sums per (group, input partition) — exact because a
-  *     split bounds partition rows (~4M at 128 MB) to ≥2000× below the
-  *     long ceiling even at 10⁹ units/row;
-  *  2. a decimal(38,0) combine of the per-partition partials — at most
-  *     #groups × #partitions tiny rows, so the decimal cost lands on
+  *  1. partial long sums per (group, input partition, ≤2²²-row chunk) —
+  *     the chunk key bounds every partial to 2²² rows REGARDLESS of how
+  *     the input is partitioned, so the proof does not lean on scan
+  *     splits: a skew-inflated shuffle-join partition or an AQE-coalesced
+  *     one is chunked the same way. 2²² rows × 10⁹ units/row ≈ 4.2·10¹⁵,
+  *     ~2000× below the long ceiling (a naive long sum would need a
+  *     partition above ~9.2·10⁹ such rows to wrap — silently, since
+  *     non-ANSI sum wraps without error);
+  *  2. a decimal(38,0) combine of the per-chunk partials — at most
+  *     #groups × #chunks tiny rows, so the decimal cost lands on
   *     thousands of rows, not billions.
   *
   * Same single shuffle as a plain groupBy (the partials ARE the map-side
@@ -41,22 +46,48 @@ object Money {
     * inputs — see object doc). */
   def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
 
-  /** Stage 1 alone: exact long partial sums per (`keys`, input partition)
-    * — for callers whose OWN re-aggregation (cube/rollup/grouping sets)
-    * is the decimal combine, so the partials feed it directly with no
-    * redundant middle exchange. Combine partial columns with
-    * `sum(col(n).cast("decimal(38,0)"))`. */
+  /** Rows per long partial: 2²² ≈ 4.2M. See the overflow bound in the
+    * object doc. */
+  private val ChunkShift = 22
+
+  /** Present an exact decimal/long unit total in major units with ONE
+    * float rounding: divide in decimal (exact — unit totals are whole
+    * multiples of the unit), THEN cast to double, matching the oracle's
+    * `CAST(SUM(decimal) AS DOUBLE)`. Casting to double first and dividing
+    * after rounds twice, which can differ in the last ulp once totals
+    * pass 2⁵³ — true at the 100 TB design target even though both
+    * formulations agree at test scale. */
+  def toMajor(unitTotal: Column, unitsPerMajor: Long): Column =
+    (unitTotal.cast("decimal(38,0)") / lit(unitsPerMajor)).cast("double")
+
+  /** Stage 1 alone: exact long partial sums per (`keys`, input partition,
+    * ≤2²²-row chunk) — for callers whose OWN re-aggregation (cube/rollup/
+    * grouping sets) is the decimal combine, so the partials feed it
+    * directly with no redundant middle exchange. Combine partial columns
+    * with `sum(col(n).cast("decimal(38,0)"))`.
+    *
+    * The chunk key makes the overflow bound partitioning-independent:
+    * `monotonically_increasing_id`'s low 33 bits are the per-partition
+    * row counter (Spark caps partitions below 2³³ rows), so
+    * `counter >> 22` splits ANY partition — scan split, shuffle-join
+    * output, AQE-coalesced, skewed — into consecutive ≤2²²-row chunks.
+    * Sums reassociate exactly over the finer grouping; the only cost is
+    * one extra long in the partial-agg key and one extra partial row per
+    * 4.2M input rows. */
   def partialUnits(df: DataFrame, keys: Seq[String],
                    units: Seq[(String, Column)],
                    countAs: Option[String] = None): DataFrame = {
     val partialAggs = units.map { case (n, c) => sum(c).as(n) } ++
       countAs.map(n => count(lit(1)).as(n))
-    df.groupBy((keys.map(col) :+ spark_partition_id().as("_pid")): _*)
+    val chunk = shiftright(
+      monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)),
+      ChunkShift).as("_chunk")
+    df.groupBy((keys.map(col) :+ spark_partition_id().as("_pid") :+ chunk): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)
   }
 
   /** Two-stage exact sum of long `units` expressions per `keys`: long
-    * partials per input partition, decimal(38,0) totals. Output columns:
+    * partials per input-partition chunk, decimal(38,0) totals. Output columns:
     * keys, one decimal(38,0) column per unit name, and an optional exact
     * row count. Callers scale/present the totals (e.g. `/ 100.0`). */
   def sumUnitsExact(df: DataFrame, keys: Seq[String],

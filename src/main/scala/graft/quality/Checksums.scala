@@ -28,8 +28,7 @@ object Checksums {
     * bit-for-bit `conv(substring(contentHash, 1, 12), 16, 10)` — the
     * portable formulation the DuckDB oracle keeps. */
   def rowHash48(cols: Seq[Column]): Column =
-    graft.functions.Md5Prefix.prefix48(
-      concat_ws("~", cols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*))
+    graft.functions.Md5Prefix.prefix48(ColumnOps.canonicalJoined(cols))
 
   /** (groupCols..., n_rows, checksum): the group's row count plus the
     * order-independent content checksum, emitted as a decimal STRING (the

@@ -41,9 +41,11 @@ object AdvancedQueries {
           Seq("l_returnflag", "l_linestatus"),
           Seq("sq" -> Money.cents(col("l_quantity"))), countAs = Some("pn"))
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg((sum(col("sq").cast("decimal(38,0)")).cast("double") / 100.0)
+        // coalesce: an empty fact relation still yields the global cube
+        // row, where the oracle's COUNT(*) is 0 but SUM(pn) would be NULL.
+        .agg(Money.toMajor(sum(col("sq").cast("decimal(38,0)")), 100)
             .as("sum_qty"),
-          sum(col("pn")).as("n"),
+          coalesce(sum(col("pn")), lit(0L)).as("n"),
           grouping_id(col("l_returnflag"), col("l_linestatus")).cast("int")
             .as("gid"))
     }),

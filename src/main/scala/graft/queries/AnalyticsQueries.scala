@@ -140,28 +140,19 @@ object AnalyticsQueries {
           FROM e)
         SELECT src, dst FROM ranked WHERE r <= 3""")
         .localCheckpoint(true).createOrReplaceTempView("g5_heavy")
-      // Cost shape (tools/Q97Probe, warm): edges 0.55s, walk 0.9s — the
-      // walk's cost is the UnionLoop's per-iteration job floor (6 tiny
-      // jobs over a ≤3·|nations|-edge graph), not the join strategy.
-      // Two rejected-by-measurement alternatives: a BROADCAST hint on
-      // the edge derivation (no better locally; wrong at warehouse scale
-      // where orders outgrows the broadcast threshold), and pointer-
-      // doubling the recursion ({2,2,1}-hop steps over a materialized
-      // doubled edge set, 3 productive rounds instead of 5 — hash-exact,
-      // but the extra doubled-edge job costs what the saved rounds buy
-      // at local[32]: 1.36s vs 1.22s min-of-4). On a barrier-dominated
-      // real cluster the doubled form is the option to reach for; here
-      // the simple single-hop recursion stays, a documented fixed floor
-      // of the declarative-recursion feature, same class as the
-      // streaming micro-batch floor.
-      s.sql("""
-        WITH RECURSIVE walk(node, dist) AS (
-          SELECT CAST(0 AS BIGINT), 0
-          UNION ALL
-          SELECT h.dst, w.dist + 1 FROM walk w
-          JOIN g5_heavy h ON h.src = w.node WHERE w.dist < 5)
-        SELECT CAST(node AS BIGINT) AS node, CAST(MIN(dist) AS INT) AS hops
-        FROM walk GROUP BY node""")
+      // The walk: operators.Reach — driver BFS under a size guard
+      // (this graph is structurally ≤ 3·|nations| edges at ANY data
+      // scale; only the derivation above grows with the fact table),
+      // with the Spark 4 WITH RECURSIVE walk as the distributed
+      // fallback for unbounded graphs. Measured (tools/Q97Probe, warm,
+      // sf0.1): every declarative-recursion variant — single-hop,
+      // frontier-seeded anchor, AQE-off/1-partition, pointer-doubled
+      // {2,2,1} — costs the same ~0.75s (the floor is per-statement
+      // recursion machinery, not round count); the bounded driver walk
+      // is 0.07s, and on a barrier-dominated real cluster the gap only
+      // widens. The two paths are parity-gated in AnalyticsSpec.
+      graft.operators.Reach.shortestHops(s, "g5_heavy", source = 0L,
+        maxHops = 5)
     }),
 
     // Explicit GROUPING SETS — the asymmetric subtotal shape rollup/cube
@@ -178,8 +169,8 @@ object AnalyticsQueries {
         .createOrReplaceTempView("g5_li_partial")
       s.sql("""
         SELECT l_returnflag, l_linestatus,
-          CAST(SUM(CAST(sq AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sum_qty,
-          SUM(pn) AS n,
+          CAST(SUM(CAST(sq AS DECIMAL(38,0))) / 100 AS DOUBLE) AS sum_qty,
+          COALESCE(SUM(pn), 0) AS n,
           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid
         FROM g5_li_partial
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
@@ -227,7 +218,7 @@ object AnalyticsQueries {
         countAs = Some("nd"))
       daily
         .groupBy(expr("ymd div 100").cast("int").as("ym"), col("l_returnflag"))
-        .agg((sum(col("sq")).cast("double") / 100.0).as("sum_qty"),
+        .agg(graft.functions.Money.toMajor(sum(col("sq")), 100).as("sum_qty"),
           sum(col("nd")).as("n"))
     }),
 
@@ -287,7 +278,7 @@ object AnalyticsQueries {
           Seq("metric"),
           Seq("sv" -> Money.cents(col("v"))), countAs = Some("n"))
         .select(col("metric"), col("n"),
-          (col("sv").cast("double") / 100.0).as("sum_v"))
+          Money.toMajor(col("sv"), 100).as("sum_v"))
     }),
 
     // LOCF imputation on the hourly spine: where q86 fills gaps with

@@ -47,9 +47,9 @@ object CoreQueries {
               (lit(100L) - Money.cents(col("l_discount"))))),
           countAs = Some("count_order"))
         .select(col("l_returnflag"), col("l_linestatus"),
-          (col("sum_qty").cast("double") / 100.0).as("sum_qty"),
-          (col("sum_base_price").cast("double") / 100.0).as("sum_base_price"),
-          (col("sum_disc_price").cast("double") / 10000.0).as("sum_disc_price"),
+          Money.toMajor(col("sum_qty"), 100).as("sum_qty"),
+          Money.toMajor(col("sum_base_price"), 100).as("sum_base_price"),
+          Money.toMajor(col("sum_disc_price"), 10000).as("sum_disc_price"),
           col("count_order"))
     }),
 
@@ -162,7 +162,7 @@ object CoreQueries {
       Money.sumUnitsExact(t(s, dir, "lineitem"), Seq("l_suppkey"),
           Seq("tq" -> Money.cents(col("l_quantity"))))
         .select(col("l_suppkey"),
-          (col("tq").cast("double") / 100.0).as("total_qty"))
+          Money.toMajor(col("tq"), 100).as("total_qty"))
         .filter(col("total_qty") > 24000.0)
     }),
 
@@ -242,7 +242,7 @@ object CoreQueries {
       salted.groupBy(col("l_returnflag"), col("_salt"))
         .agg(sum(Money.cents(col("l_quantity"))).as("pq"), count(lit(1)).as("pn"))
         .groupBy(col("l_returnflag"))
-        .agg((sum(col("pq").cast("decimal(38,0)")).cast("double") / 100.0)
+        .agg(Money.toMajor(sum(col("pq").cast("decimal(38,0)")), 100)
             .as("sum_qty"),
           sum(col("pn")).as("n"))
     }),
@@ -315,9 +315,9 @@ object CoreQueries {
       li.join(orders, li("l_orderkey") === orders("o_orderkey"))
         .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderpriority"))
-        .agg((sum(Money.cents(col("l_extendedprice")) *
-            (lit(100L) - Money.cents(col("l_discount"))))
-          .cast("double") / 10000.0).as("revenue"))
+        .agg(Money.toMajor(sum(Money.cents(col("l_extendedprice")) *
+            (lit(100L) - Money.cents(col("l_discount")))), 10000)
+          .as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     }),
@@ -347,7 +347,7 @@ object CoreQueries {
           Seq("rev" -> (Money.cents(col("l_extendedprice")) *
             (lit(100L) - Money.cents(col("l_discount"))))))
         .select(col("n_name"),
-          (col("rev").cast("double") / 10000.0).as("revenue"))
+          Money.toMajor(col("rev"), 10000).as("revenue"))
     }),
 
     // ROLLUP subtotals (beyond the reference's flat GROUP BY): revenue per
@@ -372,9 +372,12 @@ object CoreQueries {
           Seq("rev" -> graft.functions.Money.cents(col("o_totalprice"))),
           countAs = Some("pn"))
         .rollup(col("r_name"), col("n_name"))
-        .agg((sum(col("rev").cast("decimal(38,0)")).cast("double") / 100.0)
+        // coalesce: an empty fact relation still yields the () subtotal
+        // row, where the oracle's COUNT(*) is 0 but SUM(pn) would be NULL.
+        .agg(graft.functions.Money
+            .toMajor(sum(col("rev").cast("decimal(38,0)")), 100)
             .as("revenue"),
-          sum(col("pn")).as("n_orders"),
+          coalesce(sum(col("pn")), lit(0L)).as("n_orders"),
           grouping_id(col("r_name"), col("n_name")).cast("int").as("gid"))
     }),
 

@@ -253,10 +253,16 @@ object TrainingQueries {
        | (acc, x) -> (acc * 31 + x) % 2147483647)""".stripMargin
 
   /** DuckDB: sequential-left-fold dot product of DOUBLE[] a·b (bit-identical
-    * to Spark's aggregate(zip_with(...))). */
+    * to Spark's aggregate(zip_with(...))). Expressed as the native
+    * `list_inner_product` since round 9: it accumulates in the same
+    * left-to-right order, verified BIT-IDENTICAL (raw doubles, not just
+    * at round-6) against the explicit list_reduce fold over all 2M sf0.1
+    * pairs and a 40M-dot rotated-10× sample — and it is what makes the
+    * q39/q134 all-pairs oracles tractable at 20k vectors (the lambda
+    * fold interprets ~38G lambda steps there; the native kernel
+    * vectorizes). */
   private def dotSql(a: String, b: String): String =
-    s"""list_reduce([0.0]::DOUBLE[] || list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]),
-       | (acc, x) -> acc + x)""".stripMargin
+    s"list_inner_product($a, $b)"
 
   val oracles: Map[String, String] = Map(
     "q20_exact_dedup" ->

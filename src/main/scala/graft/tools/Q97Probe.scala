@@ -49,8 +49,13 @@ object Q97Probe {
           SELECT src, dst FROM ranked WHERE r <= 3""").localCheckpoint(true)
       }
       edges.createOrReplaceTempView("g5_heavy")
-      time("walk(recursive)") {
-        s.sql("""
+
+      def noop(sql: String): Unit =
+        s.sql(sql).write.format("noop").mode("overwrite").save()
+
+      // A: the shipped single-hop recursion (6 UnionLoop rounds).
+      time("walk A: single-hop") {
+        noop("""
           WITH RECURSIVE walk(node, dist) AS (
             SELECT CAST(0 AS BIGINT), 0
             UNION ALL
@@ -58,6 +63,85 @@ object Q97Probe {
             JOIN g5_heavy h ON h.src = w.node WHERE w.dist < 5)
           SELECT CAST(node AS BIGINT) AS node, CAST(MIN(dist) AS INT) AS hops
           FROM walk GROUP BY node""")
+      }
+
+      // B: anchor seeded with the 1-hop frontier (5 rounds).
+      time("walk B: seeded anchor") {
+        noop("""
+          WITH RECURSIVE walk(node, dist) AS (
+            SELECT CAST(0 AS BIGINT) AS node, 0 AS dist
+            UNION ALL
+            SELECT dst, 1 FROM g5_heavy WHERE src = 0
+            UNION ALL
+            SELECT h.dst, w.dist + 1 FROM walk w
+            JOIN g5_heavy h ON h.src = w.node
+            WHERE w.dist >= 1 AND w.dist < 5)
+          SELECT CAST(node AS BIGINT) AS node, CAST(MIN(dist) AS INT) AS hops
+          FROM walk GROUP BY node""")
+      }
+
+      // C: B with AQE off + 1 shuffle partition for the walk only — the
+      // graph is ≤3·|nations| rows, so per-stage re-planning and 32-way
+      // task fan-out are pure overhead.
+      time("walk C: seeded, AQE off, 1 part") {
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        s.conf.set("spark.sql.shuffle.partitions", "1")
+        try noop("""
+          WITH RECURSIVE walk(node, dist) AS (
+            SELECT CAST(0 AS BIGINT) AS node, 0 AS dist
+            UNION ALL
+            SELECT dst, 1 FROM g5_heavy WHERE src = 0
+            UNION ALL
+            SELECT h.dst, w.dist + 1 FROM walk w
+            JOIN g5_heavy h ON h.src = w.node
+            WHERE w.dist >= 1 AND w.dist < 5)
+          SELECT CAST(node AS BIGINT) AS node, CAST(MIN(dist) AS INT) AS hops
+          FROM walk GROUP BY node""")
+        finally {
+          s.conf.set("spark.sql.adaptive.enabled", "true")
+          s.conf.set("spark.sql.shuffle.partitions", "32")
+        }
+      }
+
+      // D: pointer-doubling {2,2,1}: doubled edge set (1- and 2-hop
+      // steps), 3 productive rounds.
+      time("walk D: pointer-doubling") {
+        val doubled = s.sql("""
+          SELECT src, dst, 1 AS w FROM g5_heavy
+          UNION ALL
+          SELECT a.src, b.dst, 2 AS w
+          FROM g5_heavy a JOIN g5_heavy b ON a.dst = b.src""")
+          .localCheckpoint(true)
+        doubled.createOrReplaceTempView("g5_doubled")
+        noop("""
+          WITH RECURSIVE walk(node, dist) AS (
+            SELECT CAST(0 AS BIGINT), 0
+            UNION ALL
+            SELECT h.dst, w.dist + h.w FROM walk w
+            JOIN g5_doubled h ON h.src = w.node WHERE w.dist < 5
+              AND w.dist + h.w <= 5)
+          SELECT CAST(node AS BIGINT) AS node, CAST(MIN(dist) AS INT) AS hops
+          FROM walk GROUP BY node""")
+        doubled.unpersist(false)
+      }
+
+      // E: driver BFS over the collected ≤3·|nations|-row edge list —
+      // the bounded-small-graph floor (what any engine would do).
+      time("walk E: driver BFS") {
+        val es = edges.collect().map(r =>
+          (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+        val adj = es.groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
+        val dist = scala.collection.mutable.Map(0L -> 0)
+        var frontier = Seq(0L)
+        var d = 0
+        while (frontier.nonEmpty && d < 5) {
+          d += 1
+          frontier = frontier.flatMap(n => adj.getOrElse(n, Array.empty[Long]))
+            .distinct.filter(n => !dist.contains(n) )
+          frontier.foreach(n => dist(n) = d)
+        }
+        import s.implicits._
+        dist.toSeq.toDF("node", "hops")
           .write.format("noop").mode("overwrite").save()
       }
       edges.unpersist(false)

@@ -100,4 +100,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(top.getAs[String]("term") == "rare")
     assert(top.getAs[Long]("score_micro") > 0L)
   }
+
+  test("Reach: driver BFS and recursive-CTE walk agree (parity gate)") {
+    // Diamond with a shortcut, a far chain, and an unreachable island:
+    //   0→1→3→4→5→6→7 (chain), 0→2→3 (diamond), 1→4 (shortcut), 8→9.
+    Seq((0, 1), (0, 2), (1, 3), (2, 3), (1, 4), (3, 4), (4, 5), (5, 6),
+      (6, 7), (8, 9))
+      .toDF("src", "dst").createOrReplaceTempView("reach_edges")
+    val bfs = graft.operators.Reach
+      .shortestHops(spark, "reach_edges", source = 0L, maxHops = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val rec = graft.operators.Reach
+      .shortestHops(spark, "reach_edges", source = 0L, maxHops = 5,
+        driverEdgeLimit = 0) // force the distributed WITH RECURSIVE path
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(rec == bfs)
+    // Min-dist semantics: 4 via the 1→4 shortcut is 2 hops, not 3; the
+    // 5-hop bound admits 6 (5 hops) but not 7; the island stays out.
+    assert(bfs == Seq((0L, 0), (1L, 1), (2L, 1), (3L, 2), (4L, 2),
+      (5L, 3), (6L, 4), (7L, 5)))
+  }
 }
