@@ -347,6 +347,70 @@ class PlanRegressionSpec extends AnyFunSuite {
       "partial+final aggregation expected")
   }
 
+  // ---- round-9 pins: the round-8 headline claims, asserted ----
+
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    p +: (p.children ++ p.subqueries).flatMap(allNodes)
+
+  test("signature derivation is shuffle-free: MinHash/SimHash kernels sit on the scan") {
+    // The round-8 headline — signatures derive at scan parallelism with
+    // ZERO data movement (only fixed-width (id, signature) rows enter the
+    // band joins) — pinned on the two shared derivation stages every
+    // dedup/contamination query routes through (q24/q26/q40/q75/q78/q85/
+    // q118 via minhashSignatures / simhashSignatures; the composites
+    // checkpoint the result, so the kernel is only visible in THESE
+    // plans). The single permitted exchange is Parallelize.fanOut's
+    // round-robin (the single-split scan floor) — never a keyed one.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val stages = Seq(
+      "MinHashExpr" ->
+        graft.dedup.Dedup.minhashSignatures(docs, "doc_id", "text", 16, 3),
+      "SimHash31Expr" ->
+        graft.dedup.Dedup.simhashSignatures(docs, "doc_id", "text"))
+    for ((kernel, df) <- stages) {
+      val nodes = allNodes(df.queryExecution.executedPlan)
+      assert(nodes.exists(_.expressions.exists(
+          _.find(_.getClass.getSimpleName == kernel).isDefined)),
+        s"$kernel kernel missing from the derivation plan")
+      val shuffles = nodes.collect { case e: ShuffleExchangeExec => e }
+      assert(!shuffles.exists(_.outputPartitioning.isInstanceOf[HashPartitioning]),
+        s"$kernel derivation must not shuffle the corpus on a key")
+      assert(shuffles.size <= 1,
+        s"$kernel derivation allows only the fanOut round-robin exchange")
+    }
+  }
+
+  test("q01/q57: the aggregate over the fact scan is long partials, never decimal") {
+    // functions.Money's two-stage shape: the hot loop over lineitem sums
+    // LONGS (decimal-typed aggregation costs ~4x the scan — tools/
+    // Q01Probe); decimal appears only in the combine over the tiny
+    // partial set. A refactor that reintroduces sum(decimal) over the
+    // scan fails here.
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.types.DecimalType
+    for (q <- Seq("q01_pricing_summary", "q57_cube")) {
+      val nodes = allNodes(
+        SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan)
+      val aggs = nodes.collect { case h: HashAggregateExec => h }
+      // the scan-side aggregates = those with no aggregate below them
+      val bottom = aggs.filter(h =>
+        allNodes(h).count(_.isInstanceOf[HashAggregateExec]) == 1)
+      assert(bottom.nonEmpty, s"$q: no scan-side aggregate found")
+      bottom.foreach { h =>
+        assert(!h.aggregateExpressions.exists(
+            _.aggregateFunction.dataType.isInstanceOf[DecimalType]),
+          s"$q: decimal-typed aggregation over the fact scan")
+      }
+      // and the decimal combine DOES exist above (exactness is decimal)
+      assert(aggs.exists(_.aggregateExpressions.exists(
+          _.aggregateFunction.dataType.isInstanceOf[DecimalType])),
+        s"$q: the decimal(38,0) combine stage is missing")
+    }
+  }
+
   test("q102: custom top-k plans as partial+final exec, exactly one exchange") {
     val p = plan("q102_topk_per_group")
     assert("TopKPerKey".r.findAllIn(p).size >= 2,
