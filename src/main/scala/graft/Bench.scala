@@ -105,8 +105,27 @@ object Bench {
       val commit = scala.util.Try(
         sys.process.Process(Seq("git", "rev-parse", "--short", "HEAD")).!!.trim
       ).getOrElse("unknown")
+      // Machine-state provenance (round 9): the round-6→8 drift episode —
+      // an apparent 2× "regression" that was host state, not code — cost a
+      // full re-baseline to diagnose. loadavg, cpu model, and the code-
+      // cache reserve make future drift diagnosable from the artifact
+      // alone (compare load/HW first, plans second).
+      val loadavg = scala.util.Try(
+        scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+          .split(" ").take(3).mkString(" ")).getOrElse("unknown")
+      val cpu = scala.util.Try {
+        val src = scala.io.Source.fromFile("/proc/cpuinfo")
+        try src.getLines().find(_.startsWith("model name"))
+          .map(_.split(":").last.trim).getOrElse("unknown")
+        finally src.close()
+      }.getOrElse("unknown")
+      val codeCache = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.toArray
+        .map(_.toString).find(_.contains("ReservedCodeCacheSize"))
+        .getOrElse("default")
+      val env = s""""loadavg":"$loadavg","cpu":"$cpu","cores":${Runtime.getRuntime.availableProcessors},"code_cache":"$codeCache""""
       val w = new java.io.PrintWriter("BENCH_detail.json")
-      w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir","commit":"$commit","reps":$reps}""")
+      w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir","commit":"$commit","reps":$reps,$env}""")
       w.close()
     } catch { case _: Throwable => () }
 
