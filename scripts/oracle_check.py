@@ -19,6 +19,42 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+# The q39/q41/q130/q134 oracles express dot products as DuckDB's native
+# list_inner_product, which was verified BIT-IDENTICAL to Spark's
+# aggregate(zip_with(...)) sequential left fold under THIS version. That
+# identity is empirical, not contractual: a DuckDB upgrade that reorders
+# accumulation (pairwise/FMA) would shift the oracle by ulps and silently
+# break hash-exactness. dot_sanity() below re-proves the identity against
+# an explicit list_reduce fold on every run, so a drift is caught here —
+# not absorbed into the oracle.
+DUCKDB_PINNED = "1.0.0"
+
+
+def dot_sanity(con, sf_dir: str) -> None:
+    ver = duckdb.__version__
+    if ver != DUCKDB_PINNED:
+        print(f"WARN duckdb {ver} != pinned {DUCKDB_PINNED} — "
+              f"re-verifying list_inner_product order-identity")
+    p = f"{sf_dir}/embeddings.parquet"
+    if not os.path.exists(p):
+        return
+    bad = con.sql(f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM '{p}' LIMIT 64)
+        SELECT COUNT(*) FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_inner_product(a.v, b.v) <>
+              list_reduce([0.0]::DOUBLE[] ||
+                list_transform(range(1, len(a.v) + 1),
+                               i -> a.v[i] * b.v[i]),
+                (acc, x) -> acc + x)
+    """).fetchone()[0]
+    if bad:
+        raise SystemExit(
+            f"dot_sanity: list_inner_product diverges from the sequential "
+            f"fold on {bad} pairs under duckdb {ver} — the q39/q41/q130/"
+            f"q134 oracles are no longer bit-identical; re-pin or revert "
+            f"to the fold formulation")
+
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -32,6 +68,7 @@ def main(sf_dir: str, out_dir: str, res_json: str | None = None) -> int:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    dot_sanity(con, sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     # per-query outcome in the driver's CORRECTNESS_r{N} format
@@ -138,7 +175,8 @@ def time_oracle(sf_dir: str, out_dir: str, out_json: str, reps: int = 2) -> None
         if best is not None:
             times[name] = round(best, 3)
             print(f"TIME {name} {best:.3f}s")
-    doc = {"engine": "duckdb", "threads": os.cpu_count(), "reps": reps,
+    doc = {"engine": "duckdb", "version": duckdb.__version__,
+           "threads": os.cpu_count(), "reps": reps,
            "sf": sf_dir, "total_sec": round(sum(times.values()), 1),
            "queries": times}
     with open(out_json, "w") as f:

@@ -110,9 +110,15 @@ object Bench {
       // full re-baseline to diagnose. loadavg, cpu model, and the code-
       // cache reserve make future drift diagnosable from the artifact
       // alone (compare load/HW first, plans second).
-      val loadavg = scala.util.Try(
-        scala.io.Source.fromFile("/proc/loadavg").mkString.trim
-          .split(" ").take(3).mkString(" ")).getOrElse("unknown")
+      // Free-text values (cpu model, JVM flags) go through jsonStr so a
+      // quote or backslash in them can't corrupt the artifact.
+      def jsonStr(v: String): String =
+        "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      val loadavg = scala.util.Try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.trim.split(" ").take(3).mkString(" ")
+        finally src.close()
+      }.getOrElse("unknown")
       val cpu = scala.util.Try {
         val src = scala.io.Source.fromFile("/proc/cpuinfo")
         try src.getLines().find(_.startsWith("model name"))
@@ -123,7 +129,7 @@ object Bench {
         .getRuntimeMXBean.getInputArguments.toArray
         .map(_.toString).find(_.contains("ReservedCodeCacheSize"))
         .getOrElse("default")
-      val env = s""""loadavg":"$loadavg","cpu":"$cpu","cores":${Runtime.getRuntime.availableProcessors},"code_cache":"$codeCache""""
+      val env = s""""loadavg":${jsonStr(loadavg)},"cpu":${jsonStr(cpu)},"cores":${Runtime.getRuntime.availableProcessors},"code_cache":${jsonStr(codeCache)}"""
       val w = new java.io.PrintWriter("BENCH_detail.json")
       w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir","commit":"$commit","reps":$reps,$env}""")
       w.close()

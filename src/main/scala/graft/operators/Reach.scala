@@ -44,12 +44,15 @@ object Reach {
                    maxHops: Int,
                    driverEdgeLimit: Int = DefaultDriverEdgeLimit): DataFrame = {
     val edges = s.table(edgesView)
-    // limit(n+1) bounds what the probe collect can pull even when the
-    // guard loses: one row past the limit proves "too big" without
-    // materializing the full list on the driver.
-    val probe = edges.limit(driverEdgeLimit + 1).collect()
-    if (probe.length <= driverEdgeLimit) {
-      val adj = probe
+    // Probe with a COUNT over limit(n+1): the count aggregates on the
+    // executors, so deciding "too big" ships one long to the driver — not
+    // driverEdgeLimit+1 rows — and one row past the limit proves "too big"
+    // without counting the full list. Only a winning guard then collects
+    // (a second tiny job; the view is already materialized, so both jobs
+    // read cached/local data).
+    val probeCount = edges.limit(driverEdgeLimit + 1).count()
+    if (probeCount <= driverEdgeLimit) {
+      val adj = edges.collect()
         .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
         .groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
       val dist = scala.collection.mutable.LinkedHashMap(source -> 0)
@@ -69,11 +72,19 @@ object Reach {
     } else {
       // Distributed fallback: bounded-frontier declarative recursion —
       // the same semantics q44 expresses with min-label propagation.
+      // The DISTINCT inside the recursive step is load-bearing: without
+      // it the CTE enumerates every WALK of length ≤ maxHops, and on the
+      // dense cyclic graphs that actually exceed the driver guard the
+      // intermediate row count grows like degree^maxHops before the MIN
+      // ever runs. Deduplicating each level caps level d at ≤ |nodes|
+      // rows, so the whole recursion materializes ≤ maxHops·|nodes| rows
+      // (a node can still reappear at several depths — no cross-level
+      // visited set — which the outer MIN resolves exactly).
       s.sql(s"""
         WITH RECURSIVE walk(node, dist) AS (
           SELECT CAST($source AS BIGINT), 0
           UNION ALL
-          SELECT h.dst, w.dist + 1 FROM walk w
+          SELECT DISTINCT h.dst, w.dist + 1 FROM walk w
           JOIN $edgesView h ON h.src = w.node WHERE w.dist < $maxHops)
         SELECT CAST(node AS BIGINT) AS node, CAST(MIN(dist) AS INT) AS hops
         FROM walk GROUP BY node""")

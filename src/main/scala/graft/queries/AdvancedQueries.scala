@@ -37,17 +37,34 @@ object AdvancedQueries {
     // totals, same gid semantics.
     "q57_cube" -> ((s, dir) => {
       import graft.functions.Money
-      Money.partialUnits(t(s, dir, "lineitem"),
+      val p = Money.partialUnits(t(s, dir, "lineitem"),
           Seq("l_returnflag", "l_linestatus"),
           Seq("sq" -> Money.cents(col("l_quantity"))), countAs = Some("pn"))
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        // coalesce: an empty fact relation still yields the global cube
-        // row, where the oracle's COUNT(*) is 0 but SUM(pn) would be NULL.
+      val cubed = p.cube(col("l_returnflag"), col("l_linestatus"))
         .agg(Money.toMajor(sum(col("sq").cast("decimal(38,0)")), 100)
             .as("sum_qty"),
-          coalesce(sum(col("pn")), lit(0L)).as("n"),
+          sum(col("pn")).as("n"),
           grouping_id(col("l_returnflag"), col("l_linestatus")).cast("int")
             .as("gid"))
+      // SQL-standard empty-relation semantics: Spark's cube over an EMPTY
+      // input emits ZERO rows, while the standard (and the DuckDB oracle)
+      // emits the () grouping-set row with COUNT 0 / NULL sums. The
+      // correction branch is a global aggregate — which always produces
+      // exactly one row — kept ONLY when its count is 0, i.e. exactly
+      // when the input was empty (any real input makes n ≥ 1 and filters
+      // it out; the coalesce is live here: sum over the empty partials
+      // relation is NULL). Both branches re-aggregate the same partials
+      // DataFrame, so the fact scan + partial agg run once (ReusedExchange
+      // — pinned in PlanRegressionSpec).
+      val globalIfEmpty = p.agg(
+          Money.toMajor(sum(col("sq").cast("decimal(38,0)")), 100)
+            .as("sum_qty"),
+          coalesce(sum(col("pn")), lit(0L)).as("n"))
+        .where(col("n") === 0)
+        .select(lit(null).cast("string").as("l_returnflag"),
+          lit(null).cast("string").as("l_linestatus"),
+          col("sum_qty"), col("n"), lit(3).cast("int").as("gid"))
+      cubed.unionByName(globalIfEmpty)
     }),
 
     // Correlated scalar subquery + EXISTS + NOT EXISTS — Catalyst

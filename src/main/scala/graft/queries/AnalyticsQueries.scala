@@ -167,13 +167,25 @@ object AnalyticsQueries {
           Seq("sq" -> graft.functions.Money.cents(col("l_quantity"))),
           countAs = Some("pn"))
         .createOrReplaceTempView("g5_li_partial")
+      // The UNION ALL arm restores SQL-standard empty-relation semantics
+      // (see q57_cube): Spark's GROUPING SETS over an empty input emits
+      // zero rows where the standard emits the () row with COUNT 0. A
+      // global aggregate always produces one row; HAVING n = 0 keeps it
+      // exactly when the input was empty. Both arms read the same partial
+      // view, so the fact pass is shared (ReusedExchange).
       s.sql("""
         SELECT l_returnflag, l_linestatus,
           CAST(SUM(CAST(sq AS DECIMAL(38,0))) / 100 AS DOUBLE) AS sum_qty,
-          COALESCE(SUM(pn), 0) AS n,
+          SUM(pn) AS n,
           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid
         FROM g5_li_partial
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        UNION ALL
+        SELECT CAST(NULL AS STRING), CAST(NULL AS STRING),
+          CAST(SUM(CAST(sq AS DECIMAL(38,0))) / 100 AS DOUBLE),
+          COALESCE(SUM(pn), 0), 3
+        FROM g5_li_partial
+        HAVING COALESCE(SUM(pn), 0) = 0""")
     }),
 
     // Percent rank as exact integer ppm over a TOTAL order — top 5% orders

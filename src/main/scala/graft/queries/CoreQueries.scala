@@ -343,9 +343,16 @@ object CoreQueries {
         .filter(cust("c_nationkey") === supp("s_nationkey"))
         .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
         .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      // chunkBy: the partials' input is a sort-merge-join OUTPUT, whose
+      // row order a fetch-failure retry may replay differently — the
+      // content-derived chunk keeps re-chunking deterministic (see
+      // Money.partialUnits retry-determinism doc). (l_orderkey,
+      // l_linenumber) is the fact row's unique key, so buckets stay
+      // uniform even under order-key skew.
       Money.sumUnitsExact(joined, Seq("n_name"),
           Seq("rev" -> (Money.cents(col("l_extendedprice")) *
-            (lit(100L) - Money.cents(col("l_discount"))))))
+            (lit(100L) - Money.cents(col("l_discount"))))),
+          chunkBy = Some(li("l_orderkey") * 8 + li("l_linenumber")))
         .select(col("n_name"),
           Money.toMajor(col("rev"), 10000).as("revenue"))
     }),
@@ -368,17 +375,31 @@ object CoreQueries {
         .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
         .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
         .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
-      graft.functions.Money.partialUnits(joined, Seq("r_name", "n_name"),
+      val p = graft.functions.Money.partialUnits(joined,
+          Seq("r_name", "n_name"),
           Seq("rev" -> graft.functions.Money.cents(col("o_totalprice"))),
           countAs = Some("pn"))
-        .rollup(col("r_name"), col("n_name"))
-        // coalesce: an empty fact relation still yields the () subtotal
-        // row, where the oracle's COUNT(*) is 0 but SUM(pn) would be NULL.
+      val rolled = p.rollup(col("r_name"), col("n_name"))
         .agg(graft.functions.Money
             .toMajor(sum(col("rev").cast("decimal(38,0)")), 100)
             .as("revenue"),
-          coalesce(sum(col("pn")), lit(0L)).as("n_orders"),
+          sum(col("pn")).as("n_orders"),
           grouping_id(col("r_name"), col("n_name")).cast("int").as("gid"))
+      // SQL-standard empty-relation semantics (see q57_cube): Spark's
+      // rollup over an empty input emits zero rows where the standard
+      // emits the () subtotal row with COUNT 0. The global-agg branch
+      // always yields one row and survives its own filter only when the
+      // input was empty; same-partials reuse keeps one fact pass.
+      val globalIfEmpty = p.agg(
+          graft.functions.Money
+            .toMajor(sum(col("rev").cast("decimal(38,0)")), 100)
+            .as("revenue"),
+          coalesce(sum(col("pn")), lit(0L)).as("n_orders"))
+        .where(col("n_orders") === 0)
+        .select(lit(null).cast("string").as("r_name"),
+          lit(null).cast("string").as("n_name"),
+          col("revenue"), col("n_orders"), lit(3).cast("int").as("gid"))
+      rolled.unionByName(globalIfEmpty)
     }),
 
     // Window-frame family the reference never exposes (SURVEY §2.5): lag,

@@ -260,7 +260,13 @@ object TrainingQueries {
     * pairs and a 40M-dot rotated-10× sample — and it is what makes the
     * q39/q134 all-pairs oracles tractable at 20k vectors (the lambda
     * fold interprets ~38G lambda steps there; the native kernel
-    * vectorizes). */
+    * vectorizes). The identity is EMPIRICAL, pinned to duckdb 1.0.0
+    * (`DUCKDB_PINNED` in scripts/oracle_check.py): a DuckDB upgrade that
+    * vectorizes/reorders accumulation (pairwise, FMA) would shift the
+    * oracle by ulps, so every oracle run re-proves
+    * `list_inner_product == sequential fold` on a 64-vector sample
+    * (oracle_check.dot_sanity) and aborts loudly on drift instead of
+    * absorbing it. */
   private def dotSql(a: String, b: String): String =
     s"list_inner_product($a, $b)"
 

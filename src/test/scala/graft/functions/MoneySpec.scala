@@ -35,6 +35,29 @@ class MoneySpec extends SparkSpec {
     assert(got == Seq(7L, 29L, 10499991L, 0L, 100L))
   }
 
+  test("chunkBy (deterministic hash chunking) totals match the positional path") {
+    // Shuffle-fed callers chunk by content hash instead of the row-order-
+    // sensitive monotonically_increasing_id (retry determinism — see
+    // partialUnits doc). Totals must be identical either way: sums
+    // reassociate exactly over any finer grouping.
+    val rows = (1 to 20000).map { i =>
+      (if (i % 3 == 0) "a" else "b", i.toLong, (i % 997) + (i % 100) / 100.0)
+    }
+    val df = rows.toDF("k", "id", "v").repartition(13)
+    def run(chunkBy: Option[org.apache.spark.sql.Column]) =
+      Money.sumUnitsExact(df, Seq("k"),
+          Seq("sv" -> Money.cents(col("v"))), countAs = Some("n"),
+          chunkBy = chunkBy)
+        .select(col("k"), col("sv").cast("string").as("sv"), col("n"))
+    val a = run(None)
+    val b = run(Some(col("id")))
+    assert(a.exceptAll(b).count() == 0L && b.exceptAll(a).count() == 0L)
+    // and the hash chunk genuinely fans out the partials
+    val nPartials = Money.partialUnits(df, Seq("k"),
+      Seq("sv" -> Money.cents(col("v"))), chunkBy = Some(col("id"))).count()
+    assert(nPartials > 26, s"hash chunking should split partials, got $nPartials")
+  }
+
   test("decimal combine is exact past the long ceiling (the 100 TB claim)") {
     // 24 rows of ~9.2e17 units spread over 8 partitions: every
     // per-partition partial stays under 2^63 (≤3 rows × 9.2e17 ≈ 2.8e18),

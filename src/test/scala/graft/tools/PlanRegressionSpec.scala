@@ -74,16 +74,27 @@ class PlanRegressionSpec extends AnyFunSuite {
       "map-side partial aggregation missing")
   }
 
-  test("q57: CUBE expands over exact money partials, two exchanges") {
+  test("q57: CUBE expands over exact money partials, one fact pass") {
     // Stage 1: long-cents partials per (flag, status, partition) — the
     // fact-table exchange carries groups×partitions tiny rows. Stage 2:
     // the cube's Expand + hash-agg (the decimal combine) over partials.
+    // The empty-relation correction branch (SQL-standard () row) must
+    // REUSE the fact exchange, not rescan: exactly one FileScan, and a
+    // ReusedExchange feeding the global-agg arm.
     val p = plan("q57_cube")
     assert(p.contains("Expand"), "grouping sets should expand, not rescan")
-    assert("Exchange".r.findAllIn(p).size == 2)
+    assert("FileScan".r.findAllIn(p).size == 1,
+      "correction branch must not add a second fact scan")
+    assert(p.contains("ReusedExchange"),
+      "correction branch should read the reused partials exchange")
+    // fact exchange + cube exchange + correction SinglePartition exchange
+    // + the ReusedExchange marker, which prints its referenced exchange
+    // on the same line ("ReusedExchange [...], Exchange hashpartitioning")
+    // and so matches twice
+    assert("Exchange".r.findAllIn(p).size == 5)
     // The Expand must sit ABOVE the fact exchange (tree prints top-down):
     // expanding before the partial agg would 4x the fact rows.
-    assert(p.indexOf("Expand") < p.lastIndexOf("Exchange"),
+    assert(p.indexOf("Expand") < p.indexOf("ReusedExchange"),
       "Expand should run over partials, not the fact scan")
   }
 
