@@ -58,21 +58,27 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // JVM/codegen warmup on the smallest sf, using the FIRST query that
-    // will actually run: with an arbitrary map-head query the first timed
-    // query absorbed suite-wide classloading/JIT (observed as +2-4s on
-    // whichever query sorts first, both in the driver's full run and in
-    // SPARK_GRAFT_ONLY profiling subsets).
-    selected.headOption.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    }
-    quiesce(gc = true)
-
     // min-of-N: a transient CPU-contention spike during one execution (GC,
     // another process on the box) otherwise lands as that query's "cost".
-    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
+    // Default 3 (was 2 through round 9): each query's generated code is
+    // C1/interpreted on its first executions and Spark's codegen classes
+    // reach C2 steady state only after a few runs — with min-of-2 the
+    // round-9/10 artifacts showed queries early in the lexical run order
+    // 1.5-2.0x their isolated min-of-4 times (q111 1.68s in-suite vs
+    // 0.85s isolated, q01 0.63 vs 0.38, q100 0.67 vs 0.43) while
+    // late-suite queries matched (q57 1.04x, q98 1.10x). The DuckDB
+    // baseline's min-of-2 has no such ramp (no JIT), so min-of-2 was
+    // comparing Spark's warmup against DuckDB's steady state.
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
     val results = selected.map { case (name, fn) =>
+      // Per-query warmup at the smallest sf, off the clock: compiles THIS
+      // query's codegen + classloads its operator stack, so rep 1 is not
+      // a cold-JIT measurement. (Through round 9 only the first selected
+      // query was warmed, which left every early-lexical query absorbing
+      // its own classload/JIT — the recurring "qNNN relapse" pattern.)
+      try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      quiesce(gc = false)
       val times = (1 to reps).map { i =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
