@@ -428,14 +428,102 @@ object Dedup {
     * pair space first: [[graft.similarity.Similarity.ivfAssign]] and compare
     * only within a cluster ([[embeddingNearDupsIvf]]), or LSH-bucket by
     * hyperplane signs — both trade recall near the threshold boundary. */
+  /** Corpus-row guard for the broadcast-kernel path of
+    * [[embeddingNearDups]]: 500k rows ≈ 256 MB of doubles at dim 64 —
+    * the same driver/broadcast posture as `driverEdgeLimit`. Above it
+    * (or for non-bigint ids) the declarative BNLJ twin runs instead. */
+  val KernelMaxCorpusRows = 500000
+
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double): DataFrame = {
     import graft.similarity.Similarity
-    // Norms computed once per row (not per pair) — identical float-op
-    // sequence to cosine(), so still oracle-exact. fanOut(0): the BNLJ
-    // stream side inherits the scan partitioning, so a single-split
-    // embedding table would run all O(n²) dot products on one core
-    // (measured 156s -> 6.5s on a 20k-vector corpus).
+    val isLongId = df.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType
+    val fits = isLongId &&
+      df.limit(KernelMaxCorpusRows + 1).count() <= KernelMaxCorpusRows
+    if (fits) embeddingNearDupsKernel(df, idCol, vecCol, threshold)
+    else embeddingNearDupsBnlj(df, idCol, vecCol, threshold)
+  }
+
+  /** Broadcast-corpus pair kernel: one `mapPartitions` over the fanned-out
+    * rows scores each against the broadcast (id, vector, norm) arrays in a
+    * primitive-double loop, emitting only near-threshold pairs. The BNLJ
+    * twin below is ~30× more per-pair overhead, all row plumbing: every
+    * joined pair materializes BOTH 64-double vectors into an output row
+    * (~1 KB copied per pair) before the dot runs — measured 2.38s vs
+    * 0.35s at 2k vectors and 8.0s vs 1.1s at 20k, identical rows.
+    *
+    * Bit-exactness with the twin (and so with the DuckDB oracle): the
+    * while-loop accumulates `s += a(i)*b(i)` in element order — the same
+    * IEEE op sequence as `DotProduct`'s generated loop — norms are
+    * `sqrt(seq-dot)` once per row as in the twin, the raw cosine is
+    * `dot / (na * nb)`, and the final 6-dp rounding is applied by Spark's
+    * own `round` ON TOP of the kernel output, so rounding semantics are
+    * shared by construction. The in-kernel prefilter keeps pairs with raw
+    * cosine ≥ threshold − 1e-6: 6-dp HALF_UP rounding moves a value by at
+    * most 5e-7 (+1 ulp), so no pair the rounded filter would keep is ever
+    * dropped; the exact filter then runs on the rounded column.
+    * Parity (kernel ≡ BNLJ, exact equality) is spec-gated in
+    * DedupSimilaritySpec. */
+  private def embeddingNearDupsKernel(df: DataFrame, idCol: String,
+                                      vecCol: String,
+                                      threshold: Double): DataFrame = {
+    import graft.similarity.Similarity
+    val spark = df.sparkSession
+    import spark.implicits._
+    def seqDot(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var s = 0.0; var i = 0
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val corpus = df
+      .select(col(idCol).cast("long"), Similarity.toDoubleVec(col(vecCol)))
+      .collect()
+    val ids = corpus.map(_.getLong(0))
+    val vecs = corpus.map(_.getSeq[Double](1).toArray)
+    val norms = vecs.map(v => math.sqrt(seqDot(v, v)))
+    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
+    val pre = threshold - 1e-6
+    // fanOut(0): mapPartitions inherits the scan partitioning, so a
+    // single-split embedding table would run all O(n²) dots on one core.
+    val pairs = graft.core.Parallelize.fanOut(df, 0L)
+      .select(col(idCol).cast("long"), Similarity.toDoubleVec(col(vecCol)))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val (cIds, cVecs, cNorms) = bc.value
+        it.flatMap { case (ida, vaSeq) =>
+          val va = vaSeq.toArray
+          val na = math.sqrt(seqDot(va, va))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var j = 0
+          while (j < cIds.length) {
+            if (cIds(j) > ida) {
+              val c = seqDot(va, cVecs(j)) / (na * cNorms(j))
+              if (c >= pre) out += ((ida, cIds(j), c))
+            }
+            j += 1
+          }
+          out
+        }
+      }
+      .toDF("id_a", "id_b", "cos_raw")
+    pairs
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Declarative BNLJ twin of [[embeddingNearDupsKernel]] — the fallback
+    * for corpora past the broadcast guard and the parity oracle for the
+    * kernel. Norms computed once per row (not per pair) — identical
+    * float-op sequence to cosine(), so still oracle-exact. fanOut(0): the
+    * BNLJ stream side inherits the scan partitioning, so a single-split
+    * embedding table would run all O(n²) dot products on one core
+    * (measured 156s -> 6.5s on a 20k-vector corpus). */
+  private[graft] def embeddingNearDupsBnlj(df: DataFrame, idCol: String,
+                                           vecCol: String,
+                                           threshold: Double): DataFrame = {
+    import graft.similarity.Similarity
     val a = graft.core.Parallelize.fanOut(df, 0L)
       .select(col(idCol).as("id_a"), Similarity.toDoubleVec(col(vecCol)).as("va"))
       .withColumn("na", Similarity.norm(col("va")))

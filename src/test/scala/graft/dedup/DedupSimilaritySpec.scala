@@ -140,6 +140,24 @@ class DedupSpec extends SparkSpec {
     assert(ivf == Seq((0L, 1L)))
   }
 
+  test("embeddingNearDups: broadcast kernel is bit-identical to the BNLJ twin") {
+    // Real corpus (sf0.001 embeddings, inexact float coordinates) at a
+    // threshold low enough to emit many pairs, including ones sitting
+    // near the 6-dp rounding boundary. EXACT equality — the kernel claims
+    // the same IEEE op sequence (seq-fold dot, sqrt per row, dot/(na*nb),
+    // Spark round), not approximate agreement.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val kernel = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.2)
+    val bnlj = Dedup.embeddingNearDupsBnlj(emb, "vec_id", "embedding", 0.2)
+    assert(kernel.count() > 100, "test corpus should emit many pairs")
+    assert(kernel.exceptAll(bnlj).count() == 0L &&
+      bnlj.exceptAll(kernel).count() == 0L)
+    // names+types must match (nullability may differ: kernel tuples are
+    // primitive-backed, join outputs are nullable)
+    assert(kernel.schema.map(f => (f.name, f.dataType)) ==
+      bnlj.schema.map(f => (f.name, f.dataType)))
+  }
+
   test("semantic dedup survivor rule: lower id survives, cross-cluster dups ignored") {
     import spark.implicits._
     // 0-1 near-dups in cluster 0 (1 must drop); 2-3 near-dups but in
