@@ -469,42 +469,66 @@ object Dedup {
                                       vecCol: String,
                                       threshold: Double): DataFrame = {
     import graft.similarity.Similarity
-    val spark = df.sparkSession
-    import spark.implicits._
-    def seqDot(a: Array[Double], b: Array[Double]): Double = {
-      val n = math.min(a.length, b.length)
-      var s = 0.0; var i = 0
-      while (i < n) { s += a(i) * b(i); i += 1 }
-      s
-    }
     val corpus = df
-      .select(col(idCol).cast("long"), Similarity.toDoubleVec(col(vecCol)))
-      .collect()
-    val ids = corpus.map(_.getLong(0))
-    val vecs = corpus.map(_.getSeq[Double](1).toArray)
-    val norms = vecs.map(v => math.sqrt(seqDot(v, v)))
-    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
-    val pre = threshold - 1e-6
+      .select(col(idCol).cast("long"), lit(0L), Similarity.toDoubleVec(col(vecCol)))
     // fanOut(0): mapPartitions inherits the scan partitioning, so a
     // single-split embedding table would run all O(n²) dots on one core.
-    val pairs = graft.core.Parallelize.fanOut(df, 0L)
-      .select(col(idCol).cast("long"), Similarity.toDoubleVec(col(vecCol)))
-      .as[(Long, Seq[Double])]
+    val stream = graft.core.Parallelize.fanOut(df, 0L)
+      .select(col(idCol).cast("long"), lit(0L), Similarity.toDoubleVec(col(vecCol)))
+    pairScoreKernel(corpus, stream, threshold)
+  }
+
+  /** Element-order dot product — the same IEEE op sequence as
+    * `DotProduct`'s generated loop, so kernel cosines are bit-identical
+    * to the declarative twins'. */
+  private def seqDot(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0; var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Shared broadcast pair kernel over a KEYED corpus. Both inputs must
+    * project exactly (id: long, key: long, vec: array<double>); pairs are
+    * scored only within equal `key` (the exact all-pairs path passes a
+    * constant key, the IVF path passes cluster_id), `id_a < id_b`, cosine
+    * prefiltered at threshold − 1e-6 in the kernel and exact-filtered on
+    * the Spark-rounded column — see [[embeddingNearDupsKernel]]'s scaladoc
+    * for the bit-exactness argument. */
+  private def pairScoreKernel(corpusKeyed: DataFrame, streamKeyed: DataFrame,
+                              threshold: Double): DataFrame = {
+    val spark = corpusKeyed.sparkSession
+    import spark.implicits._
+    val byKey: Map[Long, (Array[Long], Array[Array[Double]], Array[Double])] =
+      corpusKeyed.collect().groupBy(_.getLong(1)).map { case (k, rows) =>
+        val ids = rows.map(_.getLong(0))
+        val vecs = rows.map(_.getSeq[Double](2).toArray)
+        val norms = vecs.map(v => math.sqrt(seqDot(v, v)))
+        k -> ((ids, vecs, norms))
+      }
+    val bc = spark.sparkContext.broadcast(byKey)
+    val pre = threshold - 1e-6
+    val pairs = streamKeyed
+      .as[(Long, Long, Seq[Double])]
       .mapPartitions { it =>
-        val (cIds, cVecs, cNorms) = bc.value
-        it.flatMap { case (ida, vaSeq) =>
-          val va = vaSeq.toArray
-          val na = math.sqrt(seqDot(va, va))
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-          var j = 0
-          while (j < cIds.length) {
-            if (cIds(j) > ida) {
-              val c = seqDot(va, cVecs(j)) / (na * cNorms(j))
-              if (c >= pre) out += ((ida, cIds(j), c))
-            }
-            j += 1
+        val groups = bc.value
+        it.flatMap { case (ida, key, vaSeq) =>
+          groups.get(key) match {
+            case None => Iterator.empty
+            case Some((cIds, cVecs, cNorms)) =>
+              val va = vaSeq.toArray
+              val na = math.sqrt(seqDot(va, va))
+              val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+              var j = 0
+              while (j < cIds.length) {
+                if (cIds(j) > ida) {
+                  val c = seqDot(va, cVecs(j)) / (na * cNorms(j))
+                  if (c >= pre) out += ((ida, cIds(j), c))
+                }
+                j += 1
+              }
+              out
           }
-          out
         }
       }
       .toDF("id_a", "id_b", "cos_raw")
@@ -536,13 +560,54 @@ object Dedup {
   }
 
   /** The scale path: near-dup pairs only within the same IVF cluster —
-    * pair cost drops from O(n²) to Σ cluster², and the join shuffles on
-    * cluster_id so AQE can split skewed clusters. Pairs straddling a
+    * pair cost drops from O(n²) to Σ cluster². Pairs straddling a
     * cluster boundary are missed (recall/cost trade; raise nlist quality or
-    * probe neighboring clusters to recover). */
+    * probe neighboring clusters to recover). Under the broadcast guard the
+    * same [[pairScoreKernel]] as the exact path runs with cluster_id as the
+    * grouping key (the cluster-equality join pays the identical ~1 KB/pair
+    * row-materialization tax the BNLJ did); past it, the shuffled join twin
+    * runs, where AQE can split skewed clusters. */
   def embeddingNearDupsIvf(df: DataFrame, centroids: Array[(Long, Array[Double])],
                            threshold: Double, idCol: String = "vec_id",
                            vecCol: String = "embedding"): DataFrame = {
+    val isLongId = df.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType
+    val fits = isLongId &&
+      df.limit(KernelMaxCorpusRows + 1).count() <= KernelMaxCorpusRows
+    if (fits) embeddingNearDupsIvfKernel(df, centroids, threshold, idCol, vecCol)
+    else embeddingNearDupsIvfJoin(df, centroids, threshold, idCol, vecCol)
+  }
+
+  /** Kernel IVF path: cluster assignment stays in Spark (`ivfAssign`'s
+    * codegen argmin, run on BOTH sides so kernel and twin agree on the
+    * cluster key by construction), pair scoring goes through
+    * [[pairScoreKernel]] keyed on cluster_id. Per-pair cosine op sequence
+    * is identical to the twin's `Similarity.cosine` — norms are
+    * `sqrt(seq-dot)` of the same vector, just hoisted per row. */
+  private def embeddingNearDupsIvfKernel(df: DataFrame,
+                                         centroids: Array[(Long, Array[Double])],
+                                         threshold: Double, idCol: String,
+                                         vecCol: String): DataFrame = {
+    import graft.similarity.Similarity
+    def keyed(in: DataFrame): DataFrame =
+      Similarity.ivfAssign(in, centroids, idCol, vecCol)
+        .select(col(idCol).cast("long"), col("cluster_id"),
+          Similarity.toDoubleVec(col(vecCol)))
+    // fanOut BEFORE assignment so the argmin itself runs at full width on
+    // a single-split corpus, not just the pair scoring.
+    pairScoreKernel(keyed(df), keyed(graft.core.Parallelize.fanOut(df, 0L)),
+      threshold)
+  }
+
+  /** Declarative twin of [[embeddingNearDupsIvfKernel]] — the fallback past
+    * the broadcast guard and the parity oracle for the kernel (spec-gated
+    * exceptAll-both-ways in DedupSimilaritySpec). The join shuffles on
+    * cluster_id so AQE can split skewed clusters. */
+  private[graft] def embeddingNearDupsIvfJoin(df: DataFrame,
+                                              centroids: Array[(Long, Array[Double])],
+                                              threshold: Double,
+                                              idCol: String = "vec_id",
+                                              vecCol: String = "embedding"): DataFrame = {
     import graft.similarity.Similarity
     val assigned = Similarity.ivfAssign(df, centroids, idCol, vecCol)
     val a = assigned.select(col(idCol).as("id_a"), col("cluster_id"),

@@ -158,6 +158,26 @@ class DedupSpec extends SparkSpec {
       bnlj.schema.map(f => (f.name, f.dataType)))
   }
 
+  test("embeddingNearDupsIvf: broadcast kernel is bit-identical to the join twin") {
+    // Same recipe as q134: real corpus, first 8 vectors as seed centroids,
+    // threshold low enough to emit many within-cluster pairs. EXACT
+    // equality — the kernel claims the same IEEE op sequence per pair as
+    // Similarity.cosine, with norms hoisted per row.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), graft.similarity.Similarity.toDoubleVec(col("embedding")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val kernel = Dedup.embeddingNearDupsIvf(emb, centroids, 0.2)
+    val join = Dedup.embeddingNearDupsIvfJoin(emb, centroids, 0.2)
+    assert(kernel.count() > 20, "test corpus should emit many within-cluster pairs")
+    assert(kernel.exceptAll(join).count() == 0L &&
+      join.exceptAll(kernel).count() == 0L)
+    assert(kernel.schema.map(f => (f.name, f.dataType)) ==
+      join.schema.map(f => (f.name, f.dataType)))
+  }
+
   test("semantic dedup survivor rule: lower id survives, cross-cluster dups ignored") {
     import spark.implicits._
     // 0-1 near-dups in cluster 0 (1 must drop); 2-3 near-dups but in
