@@ -499,8 +499,12 @@ object Dedup {
                               threshold: Double): DataFrame = {
     val spark = corpusKeyed.sparkSession
     import spark.implicits._
+    // Null id/vector rows: the declarative twins drop them silently (a null
+    // id fails the `<` join condition, a null vector yields a null cosine
+    // the threshold filter removes); na.drop gives the kernel the same
+    // semantics instead of an encoder NPE.
     val byKey: Map[Long, (Array[Long], Array[Array[Double]], Array[Double])] =
-      corpusKeyed.collect().groupBy(_.getLong(1)).map { case (k, rows) =>
+      corpusKeyed.na.drop("any").collect().groupBy(_.getLong(1)).map { case (k, rows) =>
         val ids = rows.map(_.getLong(0))
         val vecs = rows.map(_.getSeq[Double](2).toArray)
         val norms = vecs.map(v => math.sqrt(seqDot(v, v)))
@@ -508,7 +512,7 @@ object Dedup {
       }
     val bc = spark.sparkContext.broadcast(byKey)
     val pre = threshold - 1e-6
-    val pairs = streamKeyed
+    val pairs = streamKeyed.na.drop("any")
       .as[(Long, Long, Seq[Double])]
       .mapPartitions { it =>
         val groups = bc.value

@@ -158,6 +158,20 @@ class DedupSpec extends SparkSpec {
       bnlj.schema.map(f => (f.name, f.dataType)))
   }
 
+  test("embeddingNearDups: null id/vector rows drop like the twin, no NPE") {
+    import spark.implicits._
+    val rows = Seq(
+      (java.lang.Long.valueOf(1L), Seq(1.0, 0.0)),
+      (java.lang.Long.valueOf(2L), Seq(1.0, 0.001)),
+      (java.lang.Long.valueOf(3L), null: Seq[Double]),
+      (null: java.lang.Long, Seq(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val kernel = Dedup.embeddingNearDups(rows, "vec_id", "embedding", 0.9)
+    val bnlj = Dedup.embeddingNearDupsBnlj(rows, "vec_id", "embedding", 0.9)
+    assert(kernel.collect().toSet == bnlj.collect().toSet)
+    assert(kernel.count() == 1L) // only the (1,2) pair survives
+  }
+
   test("embeddingNearDupsIvf: broadcast kernel is bit-identical to the join twin") {
     // Same recipe as q134: real corpus, first 8 vectors as seed centroids,
     // threshold low enough to emit many within-cluster pairs. EXACT
