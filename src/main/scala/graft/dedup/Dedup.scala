@@ -428,10 +428,11 @@ object Dedup {
     * pair space first: [[graft.similarity.Similarity.ivfAssign]] and compare
     * only within a cluster ([[embeddingNearDupsIvf]]), or LSH-bucket by
     * hyperplane signs — both trade recall near the threshold boundary. */
-  /** Corpus-row guard for the broadcast-kernel path of
-    * [[embeddingNearDups]]: 500k rows ≈ 256 MB of doubles at dim 64 —
-    * the same driver/broadcast posture as `driverEdgeLimit`. Above it
-    * (or for non-bigint ids) the declarative BNLJ twin runs instead. */
+  /** Corpus-row guard for the broadcast-kernel paths of
+    * [[embeddingNearDups]] and [[embeddingNearDupsIvf]]: 500k rows ≈
+    * 256 MB of doubles at dim 64 — the same driver/broadcast posture as
+    * `driverEdgeLimit`. Above it (or for non-bigint ids) the declarative
+    * twins (BNLJ / cluster-keyed shuffle join) run instead. */
   val KernelMaxCorpusRows = 500000
 
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
