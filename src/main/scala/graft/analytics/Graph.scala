@@ -89,9 +89,17 @@ object Graph {
         .select(col("dst").as("node"),
           expr("(850 * pr * w) div (1000 * outw)").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+      // Materialize each iteration's rank vector: broadcast builds execute
+      // their input plan, so an unchecked lineage re-runs iteration k's
+      // joins once per LATER iteration (plus once in the final job) —
+      // quadratic job count in `iters`. The vector is |V| rows (already
+      // required to broadcast), so the eager checkpoint is one tiny job.
+      // At the nation-graph scale this is measured-neutral (the job floor
+      // dominates); it matters when iters or |V| grow.
       pr = nodes.join(broadcast(contrib), Seq("node"), "left")
         .select(col("node"),
           (lit(base) + coalesce(col("inflow"), lit(0L))).as("pr"))
+        .localCheckpoint(true)
     }
     pr.select(col("node"), col("pr").as("pr_ppm"))
   }
