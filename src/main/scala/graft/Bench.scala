@@ -78,7 +78,9 @@ object Bench {
       // its own classload/JIT — the recurring "qNNN relapse" pattern.)
       try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-      quiesce(gc = false)
+      // gc=true: the warmup just allocated codegen/classloader/task
+      // garbage; collecting it here keeps the pause off rep 1's clock.
+      quiesce(gc = true)
       val times = (1 to reps).map { i =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

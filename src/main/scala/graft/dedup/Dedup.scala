@@ -429,22 +429,29 @@ object Dedup {
     * only within a cluster ([[embeddingNearDupsIvf]]), or LSH-bucket by
     * hyperplane signs — both trade recall near the threshold boundary. */
   /** Corpus-row guard for the broadcast-kernel paths of
-    * [[embeddingNearDups]] and [[embeddingNearDupsIvf]]: 500k rows ≈
-    * 256 MB of doubles at dim 64 — the same driver/broadcast posture as
-    * `driverEdgeLimit`. Above it (or for non-bigint ids) the declarative
-    * twins (BNLJ / cluster-keyed shuffle join) run instead. */
+    * [[embeddingNearDups]] and [[embeddingNearDupsIvf]]. Honest footprint
+    * at the 500k ceiling, dim 64: ~256 MB of primitive doubles collected
+    * (the typed collect yields `Array[Double]`s, not boxed rows) plus one
+    * serialized broadcast copy — ~0.5-0.8 GB transient on the driver, the
+    * same posture as `driverEdgeLimit`. Above it (or for non-bigint ids)
+    * the declarative twins (BNLJ / cluster-keyed shuffle join) run
+    * instead. */
   val KernelMaxCorpusRows = 500000
 
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double): DataFrame = {
-    import graft.similarity.Similarity
-    val isLongId = df.schema(idCol).dataType ==
-      org.apache.spark.sql.types.LongType
-    val fits = isLongId &&
-      df.limit(KernelMaxCorpusRows + 1).count() <= KernelMaxCorpusRows
-    if (fits) embeddingNearDupsKernel(df, idCol, vecCol, threshold)
+    if (fitsKernel(df, idCol)) embeddingNearDupsKernel(df, idCol, vecCol, threshold)
     else embeddingNearDupsBnlj(df, idCol, vecCol, threshold)
   }
+
+  /** Kernel guard probe. Only the id column goes through the limit+count
+    * (the decision needs a row count, not the vectors — probing the full
+    * rows would ship up to n·dim doubles through the single-partition
+    * CollectLimit just to produce one boolean). */
+  private def fitsKernel(df: DataFrame, idCol: String): Boolean =
+    df.schema(idCol).dataType == org.apache.spark.sql.types.LongType &&
+      df.select(col(idCol)).limit(KernelMaxCorpusRows + 1).count() <=
+        KernelMaxCorpusRows
 
   /** Broadcast-corpus pair kernel: one `mapPartitions` over the fanned-out
     * rows scores each against the broadcast (id, vector, norm) arrays in a
@@ -469,14 +476,12 @@ object Dedup {
   private def embeddingNearDupsKernel(df: DataFrame, idCol: String,
                                       vecCol: String,
                                       threshold: Double): DataFrame = {
-    import graft.similarity.Similarity
-    val corpus = df
-      .select(col(idCol).cast("long"), lit(0L), Similarity.toDoubleVec(col(vecCol)))
     // fanOut(0): mapPartitions inherits the scan partitioning, so a
     // single-split embedding table would run all O(n²) dots on one core.
-    val stream = graft.core.Parallelize.fanOut(df, 0L)
-      .select(col(idCol).cast("long"), lit(0L), Similarity.toDoubleVec(col(vecCol)))
-    pairScoreKernel(corpus, stream, threshold)
+    // One frame serves both kernel sides (the projection is scan-cheap).
+    val k = graft.core.Parallelize.fanOut(df, 0L)
+      .select(col(idCol).cast("long"), lit(0L), kernelVec(col(vecCol)))
+    pairScoreKernel(k, k, threshold)
   }
 
   /** Element-order dot product — the same IEEE op sequence as
@@ -496,32 +501,42 @@ object Dedup {
     * prefiltered at threshold − 1e-6 in the kernel and exact-filtered on
     * the Spark-rounded column — see [[embeddingNearDupsKernel]]'s scaladoc
     * for the bit-exactness argument. */
+  /** Kernel-side vector projection: cast to double and zero null ELEMENTS.
+    * The declarative twins' `DotProduct` fold reads a null array slot as
+    * 0.0 (UnsafeArrayData zeroes the value region), so the coalesce keeps
+    * the kernel bit-identical on dirty vectors instead of NPE-ing in the
+    * encoder — and it makes the element type non-nullable, so the typed
+    * collect below materializes primitive `Array[Double]`s, not boxed. */
+  private def kernelVec(c: Column): Column =
+    transform(c, x => coalesce(x.cast("double"), lit(0.0)))
+
   private def pairScoreKernel(corpusKeyed: DataFrame, streamKeyed: DataFrame,
                               threshold: Double): DataFrame = {
     val spark = corpusKeyed.sparkSession
     import spark.implicits._
-    // Null id/vector rows: the declarative twins drop them silently (a null
-    // id fails the `<` join condition, a null vector yields a null cosine
-    // the threshold filter removes); na.drop gives the kernel the same
-    // semantics instead of an encoder NPE.
+    // Whole-null id/vector rows: the declarative twins drop them silently
+    // (a null id fails the `<` join condition, a null vector yields a null
+    // cosine the threshold filter removes); na.drop gives the kernel the
+    // same semantics instead of an encoder NPE. Null ELEMENTS are handled
+    // by [[kernelVec]] in the callers' projections.
     val byKey: Map[Long, (Array[Long], Array[Array[Double]], Array[Double])] =
-      corpusKeyed.na.drop("any").collect().groupBy(_.getLong(1)).map { case (k, rows) =>
-        val ids = rows.map(_.getLong(0))
-        val vecs = rows.map(_.getSeq[Double](2).toArray)
-        val norms = vecs.map(v => math.sqrt(seqDot(v, v)))
-        k -> ((ids, vecs, norms))
-      }
+      corpusKeyed.na.drop("any").as[(Long, Long, Array[Double])].collect()
+        .groupBy(_._2).map { case (k, rows) =>
+          val ids = rows.map(_._1)
+          val vecs = rows.map(_._3)
+          val norms = vecs.map(v => math.sqrt(seqDot(v, v)))
+          k -> ((ids, vecs, norms))
+        }
     val bc = spark.sparkContext.broadcast(byKey)
     val pre = threshold - 1e-6
     val pairs = streamKeyed.na.drop("any")
-      .as[(Long, Long, Seq[Double])]
+      .as[(Long, Long, Array[Double])]
       .mapPartitions { it =>
         val groups = bc.value
-        it.flatMap { case (ida, key, vaSeq) =>
+        it.flatMap { case (ida, key, va) =>
           groups.get(key) match {
             case None => Iterator.empty
             case Some((cIds, cVecs, cNorms)) =>
-              val va = vaSeq.toArray
               val na = math.sqrt(seqDot(va, va))
               val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
               var j = 0
@@ -575,33 +590,34 @@ object Dedup {
   def embeddingNearDupsIvf(df: DataFrame, centroids: Array[(Long, Array[Double])],
                            threshold: Double, idCol: String = "vec_id",
                            vecCol: String = "embedding"): DataFrame = {
-    val isLongId = df.schema(idCol).dataType ==
-      org.apache.spark.sql.types.LongType
-    val fits = isLongId &&
-      df.limit(KernelMaxCorpusRows + 1).count() <= KernelMaxCorpusRows
-    if (fits) embeddingNearDupsIvfKernel(df, centroids, threshold, idCol, vecCol)
+    if (fitsKernel(df, idCol))
+      embeddingNearDupsIvfKernel(df, centroids, threshold, idCol, vecCol)
     else embeddingNearDupsIvfJoin(df, centroids, threshold, idCol, vecCol)
   }
 
   /** Kernel IVF path: cluster assignment stays in Spark (`ivfAssign`'s
-    * codegen argmin, run on BOTH sides so kernel and twin agree on the
-    * cluster key by construction), pair scoring goes through
-    * [[pairScoreKernel]] keyed on cluster_id. Per-pair cosine op sequence
-    * is identical to the twin's `Similarity.cosine` — norms are
-    * `sqrt(seq-dot)` of the same vector, just hoisted per row. */
+    * codegen argmin — the same expression the twin evaluates, so kernel
+    * and twin agree on the cluster key by construction), pair scoring goes
+    * through [[pairScoreKernel]] keyed on cluster_id. Per-pair cosine op
+    * sequence is identical to the twin's `Similarity.cosine` — norms are
+    * `sqrt(seq-dot)` of the same vector, just hoisted per row.
+    *
+    * fanOut BEFORE assignment so the argmin runs at full width on a
+    * single-split corpus; the eager localCheckpoint materializes the
+    * assignment ONCE for both kernel sides (collect + mapPartitions are
+    * separate actions, so an unchecked plan would evaluate the argmin
+    * twice). */
   private def embeddingNearDupsIvfKernel(df: DataFrame,
                                          centroids: Array[(Long, Array[Double])],
                                          threshold: Double, idCol: String,
                                          vecCol: String): DataFrame = {
     import graft.similarity.Similarity
-    def keyed(in: DataFrame): DataFrame =
-      Similarity.ivfAssign(in, centroids, idCol, vecCol)
-        .select(col(idCol).cast("long"), col("cluster_id"),
-          Similarity.toDoubleVec(col(vecCol)))
-    // fanOut BEFORE assignment so the argmin itself runs at full width on
-    // a single-split corpus, not just the pair scoring.
-    pairScoreKernel(keyed(df), keyed(graft.core.Parallelize.fanOut(df, 0L)),
-      threshold)
+    val k = Similarity.ivfAssign(graft.core.Parallelize.fanOut(df, 0L),
+        centroids, idCol, vecCol)
+      .select(col(idCol).cast("long"), col("cluster_id"),
+        kernelVec(col(vecCol)))
+      .localCheckpoint(true)
+    pairScoreKernel(k, k, threshold)
   }
 
   /** Declarative twin of [[embeddingNearDupsIvfKernel]] — the fallback past

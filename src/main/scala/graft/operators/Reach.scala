@@ -52,7 +52,16 @@ object Reach {
     // read cached/local data).
     val probeCount = edges.limit(driverEdgeLimit + 1).count()
     if (probeCount <= driverEdgeLimit) {
-      val adj = edges.collect()
+      // limit(n+1) on the winning-guard collect too: the count above bounds
+      // what the FIRST evaluation held; a view whose re-evaluation is not
+      // deterministic (lazy re-registration, non-deterministic derivation)
+      // could return more rows the second time, and the limit keeps that
+      // from shipping an unbounded result to the driver. More than n rows
+      // here would silently truncate the BFS, so it falls back instead.
+      val adj0 = edges.limit(driverEdgeLimit + 1).collect()
+      if (adj0.length > driverEdgeLimit)
+        return shortestHopsRecursive(s, edgesView, source, maxHops)
+      val adj = adj0
         .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
         .groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
       val dist = scala.collection.mutable.LinkedHashMap(source -> 0)
@@ -69,25 +78,27 @@ object Reach {
       dist.toSeq.toDF("node", "hops")
         .select(col("node").cast("bigint").as("node"),
           col("hops").cast("int").as("hops"))
-    } else {
-      // Distributed fallback: bounded-frontier declarative recursion —
-      // the same semantics q44 expresses with min-label propagation.
-      // The DISTINCT inside the recursive step is load-bearing: without
-      // it the CTE enumerates every WALK of length ≤ maxHops, and on the
-      // dense cyclic graphs that actually exceed the driver guard the
-      // intermediate row count grows like degree^maxHops before the MIN
-      // ever runs. Deduplicating each level caps level d at ≤ |nodes|
-      // rows, so the whole recursion materializes ≤ maxHops·|nodes| rows
-      // (a node can still reappear at several depths — no cross-level
-      // visited set — which the outer MIN resolves exactly).
-      s.sql(s"""
-        WITH RECURSIVE walk(node, dist) AS (
-          SELECT CAST($source AS BIGINT), 0
-          UNION ALL
-          SELECT DISTINCT h.dst, w.dist + 1 FROM walk w
-          JOIN $edgesView h ON h.src = w.node WHERE w.dist < $maxHops)
-        SELECT CAST(node AS BIGINT) AS node, CAST(MIN(dist) AS INT) AS hops
-        FROM walk GROUP BY node""")
-    }
+    } else shortestHopsRecursive(s, edgesView, source, maxHops)
   }
+
+  /** Distributed fallback: bounded-frontier declarative recursion —
+    * the same semantics q44 expresses with min-label propagation.
+    * The DISTINCT inside the recursive step is load-bearing: without
+    * it the CTE enumerates every WALK of length ≤ maxHops, and on the
+    * dense cyclic graphs that actually exceed the driver guard the
+    * intermediate row count grows like degree^maxHops before the MIN
+    * ever runs. Deduplicating each level caps level d at ≤ |nodes|
+    * rows, so the whole recursion materializes ≤ maxHops·|nodes| rows
+    * (a node can still reappear at several depths — no cross-level
+    * visited set — which the outer MIN resolves exactly). */
+  private def shortestHopsRecursive(s: SparkSession, edgesView: String,
+                                    source: Long, maxHops: Int): DataFrame =
+    s.sql(s"""
+      WITH RECURSIVE walk(node, dist) AS (
+        SELECT CAST($source AS BIGINT), 0
+        UNION ALL
+        SELECT DISTINCT h.dst, w.dist + 1 FROM walk w
+        JOIN $edgesView h ON h.src = w.node WHERE w.dist < $maxHops)
+      SELECT CAST(node AS BIGINT) AS node, CAST(MIN(dist) AS INT) AS hops
+      FROM walk GROUP BY node""")
 }

@@ -172,6 +172,25 @@ class DedupSpec extends SparkSpec {
     assert(kernel.count() == 1L) // only the (1,2) pair survives
   }
 
+  test("embeddingNearDups: null vector ELEMENTS score like the twin (0.0 slots)") {
+    import spark.implicits._
+    // The twin's DotProduct fold reads a null array slot as 0.0
+    // (UnsafeArrayData zeroes the value region); the kernel coalesces null
+    // elements to 0.0 in its projection. Both engines must agree exactly —
+    // row 2's null second element makes it orthogonal-ish to nothing, so
+    // (1,2) still clears the 0.9 bar on the first component alone.
+    val rows = Seq(
+      (1L, Seq[java.lang.Double](1.0, 0.0)),
+      (2L, Seq[java.lang.Double](1.0, null)),
+      (3L, Seq[java.lang.Double](null, 1.0)))
+      .toDF("vec_id", "embedding")
+    val kernel = Dedup.embeddingNearDups(rows, "vec_id", "embedding", 0.5)
+    val bnlj = Dedup.embeddingNearDupsBnlj(rows, "vec_id", "embedding", 0.5)
+    assert(kernel.collect().toSet == bnlj.collect().toSet)
+    assert(kernel.select(col("id_a"), col("id_b")).collect().toSet ==
+      Set(org.apache.spark.sql.Row(1L, 2L)))
+  }
+
   test("embeddingNearDupsIvf: broadcast kernel is bit-identical to the join twin") {
     // Same recipe as q134: real corpus, first 8 vectors as seed centroids,
     // threshold low enough to emit many within-cluster pairs. EXACT
