@@ -430,4 +430,19 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("Window") && !p.contains("Sort ["),
       "the custom operator must not fall back to window/sort")
   }
+
+  test("q39/q134: pair scoring runs in the broadcast kernel, never a pairwise join") {
+    // The round-10 headline: under the corpus guard, the O(pairs) cosine
+    // work happens in pairScoreKernel's mapPartitions over broadcast
+    // primitive arrays — a BNLJ or cluster-keyed join materializing both
+    // vectors per pair (~1 KB/pair) must not reappear (10×: q39 8.0→1.2s,
+    // q134 21.6→1.75s). q134's survivor left-join IS allowed — only the
+    // pair-generating joins are banned.
+    for (q <- Seq("q39_embedding_neardup", "q134_semantic_dedup")) {
+      val p = plan(q)
+      assert(p.contains("MapPartitions"), s"$q: kernel mapPartitions missing")
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), s"$q must not score pairs in a join")
+    }
+  }
 }
