@@ -172,6 +172,20 @@ class DedupSpec extends SparkSpec {
     assert(kernel.count() == 1L) // only the (1,2) pair survives
   }
 
+  test("embeddingNearDups: non-long ids dispatch to the twin, same pairs") {
+    import spark.implicits._
+    val longIds = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.001)),
+      (3L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
+    val intIds = longIds.select(col("vec_id").cast("int").as("vec_id"),
+      col("embedding"))
+    val viaKernel = Dedup.embeddingNearDups(longIds, "vec_id", "embedding", 0.9)
+    val viaTwin = Dedup.embeddingNearDups(intIds, "vec_id", "embedding", 0.9)
+    assert(viaTwin.schema("id_a").dataType ==
+      org.apache.spark.sql.types.IntegerType) // guard refused, twin ran
+    assert(viaKernel.select(col("id_a").cast("int"), col("id_b").cast("int"),
+      col("cos_sim")).collect().toSet == viaTwin.collect().toSet)
+  }
+
   test("embeddingNearDups: null vector ELEMENTS score like the twin (0.0 slots)") {
     import spark.implicits._
     // The twin's DotProduct fold reads a null array slot as 0.0
