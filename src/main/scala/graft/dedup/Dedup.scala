@@ -435,8 +435,15 @@ object Dedup {
     * serialized broadcast copy — ~0.5-0.8 GB transient on the driver, the
     * same posture as `driverEdgeLimit`. Above it (or for non-bigint ids)
     * the declarative twins (BNLJ / cluster-keyed shuffle join) run
-    * instead. */
+    * instead. Tunable per session via `spark.graft.dedup.kernelMaxCorpusRows`
+    * (size it to the driver heap on a real cluster; also how the specs
+    * drive the past-guard branch without a 500k-row fixture). */
   val KernelMaxCorpusRows = 500000
+
+  private def kernelMaxCorpusRows(df: DataFrame): Int =
+    df.sparkSession.conf
+      .get("spark.graft.dedup.kernelMaxCorpusRows", KernelMaxCorpusRows.toString)
+      .toInt
 
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double): DataFrame = {
@@ -448,10 +455,11 @@ object Dedup {
     * (the decision needs a row count, not the vectors — probing the full
     * rows would ship up to n·dim doubles through the single-partition
     * CollectLimit just to produce one boolean). */
-  private def fitsKernel(df: DataFrame, idCol: String): Boolean =
+  private def fitsKernel(df: DataFrame, idCol: String): Boolean = {
+    val max = kernelMaxCorpusRows(df)
     df.schema(idCol).dataType == org.apache.spark.sql.types.LongType &&
-      df.select(col(idCol)).limit(KernelMaxCorpusRows + 1).count() <=
-        KernelMaxCorpusRows
+      df.select(col(idCol)).limit(max + 1).count() <= max
+  }
 
   /** Broadcast-corpus pair kernel: one `mapPartitions` over the fanned-out
     * rows scores each against the broadcast (id, vector, norm) arrays in a

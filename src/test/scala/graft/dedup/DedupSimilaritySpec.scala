@@ -186,6 +186,28 @@ class DedupSpec extends SparkSpec {
       col("cos_sim")).collect().toSet == viaTwin.collect().toSet)
   }
 
+  test("embeddingNearDups: past-guard long-id corpora fall back to the twins") {
+    import spark.implicits._
+    val rows = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.001)),
+      (3L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
+    val viaKernel = Dedup.embeddingNearDups(rows, "vec_id", "embedding", 0.9)
+    assert(viaKernel.queryExecution.executedPlan.toString.contains("MapPartitions"))
+    spark.conf.set("spark.graft.dedup.kernelMaxCorpusRows", "1")
+    try {
+      val exact = Dedup.embeddingNearDups(rows, "vec_id", "embedding", 0.9)
+      assert(!exact.queryExecution.executedPlan.toString.contains("MapPartitions"),
+        "guard must route past-limit corpora to the BNLJ twin")
+      assert(exact.collect().toSet == viaKernel.collect().toSet)
+      val centroids = Array((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+      val ivf = Dedup.embeddingNearDupsIvf(rows, centroids, 0.9, "vec_id", "embedding")
+      assert(!ivf.queryExecution.executedPlan.toString.contains("MapPartitions"),
+        "guard must route past-limit corpora to the cluster-join twin")
+      assert(ivf.collect().toSet ==
+        Dedup.embeddingNearDupsIvfJoin(rows, centroids, 0.9, "vec_id", "embedding")
+          .collect().toSet)
+    } finally spark.conf.unset("spark.graft.dedup.kernelMaxCorpusRows")
+  }
+
   test("embeddingNearDups: null vector ELEMENTS score like the twin (0.0 slots)") {
     import spark.implicits._
     // The twin's DotProduct fold reads a null array slot as 0.0
