@@ -30,20 +30,42 @@ object Checksums {
   def rowHash48(cols: Seq[Column]): Column =
     graft.functions.Md5Prefix.prefix48(ColumnOps.canonicalJoined(cols))
 
+  /** Exact Σ rowHash48 per group with a LONG-only hot loop: the 48-bit
+    * hash splits into three 16-bit limbs summed independently (one
+    * hash-agg, three plain long sums — no decimal objects per row), and
+    * the total reassembles exactly in decimal on the tiny grouped output:
+    * Σh = 2³²·Σh₂ + 2¹⁶·Σh₁ + Σh₀. Overflow proof by construction,
+    * independent of partitioning AND of row order (pure content sums —
+    * retry-deterministic under any replay, unlike positional chunking):
+    * each limb < 2¹⁶, so a group needs > 2⁴⁶ ≈ 7·10¹³ rows to overflow a
+    * limb sum — two orders of magnitude past the 100 TB design target's
+    * largest group. A/B at sf0.1: the decimal-typed sum was half of
+    * q103's runtime (0.79s → 0.41s with long sums, identical digits). */
+  private def limbSums: Seq[Column] = Seq(
+    sum(shiftright(col("_h48"), 32)).as("_s2"),
+    sum(shiftright(col("_h48"), 16).bitwiseAND(lit(0xffffL))).as("_s1"),
+    sum(col("_h48").bitwiseAND(lit(0xffffL))).as("_s0"))
+
+  private def limbChecksum: Column =
+    (col("_s2").cast("decimal(38,0)") * lit(4294967296L) +
+      col("_s1").cast("decimal(38,0)") * lit(65536L) +
+      col("_s0").cast("decimal(38,0)"))
+      .cast("decimal(38,0)").cast("string").as("checksum")
+
   /** (groupCols..., n_rows, checksum): the group's row count plus the
     * order-independent content checksum, emitted as a decimal STRING (the
     * sum exceeds BIGINT range on large groups; DECIMAL(38,0) and DuckDB's
     * HUGEINT print identical digits). */
   def grouped(df: DataFrame, groupCols: Seq[String],
               cols: Seq[String]): DataFrame =
-    df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n_rows"),
-        sum(rowHash48(cols.map(col)).cast("decimal(38,0)"))
-          .cast("decimal(38,0)").cast("string").as("checksum"))
+    df.select((groupCols.map(col) :+ rowHash48(cols.map(col)).as("_h48")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), limbSums: _*)
+      .select((groupCols.map(col) :+ col("n_rows") :+ limbChecksum): _*)
 
   /** Whole-table checksum: single row (n_rows, checksum). */
   def table(df: DataFrame, cols: Seq[String]): DataFrame =
-    df.agg(count(lit(1)).as("n_rows"),
-      sum(rowHash48(cols.map(col)).cast("decimal(38,0)"))
-        .cast("decimal(38,0)").cast("string").as("checksum"))
+    df.select(rowHash48(cols.map(col)).as("_h48"))
+      .agg(count(lit(1)).as("n_rows"), limbSums: _*)
+      .select(col("n_rows"), limbChecksum)
 }
