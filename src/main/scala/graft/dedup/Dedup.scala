@@ -447,8 +447,16 @@ object Dedup {
 
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double): DataFrame = {
-    if (fitsKernel(df, idCol)) embeddingNearDupsKernel(df, idCol, vecCol, threshold)
-    else embeddingNearDupsBnlj(df, idCol, vecCol, threshold)
+    // Double-gated: the cheap id-only probe routes obviously-oversized
+    // corpora to the twin without shipping vectors; the kernel's own
+    // limit(max+1) collect then re-checks at materialization time, so an
+    // input whose re-evaluation grows past the guard (non-deterministic
+    // source, TOCTOU) degrades to the twin instead of an unbounded
+    // driver collect.
+    val kernel =
+      if (fitsKernel(df, idCol)) embeddingNearDupsKernel(df, idCol, vecCol, threshold)
+      else None
+    kernel.getOrElse(embeddingNearDupsBnlj(df, idCol, vecCol, threshold))
   }
 
   /** Kernel guard probe. Only the id column goes through the limit+count
@@ -483,13 +491,13 @@ object Dedup {
     * DedupSimilaritySpec. */
   private def embeddingNearDupsKernel(df: DataFrame, idCol: String,
                                       vecCol: String,
-                                      threshold: Double): DataFrame = {
+                                      threshold: Double): Option[DataFrame] = {
     // fanOut(0): mapPartitions inherits the scan partitioning, so a
     // single-split embedding table would run all O(n²) dots on one core.
     // One frame serves both kernel sides (the projection is scan-cheap).
     val k = graft.core.Parallelize.fanOut(df, 0L)
       .select(col(idCol).cast("long"), lit(0L), kernelVec(col(vecCol)))
-    pairScoreKernel(k, k, threshold)
+    pairScoreKernel(k, k, threshold, kernelMaxCorpusRows(df))
   }
 
   /** Element-order dot product — the same IEEE op sequence as
@@ -508,7 +516,33 @@ object Dedup {
     * constant key, the IVF path passes cluster_id), `id_a < id_b`, cosine
     * prefiltered at threshold − 1e-6 in the kernel and exact-filtered on
     * the Spark-rounded column — see [[embeddingNearDupsKernel]]'s scaladoc
-    * for the bit-exactness argument. */
+    * for the bit-exactness argument.
+    *
+    * '''Zero-norm semantics (defined once, all three engines agree)''':
+    * a pair whose norm product is ZERO (an all-zero or all-null-element
+    * vector) is DROPPED — the DuckDB oracle's division by zero yields
+    * NULL, which its `>= threshold` filter removes. The kernel tests the
+    * divisor explicitly; the twins divide with `try_divide` (NULL exactly
+    * when the divisor is 0, the same IEEE division otherwise — also what
+    * keeps ANSI mode from throwing DIVIDE_BY_ZERO mid-join). A pair whose
+    * cosine is NaN with a NONZERO divisor (NaN vector elements) is KEPT:
+    * NaN propagates through both engines' division and orders greater
+    * than every double in both engines' comparisons. Both cases are
+    * parity spec-gated in DedupSimilaritySpec.
+    *
+    * '''Guard at materialization time''': the driver collect is bounded by
+    * `limit(maxRows + 1)` — if the corpus re-evaluates larger than the
+    * dispatch-time probe saw (non-deterministic source), the kernel
+    * returns None and the caller's declarative twin runs, instead of an
+    * unbounded collect landing on the driver.
+    *
+    * '''Broadcast lifecycle''': the broadcast is captured by the returned
+    * plan's mapPartitions closure and must outlive it (the DataFrame is
+    * lazy and re-executable), so it is NOT destroyed here. Once the
+    * caller drops the DataFrame, the closure — and with it the broadcast
+    * handle — becomes unreachable and ContextCleaner reclaims the blocks
+    * at the next GC (Bench's per-query quiesce forces one; long-lived
+    * sessions get it from ordinary GC pressure). */
   /** Kernel-side vector projection: cast to double and zero null ELEMENTS.
     * The declarative twins' `DotProduct` fold reads a null array slot as
     * 0.0 (UnsafeArrayData zeroes the value region), so the coalesce keeps
@@ -518,8 +552,10 @@ object Dedup {
   private def kernelVec(c: Column): Column =
     transform(c, x => coalesce(x.cast("double"), lit(0.0)))
 
-  private def pairScoreKernel(corpusKeyed: DataFrame, streamKeyed: DataFrame,
-                              threshold: Double): DataFrame = {
+  private[graft] def pairScoreKernel(corpusKeyed: DataFrame,
+                                     streamKeyed: DataFrame,
+                                     threshold: Double,
+                                     maxRows: Int): Option[DataFrame] = {
     val spark = corpusKeyed.sparkSession
     import spark.implicits._
     // Whole-null id/vector rows: the declarative twins drop them silently
@@ -527,9 +563,11 @@ object Dedup {
     // cosine the threshold filter removes); na.drop gives the kernel the
     // same semantics instead of an encoder NPE. Null ELEMENTS are handled
     // by [[kernelVec]] in the callers' projections.
+    val collected = corpusKeyed.na.drop("any")
+      .limit(maxRows + 1).as[(Long, Long, Array[Double])].collect()
+    if (collected.length > maxRows) return None // grew past the guard → twin
     val byKey: Map[Long, (Array[Long], Array[Array[Double]], Array[Double])] =
-      corpusKeyed.na.drop("any").as[(Long, Long, Array[Double])].collect()
-        .groupBy(_._2).map { case (k, rows) =>
+      collected.groupBy(_._2).map { case (k, rows) =>
           val ids = rows.map(_._1)
           val vecs = rows.map(_._3)
           val norms = vecs.map(v => math.sqrt(seqDot(v, v)))
@@ -550,8 +588,15 @@ object Dedup {
               var j = 0
               while (j < cIds.length) {
                 if (cIds(j) > ida) {
-                  val c = seqDot(va, cVecs(j)) / (na * cNorms(j))
-                  if (c >= pre) out += ((ida, cIds(j), c))
+                  val d = na * cNorms(j)
+                  // d == 0 → drop (oracle's /0 = NULL); d is NaN → != 0,
+                  // divide, and keep the NaN cosine (oracle keeps NaN).
+                  // See the zero-norm paragraph above.
+                  if (d != 0.0) {
+                    val c = seqDot(va, cVecs(j)) / d
+                    if (c >= pre || java.lang.Double.isNaN(c))
+                      out += ((ida, cIds(j), c))
+                  }
                 }
                 j += 1
               }
@@ -560,9 +605,9 @@ object Dedup {
         }
       }
       .toDF("id_a", "id_b", "cos_raw")
-    pairs
+    Some(pairs
       .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
+      .filter(col("cos_sim") >= threshold))
   }
 
   /** Declarative BNLJ twin of [[embeddingNearDupsKernel]] — the fallback
@@ -583,7 +628,7 @@ object Dedup {
       .withColumn("nb", Similarity.norm(col("vb")))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Similarity.cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")).as("cos_sim"))
+        Similarity.cosineWithNormsSafe(col("va"), col("vb"), col("na"), col("nb")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
@@ -598,9 +643,14 @@ object Dedup {
   def embeddingNearDupsIvf(df: DataFrame, centroids: Array[(Long, Array[Double])],
                            threshold: Double, idCol: String = "vec_id",
                            vecCol: String = "embedding"): DataFrame = {
-    if (fitsKernel(df, idCol))
-      embeddingNearDupsIvfKernel(df, centroids, threshold, idCol, vecCol)
-    else embeddingNearDupsIvfJoin(df, centroids, threshold, idCol, vecCol)
+    // Same double gate as [[embeddingNearDups]]: cheap probe for dispatch,
+    // limit-bounded collect inside the kernel as the TOCTOU backstop.
+    val kernel =
+      if (fitsKernel(df, idCol))
+        embeddingNearDupsIvfKernel(df, centroids, threshold, idCol, vecCol)
+      else None
+    kernel.getOrElse(
+      embeddingNearDupsIvfJoin(df, centroids, threshold, idCol, vecCol))
   }
 
   /** Kernel IVF path: cluster assignment stays in Spark (`ivfAssign`'s
@@ -618,14 +668,14 @@ object Dedup {
   private def embeddingNearDupsIvfKernel(df: DataFrame,
                                          centroids: Array[(Long, Array[Double])],
                                          threshold: Double, idCol: String,
-                                         vecCol: String): DataFrame = {
+                                         vecCol: String): Option[DataFrame] = {
     import graft.similarity.Similarity
     val k = Similarity.ivfAssign(graft.core.Parallelize.fanOut(df, 0L),
         centroids, idCol, vecCol)
       .select(col(idCol).cast("long"), col("cluster_id"),
         kernelVec(col(vecCol)))
       .localCheckpoint(true)
-    pairScoreKernel(k, k, threshold)
+    pairScoreKernel(k, k, threshold, kernelMaxCorpusRows(df))
   }
 
   /** Declarative twin of [[embeddingNearDupsIvfKernel]] — the fallback past
@@ -646,7 +696,7 @@ object Dedup {
     a.join(b, Seq("cluster_id"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("va"), col("vb")).as("cos_sim"))
+        Similarity.cosineSafe(col("va"), col("vb")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 

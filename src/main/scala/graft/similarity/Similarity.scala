@@ -100,6 +100,22 @@ object Similarity {
   def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
     round(dot(a, b) / (na * nb), 6)
 
+  /** [[cosine]] with the DuckDB oracle's zero-norm semantics: division by
+    * a ZERO norm product yields NULL (DuckDB's `x / 0.0`), which a
+    * `>= threshold` filter then drops — instead of ANSI Spark's
+    * DIVIDE_BY_ZERO error (or non-ANSI's NaN, which compares GREATER and
+    * would keep the pair). `try_divide` is the same IEEE division for any
+    * nonzero divisor, so nonzero-norm cosines are bit-identical to
+    * [[cosine]]; a NaN divisor (NaN elements) is nonzero and propagates,
+    * matching the oracle. Used by the near-dup twins, whose broadcast
+    * kernel implements the identical rule imperatively. */
+  def cosineSafe(a: Column, b: Column): Column =
+    round(try_divide(dot(a, b), norm(a) * norm(b)), 6)
+
+  /** [[cosineWithNorms]] with [[cosineSafe]]'s zero-norm semantics. */
+  def cosineWithNormsSafe(a: Column, b: Column, na: Column, nb: Column): Column =
+    round(try_divide(dot(a, b), na * nb), 6)
+
   /** Squared L2 distance, sequential fold. */
   def l2sq(a: Column, b: Column): Column =
     Bridge.toColumn(L2SqDistance(Bridge.toExpr(a), Bridge.toExpr(b)))

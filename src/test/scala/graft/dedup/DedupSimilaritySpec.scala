@@ -227,6 +227,63 @@ class DedupSpec extends SparkSpec {
       Set(org.apache.spark.sql.Row(1L, 2L)))
   }
 
+  test("embeddingNearDups: zero-norm dropped, NaN-element kept — kernel == twin == oracle rule") {
+    import spark.implicits._
+    // The semantics, defined ONCE (Dedup.pairScoreKernel scaladoc) from
+    // the DuckDB oracle's behavior:
+    //  * norm product == 0 (all-zero row 3, all-null-element row 4) →
+    //    DuckDB's /0 yields NULL → the >= filter DROPS the pair. The
+    //    twins get this from try_divide; ANSI Spark's bare `/` would
+    //    instead THROW mid-join, and non-ANSI's NaN would KEEP it — both
+    //    wrong vs the oracle.
+    //  * NaN elements with a NONZERO norm product (row 5: its norm is
+    //    NaN, and NaN ≠ 0) → NaN cosine propagates and compares GREATER
+    //    than the threshold in both engines → pair KEPT.
+    val rows = Seq(
+      (1L, Seq[java.lang.Double](1.0, 0.0)),
+      (2L, Seq[java.lang.Double](1.0, 0.001)),
+      (3L, Seq[java.lang.Double](0.0, 0.0)),
+      (4L, Seq[java.lang.Double](null, null)),
+      (5L, Seq[java.lang.Double](Double.NaN, 1.0)))
+      .toDF("vec_id", "embedding")
+    val kernel = Dedup.embeddingNearDups(rows, "vec_id", "embedding", 0.9)
+    assert(kernel.queryExecution.executedPlan.toString.contains("MapPartitions"),
+      "corpus under the guard must take the kernel path")
+    val bnlj = Dedup.embeddingNearDupsBnlj(rows, "vec_id", "embedding", 0.9)
+    // exceptAll (NaN-safe equality), not collect().toSet — Scala's
+    // Double NaN != NaN would make identical outputs compare unequal.
+    assert(kernel.exceptAll(bnlj).count() == 0L &&
+      bnlj.exceptAll(kernel).count() == 0L)
+    // (1,2) real + NaN-divisor pairs touching row 5: (1,5),(2,5),(3,5),
+    // (4,5) — note (3,5)/(4,5) divisors are 0·NaN = NaN ≠ 0, so they
+    // divide and keep. Zero-divisor pairs (1,3),(1,4),(2,3),(2,4),(3,4)
+    // are dropped.
+    assert(kernel.count() == 5L)
+    assert(kernel.filter(isnan(col("cos_sim"))).count() == 4L)
+    // IVF kernel/twin agree on the same corpus too
+    val centroids = Array((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+    val ivfK = Dedup.embeddingNearDupsIvf(rows, centroids, 0.9, "vec_id", "embedding")
+    val ivfJ = Dedup.embeddingNearDupsIvfJoin(rows, centroids, 0.9, "vec_id", "embedding")
+    assert(ivfK.exceptAll(ivfJ).count() == 0L &&
+      ivfJ.exceptAll(ivfK).count() == 0L)
+  }
+
+  test("pairScoreKernel: driver collect is limit-bounded, None past the guard") {
+    import spark.implicits._
+    // TOCTOU backstop: even when the dispatch-time probe approved the
+    // kernel, the collect itself runs through limit(maxRows + 1) — a
+    // corpus whose re-evaluation exceeds the guard yields None (caller
+    // falls back to the twin) instead of an unbounded driver collect.
+    val k = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.001)),
+      (3L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), lit(0L).as("key"),
+        transform(col("embedding"), x => coalesce(x, lit(0.0))).as("v"))
+    assert(Dedup.pairScoreKernel(k, k, 0.9, maxRows = 2).isEmpty,
+      "3-row corpus must not pass a 2-row guard at collect time")
+    val ok = Dedup.pairScoreKernel(k, k, 0.9, maxRows = 3)
+    assert(ok.isDefined && ok.get.count() == 1L) // the (1,2) pair
+  }
+
   test("embeddingNearDupsIvf: broadcast kernel is bit-identical to the join twin") {
     // Same recipe as q134: real corpus, first 8 vectors as seed centroids,
     // threshold low enough to emit many within-cluster pairs. EXACT
