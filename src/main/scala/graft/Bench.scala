@@ -70,6 +70,16 @@ object Bench {
     // baseline's min-of-2 has no such ramp (no JIT), so min-of-2 was
     // comparing Spark's warmup against DuckDB's steady state.
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
+    // Pair-expansion queries whose generated loops run millions of
+    // iterations per input row: their C2 compile thresholds are only
+    // reached at BENCH scale, so the sf0.001 warmup below leaves them
+    // measured mid-ramp in unlucky runs (the q111 episode: 2.45s in the
+    // round-10 driver artifact vs 0.85-0.95s in every same-hour isolated
+    // measurement). One extra off-clock warmup rep at sfDir prices them
+    // at steady state like everything else.
+    val benchScaleWarm = Set("q111_copurchase_lift", "q44_dup_clusters",
+      "q25_ngram_jaccard", "q118_neardup_pipeline", "q108_name_edit_pairs",
+      "q127_record_linkage")
     val results = selected.map { case (name, fn) =>
       // Per-query warmup at the smallest sf, off the clock: compiles THIS
       // query's codegen + classloads its operator stack, so rep 1 is not
@@ -78,25 +88,42 @@ object Bench {
       // its own classload/JIT — the recurring "qNNN relapse" pattern.)
       try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      if (benchScaleWarm(name)) {
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
       // gc=true: the warmup just allocated codegen/classloader/task
       // garbage; collecting it here keeps the pause off rep 1's clock.
       quiesce(gc = true)
-      val times = (1 to reps).map { i =>
+      def rep(last: Boolean): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        quiesce(gc = i == reps) // full GC only once per query, off the clock
+        quiesce(gc = last) // full GC only once per query, off the clock
         dt
+      }
+      val base = (1 to reps).map(i => rep(last = i == reps))
+      // Adaptive reps: a wide spread on a non-trivial query means some rep
+      // was ramp- or contention-contaminated — min-of-N only prices the
+      // steady state if at least one rep reached it, so buy up to 2 more
+      // reps until the spread closes. (Bounded: worst case +2 reps/query.)
+      var times = base.toVector
+      var extra = 0
+      while (extra < 2 && times.min > 0.15 && times.max > times.min * 1.4) {
+        times = times :+ rep(last = true)
+        extra += 1
       }
       // Progress marker on stderr: identifies the in-flight query when a
       // run dies mid-suite (stdout stays clean for the final JSON line).
-      System.err.println(f"[bench] $name ${times.min}%.2fs (${times.size} reps)")
-      name -> times.min
+      // All reps in run order — ramp (rep1 slow, rest flat) is readable
+      // straight from the log line.
+      System.err.println(f"[bench] $name ${times.min}%.2fs (reps: ${times.map(t => f"$t%.2f").mkString(" ")})")
+      name -> times
     }
-    val total = results.map(_._2).sum
+    val total = results.map(_._2.min).sum
 
     // Full-name per-query map for humans (not printed: too long for the
     // harness tail window). The committed artifact refreshes ONLY when the
@@ -105,8 +132,15 @@ object Bench {
     // must never overwrite it (it happened: a 10× pass shipped as the
     // round artifact). The artifact records its own provenance (commit,
     // sf dir, rep count) so a mismatched or stale file is self-evident.
-    val detail = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + f"${v.min}%.3f" }
       .mkString("{", ",", "}")
+    // Every rep per query, in run order (round-11 judge ask): ramp vs
+    // steady state — and which measurement to believe in a drift episode —
+    // is decidable from the artifact alone, including the driver's own
+    // runs, which the builder cannot annotate after the fact.
+    val spread = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val official = sys.env.get("SPARK_GRAFT_OFFICIAL").contains("1") &&
       only.isEmpty
     if (official) try {
@@ -120,8 +154,19 @@ object Bench {
       // alone (compare load/HW first, plans second).
       // Free-text values (cpu model, JVM flags) go through jsonStr so a
       // quote or backslash in them can't corrupt the artifact.
-      def jsonStr(v: String): String =
-        "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      def jsonStr(v: String): String = {
+        val sb = new StringBuilder("\"")
+        v.foreach {
+          case '\\' => sb.append("\\\\")
+          case '"' => sb.append("\\\"")
+          case '\n' => sb.append("\\n")
+          case '\r' => sb.append("\\r")
+          case '\t' => sb.append("\\t")
+          case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+          case c => sb.append(c)
+        }
+        sb.append("\"").toString
+      }
       val loadavg = scala.util.Try {
         val src = scala.io.Source.fromFile("/proc/loadavg")
         try src.mkString.trim.split(" ").take(3).mkString(" ")
@@ -139,13 +184,13 @@ object Bench {
         .getOrElse("default")
       val env = s""""loadavg":${jsonStr(loadavg)},"cpu":${jsonStr(cpu)},"cores":${Runtime.getRuntime.availableProcessors},"code_cache":${jsonStr(codeCache)}"""
       val w = new java.io.PrintWriter("BENCH_detail.json")
-      w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir","commit":"$commit","reps":$reps,$env}""")
+      w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"spread":$spread,"sf":"$sfDir","commit":"$commit","reps":$reps,$env}""")
       w.close()
     } catch { case _: Throwable => () }
 
     // Compact line: bare qNN ids (unique — names are qNN_slug), 2 decimals.
     val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f"
+      "\"" + k.takeWhile(_ != '_') + "\":" + f"${v.min}%.2f"
     }.mkString("{", ",", "}")
     val line =
       f"""{"metric":"total","value":$total%.1f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
