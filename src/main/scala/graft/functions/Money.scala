@@ -46,6 +46,30 @@ object Money {
     * inputs — see object doc). */
   def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
 
+  /** Call-site audit (round 11, every [[partialUnits]]/[[sumUnitsExact]]
+    * caller in the repo vs the retry-determinism rule below — shuffle-fed
+    * inputs MUST pass `chunkBy`; scan-fed and broadcast-join-fed inputs
+    * replay in deterministic order, so the positional chunk is safe):
+    *
+    * {{{
+    * caller                          input shape                          chunk
+    * ------------------------------- ------------------------------------ --------------------
+    * q01  CoreQueries.scala          lineitem scan (filter pushed)        positional (scan-fed)
+    * q16  CoreQueries.scala          lineitem scan                        positional (scan-fed)
+    * q48  CoreQueries.scala          SMJ output (li⋈orders⋈cust)          chunkBy = l_orderkey*8+l_linenumber ✓
+    * q49  CoreQueries.scala          orders scan + broadcast-only joins   positional (broadcast preserves streamed order)
+    * q57  AdvancedQueries.scala      lineitem scan                        positional (scan-fed)
+    * q98  AnalyticsQueries.scala     lineitem scan                        positional (scan-fed)
+    * q100 AnalyticsQueries.scala     lineitem scan + withColumn (narrow)  positional (scan-fed)
+    * q104 AnalyticsQueries.scala     lineitem scan + unpivot (narrow)     positional (scan-fed)
+    * }}}
+    *
+    * The single shuffle-fed caller (q48) passes a content-derived chunk;
+    * every other input is a scan or a broadcast join over one, whose row
+    * order is retry-stable. A NEW caller feeding a sort-merge-join or
+    * aggregation output must add itself to this table with a `chunkBy`.
+    * MoneySpec pins hash-path parity and the positional-path fan-out. */
+
   /** Rows per long partial: 2²² ≈ 4.2M. See the overflow bound in the
     * object doc. */
   private val ChunkShift = 22

@@ -87,11 +87,10 @@ class PlanRegressionSpec extends AnyFunSuite {
       "correction branch must not add a second fact scan")
     assert(p.contains("ReusedExchange"),
       "correction branch should read the reused partials exchange")
-    // fact exchange + cube exchange + correction SinglePartition exchange
-    // + the ReusedExchange marker, which prints its referenced exchange
-    // on the same line ("ReusedExchange [...], Exchange hashpartitioning")
-    // and so matches twice
-    assert("Exchange".r.findAllIn(p).size == 5)
+    // (No exact Exchange COUNT here: it depended on ReusedExchange's
+    // string rendering matching "Exchange" twice on one line — brittle
+    // against Spark plan-printing/AQE changes. The one-fact-pass property
+    // is fully captured by the single-FileScan + ReusedExchange asserts.)
     // The Expand must sit ABOVE the fact exchange (tree prints top-down):
     // expanding before the partial agg would 4x the fact rows.
     assert(p.indexOf("Expand") < p.indexOf("ReusedExchange"),
