@@ -145,14 +145,21 @@ object Corpus {
     * committing to a vocab size (high OOV ⇒ wasted UNK mass at training).
     * Vocabulary ranking is integer-deterministic (count DESC, term ASC) and
     * the rate is integer ppm (half-up), so the result is engine-exact.
-    * Plan: TF hash-agg → TakeOrdered(k) (distributed top-k, never a global
+    * Plan: tokenize ONCE into per-doc token arrays and checkpoint those
+    * (the regex tokenizer is the per-row heavy step; the vocab branch and
+    * the join branch would otherwise each run it — 2× the dominant cost;
+    * exploding from a materialized array is cheap by comparison); then
+    * TF hash-agg → TakeOrdered(k) (distributed top-k, never a global
     * single-partition window) → broadcast left join (vocab is k rows by
-    * construction — the hint is safe) → per-doc hash-agg. Corpus-linear. */
+    * construction — the hint is safe) → per-doc hash-agg. Corpus-linear;
+    * the checkpoint holds the tokenized corpus in executor storage —
+    * same size class as the input scan, partitioned, never driver-side. */
   def oovRate(docs: DataFrame, idCol: String, textCol: String,
               vocabSize: Int): DataFrame = {
-    val toks = graft.core.Parallelize.fanOut(docs)
-      .select(col(idCol).as("id"),
-        explode(TextOps.tokens(col(textCol))).as("term"))
+    val tokArrays = graft.core.Parallelize.fanOut(docs)
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .localCheckpoint(true)
+    val toks = tokArrays.select(col("id"), explode(col("toks")).as("term"))
     val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("ctf"))
       .orderBy(col("ctf").desc, col("term").asc).limit(vocabSize)
       .select(col("term"), lit(1).as("in_vocab"))
