@@ -628,7 +628,7 @@ object Dedup {
       .withColumn("nb", Similarity.norm(col("vb")))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Similarity.cosineWithNormsSafe(col("va"), col("vb"), col("na"), col("nb")).as("cos_sim"))
+        Similarity.cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
@@ -696,7 +696,7 @@ object Dedup {
     a.join(b, Seq("cluster_id"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Similarity.cosineSafe(col("va"), col("vb")).as("cos_sim"))
+        Similarity.cosine(col("va"), col("vb")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 

@@ -90,30 +90,28 @@ object Similarity {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity rounded to 6 dp (rounding absorbs any last-ulp
-    * divergence between engines' division). */
+    * divergence between engines' division).
+    *
+    * '''Zero-norm semantics — ONE rule for every consumer''' (near-dup
+    * twins, ANN top-k, LSH candidate scoring), taken from the DuckDB
+    * oracle: division by a ZERO norm product yields NULL (DuckDB's
+    * `x / 0.0`) — a `>= threshold` filter then drops the pair, and a
+    * `cos_sim DESC` ranking puts it last (both engines default NULLS
+    * LAST on DESC) — instead of ANSI Spark's DIVIDE_BY_ZERO error (or
+    * non-ANSI's NaN, which compares GREATER and would keep/promote it).
+    * `try_divide` is the same IEEE division for any nonzero divisor, so
+    * nonzero-norm cosines are bit-identical to a bare `/`; a NaN divisor
+    * (NaN elements) is nonzero and propagates, matching the oracle. The
+    * near-dup broadcast kernel implements the identical rule imperatively
+    * (Dedup.pairScoreKernel). */
   def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / (norm(a) * norm(b)), 6)
-
-  /** Cosine from precomputed norms — same float-op sequence as [[cosine]]
-    * (dot / (na * nb)), but the norms are computed once per ROW instead of
-    * once per PAIR: at n² pair volume that deletes two thirds of the work. */
-  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
-    round(dot(a, b) / (na * nb), 6)
-
-  /** [[cosine]] with the DuckDB oracle's zero-norm semantics: division by
-    * a ZERO norm product yields NULL (DuckDB's `x / 0.0`), which a
-    * `>= threshold` filter then drops — instead of ANSI Spark's
-    * DIVIDE_BY_ZERO error (or non-ANSI's NaN, which compares GREATER and
-    * would keep the pair). `try_divide` is the same IEEE division for any
-    * nonzero divisor, so nonzero-norm cosines are bit-identical to
-    * [[cosine]]; a NaN divisor (NaN elements) is nonzero and propagates,
-    * matching the oracle. Used by the near-dup twins, whose broadcast
-    * kernel implements the identical rule imperatively. */
-  def cosineSafe(a: Column, b: Column): Column =
     round(try_divide(dot(a, b), norm(a) * norm(b)), 6)
 
-  /** [[cosineWithNorms]] with [[cosineSafe]]'s zero-norm semantics. */
-  def cosineWithNormsSafe(a: Column, b: Column, na: Column, nb: Column): Column =
+  /** Cosine from precomputed norms — same float-op sequence as [[cosine]]
+    * (dot / (na * nb), identical zero-norm rule), but the norms are
+    * computed once per ROW instead of once per PAIR: at n² pair volume
+    * that deletes two thirds of the work. */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
     round(try_divide(dot(a, b), na * nb), 6)
 
   /** Squared L2 distance, sequential fold. */

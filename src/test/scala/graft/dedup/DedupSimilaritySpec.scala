@@ -428,6 +428,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got.getDouble(0) == 1.0 && got.getDouble(1) == 0.0)
   }
 
+  test("cosine zero-norm rule holds in the ANN paths: NULL, ranked last, never a throw") {
+    import spark.implicits._
+    // Same oracle-defined rule the near-dup twins got in round 11
+    // (norm product 0 → NULL → dropped by thresholds, NULLS LAST under
+    // cos_sim DESC in both engines): the ANN scorers share cosine(), so a
+    // zero vector in a user corpus must rank LAST with a NULL cos_sim —
+    // not blow up the whole job with ANSI DIVIDE_BY_ZERO.
+    val zc = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = rows(Similarity.bruteForceTopK(zc.filter(col("vec_id") === 0), zc, 3))
+      .sortBy(_.getAs[Int]("rank"))
+    assert(got.map(_.getAs[Long]("neighbor_id")) == Seq(1L, 2L),
+      "zero-norm neighbor must still appear, after every real cosine")
+    assert(got.last.isNullAt(got.last.fieldIndex("cos_sim")),
+      "zero-norm cosine must be NULL (the oracle's x/0), not NaN or an error")
+    // and a zero-norm QUERY scores every neighbor NULL instead of throwing
+    val qz = rows(Similarity.bruteForceTopK(zc.filter(col("vec_id") === 2), zc, 2))
+    assert(qz.map(_.getAs[Long]("neighbor_id")).sorted == Seq(0L, 1L) &&
+      qz.forall(_.isNullAt(qz.head.fieldIndex("cos_sim"))))
+  }
+
   test("bruteForceTopK returns k ranked neighbors per query") {
     val emb = graft.core.Tables.load(spark, sf, "embeddings")
     val got = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 2), emb, 3)
