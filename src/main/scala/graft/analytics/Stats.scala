@@ -57,9 +57,14 @@ object Stats {
   private def num: Column = dd(d38(col("n")) * col("sxy") - col("sx") * col("sy"))
   private def denX: Column = dd(d38(col("n")) * col("sxx") - col("sx") * col("sx"))
   private def denY: Column = dd(d38(col("n")) * col("syy") - col("sy") * col("sy"))
-  private def slopeD: Column = num / denX
+  // try_divide (NULL on a zero divisor) is the ORACLE's semantics: a
+  // single-row or constant-x group has denX = 0, where DuckDB's division
+  // yields NULL and the floor-quantization propagates it — ANSI Spark's
+  // bare `/` would instead abort the whole job on one degenerate group.
+  // Nonzero divisors are bit-identical IEEE division either way.
+  private def slopeD: Column = try_divide(num, denX)
   private def interceptD: Column = (dd(col("sy")) - slopeD * dd(col("sx"))) / dd(col("n"))
-  private def corrD: Column = num / (sqrt(denX) * sqrt(denY))
+  private def corrD: Column = try_divide(num, sqrt(denX) * sqrt(denY))
 
   /** Rows whose |z-score| within their group exceeds `thresholdBp/1e4`
     * standard deviations (sample stddev). z is quantized to integer basis
@@ -74,9 +79,13 @@ object Stats {
       .agg(count(lit(1)).as("n"), sum(d38(col("y"))).as("sy"),
         sum(d38(col("y") * col("y"))).as("syy"))
     val meanD = dd(col("sy")) / dd(col("n"))
-    val varD = dd(d38(col("n")) * col("syy") - col("sy") * col("sy")) /
-      dd(d38(col("n")) * (col("n") - lit(1)))
-    val zD = (dd(col("y")) - meanD) / sqrt(varD)
+    // Same oracle-defined edge rule as linearFit: n = 1 zeroes the sample-
+    // variance divisor and a constant group zeroes the variance itself —
+    // DuckDB's division yields NULL there, so the z (and the WHERE on it)
+    // drops the group's rows; ANSI's bare `/` would abort the job instead.
+    val varD = try_divide(dd(d38(col("n")) * col("syy") - col("sy") * col("sy")),
+      dd(d38(col("n")) * (col("n") - lit(1))))
+    val zD = try_divide(dd(col("y")) - meanD, sqrt(varD))
     q.join(broadcast(stats), groupCol)
       .withColumn("z_bp", floor(zD * lit(1e4) + lit(0.5)).cast("long"))
       .where(abs(col("z_bp")) > lit(thresholdBp))

@@ -35,8 +35,11 @@ object TrainingQueries {
         col("doc_id"),
         size(toks).as("n_tokens"),
         TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"),
-        round(aggregate(transform(toks, tk => length(tk)), lit(0L), (a, x) => a + x)
-          .cast("double") / size(toks).cast("double"), 6).as("avg_token_len"))
+        // try_divide: a no-token document divides by zero, where the DuckDB
+        // oracle's bare `/` yields NULL — ANSI Spark would abort the job.
+        round(try_divide(
+          aggregate(transform(toks, tk => length(tk)), lit(0L), (a, x) => a + x)
+            .cast("double"), size(toks).cast("double")), 6).as("avg_token_len"))
     }),
 
     // Quality scoring: stopword/punct ratios + composite score.

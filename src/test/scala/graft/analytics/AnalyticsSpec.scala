@@ -74,6 +74,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("z_bp") > 40000L)
   }
 
+  test("degenerate groups yield NULL stats (the oracle's /0), never an ANSI abort") {
+    // A single-row group zeroes linearFit's denX and zscore's n·(n−1); a
+    // constant group zeroes the variance. DuckDB's division yields NULL
+    // there (q90 keeps the row with NULL measures, q95's WHERE drops the
+    // group) — one bad group must not abort the whole job.
+    val pts = Seq((1L, 5L, "solo"), (0L, 7L, "line"), (1L, 10L, "line"),
+      (2L, 13L, "line")).toDF("x", "y", "g")
+    val fits = Stats.linearFit(pts, Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(fits("line").getAs[Long]("slope_micro") == 3000000L)
+    val solo = fits("solo")
+    assert(solo.isNullAt(solo.fieldIndex("slope_micro")) &&
+      solo.isNullAt(solo.fieldIndex("intercept_micro")) &&
+      solo.isNullAt(solo.fieldIndex("corr_micro")))
+    val z = (Seq((0L, "solo", 5L), (1L, "const", 9L), (2L, "const", 9L)) ++
+      Seq.fill(20)(100L).zipWithIndex.map { case (v, i) => (i + 3L, "t", v) } :+
+      ((24L, "t", 100000L)))
+      .toDF("event_id", "event_type", "y")
+    val out = Stats.zscoreOutliers(z, "event_type", col("y"),
+      Seq("event_id"), thresholdBp = 25000L).collect()
+    assert(out.map(_.getAs[Long]("event_id")).toSeq == Seq(24L),
+      "single-row and zero-variance groups emit no outliers, and no error")
+  }
+
   test("skyline2d keeps the frontier, drops dominated, keeps duplicates") {
     val parts = Seq(
       (1L, 1.0, 10), // frontier (cheapest)

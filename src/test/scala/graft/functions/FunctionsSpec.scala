@@ -127,6 +127,28 @@ class ColumnOpsSpec extends SparkSpec {
 
 class TextOpsSpec extends SparkSpec {
 
+  test("token stats on an empty/whitespace doc: NULL mean length, no ANSI abort") {
+    import spark.implicits._
+    // The q21 formulation: mean token length divides by the token count.
+    // Empty and whitespace-only docs have zero tokens — the DuckDB oracle's
+    // bare `/` yields NULL there, and one such doc must not abort the job
+    // (ANSI DIVIDE_BY_ZERO), so the query divides with try_divide.
+    val df = Seq((1L, "hello world"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val toks = TextOps.tokens(col("text"))
+    val got = rows(df.select(col("doc_id"), size(toks).as("n_tokens"),
+        round(try_divide(
+          aggregate(transform(toks, t => length(t)), lit(0L), (a, x) => a + x)
+            .cast("double"), size(toks).cast("double")), 6).as("avg_token_len"))
+      .orderBy("doc_id"))
+    assert(got.head.getDouble(2) == 5.0)
+    assert(got.tail.forall(r => r.getInt(1) == 0 && r.isNullAt(2)))
+    // the guarded ratio features define the same edge as 0.0 (their
+    // oracles' explicit CASE WHEN len = 0), not NULL — also abort-free
+    val q = rows(df.filter(col("doc_id") === 2L).select(
+      TextOps.stopwordRatio(col("text")), TextOps.punctRatio(col("text")))).head
+    assert(q.getDouble(0) == 0.0 && q.getDouble(1) == 0.0)
+  }
+
   test("wordShingles: distinct n-grams; short docs yield empty") {
     import spark.implicits._
     val df = Seq("a b c d", "a b").toDF("text")
