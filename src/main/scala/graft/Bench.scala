@@ -106,13 +106,23 @@ object Bench {
         dt
       }
       val base = (1 to reps).map(i => rep(last = i == reps))
-      // Adaptive reps: a wide spread on a non-trivial query means some rep
-      // was ramp- or contention-contaminated — min-of-N only prices the
-      // steady state if at least one rep reached it, so buy up to 2 more
-      // reps until the spread closes. (Bounded: worst case +2 reps/query.)
+      // Adaptive reps: min-of-N only prices the steady state if at least
+      // one rep reached it, and the min is trustworthy once a SECOND rep
+      // lands near it. So the trigger is "the two smallest reps disagree
+      // by >1.4×" — not max/min spread, which keeps firing on the classic
+      // [slow-ramp, fast, fast] profile where the min is already
+      // twice-confirmed and two more full bench-scale executions cannot
+      // lower it (on the 10× stress suite that waste is multi-second per
+      // affected query). (Bounded: worst case +2 reps/query.)
+      // (size guard: single-rep runs — the 10× stress recipe — never
+      // buy extra reps, matching the old max/min trigger's behavior.)
+      def minUnconfirmed(ts: Vector[Double]): Boolean = ts.size >= 2 && {
+        val s = ts.sorted
+        s(1) > s(0) * 1.4
+      }
       var times = base.toVector
       var extra = 0
-      while (extra < 2 && times.min > 0.15 && times.max > times.min * 1.4) {
+      while (extra < 2 && times.min > 0.15 && minUnconfirmed(times)) {
         times = times :+ rep(last = true)
         extra += 1
       }
@@ -184,7 +194,10 @@ object Bench {
         .getOrElse("default")
       val env = s""""loadavg":${jsonStr(loadavg)},"cpu":${jsonStr(cpu)},"cores":${Runtime.getRuntime.availableProcessors},"code_cache":${jsonStr(codeCache)}"""
       val w = new java.io.PrintWriter("BENCH_detail.json")
-      w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"spread":$spread,"sf":"$sfDir","commit":"$commit","reps":$reps,$env}""")
+      // "reps_base" is the configured floor; a query's ACTUAL rep count is
+      // its spread-array length (adaptive reps may add up to 2). The old
+      // "reps" name claimed a fixed count the adaptive loop made false.
+      w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"spread":$spread,"sf":"$sfDir","commit":"$commit","reps_base":$reps,$env}""")
       w.close()
     } catch { case _: Throwable => () }
 

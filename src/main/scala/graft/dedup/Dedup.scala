@@ -469,9 +469,10 @@ object Dedup {
       df.select(col(idCol)).limit(max + 1).count() <= max
   }
 
-  /** Broadcast-corpus pair kernel: one `mapPartitions` over the fanned-out
-    * rows scores each against the broadcast (id, vector, norm) arrays in a
-    * primitive-double loop, emitting only near-threshold pairs. The BNLJ
+  /** Broadcast-corpus pair kernel: one `mapPartitions` over an index
+    * range scores each collected row against the broadcast (id, vector,
+    * norm) arrays in a primitive-double loop, emitting only
+    * near-threshold pairs. The BNLJ
     * twin below is ~30× more per-pair overhead, all row plumbing: every
     * joined pair materializes BOTH 64-double vectors into an output row
     * (~1 KB copied per pair) before the dot runs — measured 2.38s vs
@@ -492,12 +493,12 @@ object Dedup {
   private def embeddingNearDupsKernel(df: DataFrame, idCol: String,
                                       vecCol: String,
                                       threshold: Double): Option[DataFrame] = {
-    // fanOut(0): mapPartitions inherits the scan partitioning, so a
-    // single-split embedding table would run all O(n²) dots on one core.
-    // One frame serves both kernel sides (the projection is scan-cheap).
-    val k = graft.core.Parallelize.fanOut(df, 0L)
-      .select(col(idCol).cast("long"), lit(0L), kernelVec(col(vecCol)))
-    pairScoreKernel(k, k, threshold, kernelMaxCorpusRows(df))
+    // No fanOut here (unlike the pre-round-12 shape): the O(n²) loop runs
+    // on the kernel's index-range stream at range parallelism regardless
+    // of the scan's split count, and the collect side only evaluates the
+    // cast/coalesce projection — not worth a corpus-wide shuffle.
+    val k = df.select(col(idCol).cast("long"), lit(0L), kernelVec(col(vecCol)))
+    pairScoreKernel(k, threshold, kernelMaxCorpusRows(df))
   }
 
   /** Element-order dot product — the same IEEE op sequence as
@@ -510,13 +511,19 @@ object Dedup {
     s
   }
 
-  /** Shared broadcast pair kernel over a KEYED corpus. Both inputs must
-    * project exactly (id: long, key: long, vec: array<double>); pairs are
-    * scored only within equal `key` (the exact all-pairs path passes a
-    * constant key, the IVF path passes cluster_id), `id_a < id_b`, cosine
-    * prefiltered at threshold − 1e-6 in the kernel and exact-filtered on
-    * the Spark-rounded column — see [[embeddingNearDupsKernel]]'s scaladoc
-    * for the bit-exactness argument.
+  /** Shared broadcast pair kernel over a KEYED corpus. The input must
+    * project exactly (id: long, key: long, vec: array<double>); it is
+    * collected ONCE (bounded, below) and serves both sides of the
+    * self-pairing — the broadcast carries flat sorted-by-key arrays with
+    * per-row group bounds, and the distributed stream is `spark.range`
+    * over row indices, so tasks ship nothing but range bounds and the
+    * pair loop runs at range parallelism independent of the source
+    * scan's split count. Pairs are scored only within equal `key` (the
+    * exact all-pairs path passes a constant key, the IVF path passes
+    * cluster_id), `id_a < id_b`, cosine prefiltered at threshold − 1e-6
+    * in the kernel and exact-filtered on the Spark-rounded column — see
+    * [[embeddingNearDupsKernel]]'s scaladoc for the bit-exactness
+    * argument.
     *
     * '''Zero-norm semantics (defined once, all three engines agree)''':
     * a pair whose norm product is ZERO (an all-zero or all-null-element
@@ -553,7 +560,6 @@ object Dedup {
     transform(c, x => coalesce(x.cast("double"), lit(0.0)))
 
   private[graft] def pairScoreKernel(corpusKeyed: DataFrame,
-                                     streamKeyed: DataFrame,
                                      threshold: Double,
                                      maxRows: Int): Option[DataFrame] = {
     val spark = corpusKeyed.sparkSession
@@ -563,45 +569,78 @@ object Dedup {
     // cosine the threshold filter removes); na.drop gives the kernel the
     // same semantics instead of an encoder NPE. Null ELEMENTS are handled
     // by [[kernelVec]] in the callers' projections.
-    val collected = corpusKeyed.na.drop("any")
-      .limit(maxRows + 1).as[(Long, Long, Array[Double])].collect()
+    //
+    // The guard limit's collect normally launches partition batches
+    // incrementally (1, then 4×, …) — right for a top-10, pure latency
+    // rounds when the "limit" is a 500k-row guard the corpus rarely hits.
+    // Launch every realistic local partition count in the first round,
+    // restoring the session's setting after (the collect is synchronous).
+    // Measured at sf0.1: one-round vs incremental is ~25ms; Int.MaxValue
+    // here was ~100-200ms WORSE over an AQE exchange, so the value is a
+    // plain 1024, not "infinity".
+    val confKey = "spark.sql.limit.initialNumPartitions"
+    val prev = spark.conf.getOption(confKey)
+    val collected = try {
+      spark.conf.set(confKey, "1024")
+      corpusKeyed.na.drop("any")
+        .limit(maxRows + 1).as[(Long, Long, Array[Double])].collect()
+    } finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
     if (collected.length > maxRows) return None // grew past the guard → twin
-    val byKey: Map[Long, (Array[Long], Array[Array[Double]], Array[Double])] =
-      collected.groupBy(_._2).map { case (k, rows) =>
-          val ids = rows.map(_._1)
-          val vecs = rows.map(_._3)
-          val norms = vecs.map(v => math.sqrt(seqDot(v, v)))
-          k -> ((ids, vecs, norms))
-        }
-    val bc = spark.sparkContext.broadcast(byKey)
+    // ONE flat broadcast, sorted by key with per-row group bounds; the
+    // stream side is `spark.range` over row INDICES. Tasks carry nothing
+    // but range bounds — the vectors ride the broadcast that was needed
+    // anyway — the pair loop runs at range parallelism even when the
+    // source scan was single-split, and the stream cannot diverge from
+    // the corpus under a non-deterministic source: it IS the collected
+    // corpus. (The previous two-sided shape re-evaluated the input plan a
+    // second time for the stream rows, which is also why the IVF caller
+    // had to eagerly localCheckpoint its assignment — and left that
+    // checkpoint stranded when this guard returned None.)
+    val sorted = collected.sortBy(_._2)
+    val ids = sorted.map(_._1)
+    val vecs = sorted.map(_._3)
+    val norms = vecs.map(v => math.sqrt(seqDot(v, v)))
+    val n = sorted.length
+    val groupStart = new Array[Int](n)
+    val groupEnd = new Array[Int](n)
+    var s = 0
+    while (s < n) {
+      var e = s
+      while (e < n && sorted(e)._2 == sorted(s)._2) e += 1
+      var i = s
+      while (i < e) { groupStart(i) = s; groupEnd(i) = e; i += 1 }
+      s = e
+    }
+    val bc = spark.sparkContext.broadcast((ids, vecs, norms, groupStart, groupEnd))
     val pre = threshold - 1e-6
-    val pairs = streamKeyed.na.drop("any")
-      .as[(Long, Long, Array[Double])]
+    val pairs = spark.range(n.toLong)
       .mapPartitions { it =>
-        val groups = bc.value
-        it.flatMap { case (ida, key, va) =>
-          groups.get(key) match {
-            case None => Iterator.empty
-            case Some((cIds, cVecs, cNorms)) =>
-              val na = math.sqrt(seqDot(va, va))
-              val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-              var j = 0
-              while (j < cIds.length) {
-                if (cIds(j) > ida) {
-                  val d = na * cNorms(j)
-                  // d == 0 → drop (oracle's /0 = NULL); d is NaN → != 0,
-                  // divide, and keep the NaN cosine (oracle keeps NaN).
-                  // See the zero-norm paragraph above.
-                  if (d != 0.0) {
-                    val c = seqDot(va, cVecs(j)) / d
-                    if (c >= pre || java.lang.Double.isNaN(c))
-                      out += ((ida, cIds(j), c))
-                  }
-                }
-                j += 1
+        val (cIds, cVecs, cNorms, gs, ge) = bc.value
+        it.flatMap { iL =>
+          val i = iL.toInt
+          val ida = cIds(i)
+          val va = cVecs(i)
+          val na = cNorms(i)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var j = gs(i)
+          while (j < ge(i)) {
+            if (cIds(j) > ida) {
+              val d = na * cNorms(j)
+              // d == 0 → drop (oracle's /0 = NULL); d is NaN → != 0,
+              // divide, and keep the NaN cosine (oracle keeps NaN).
+              // See the zero-norm paragraph above.
+              if (d != 0.0) {
+                val c = seqDot(va, cVecs(j)) / d
+                if (c >= pre || java.lang.Double.isNaN(c))
+                  out += ((ida, cIds(j), c))
               }
-              out
+            }
+            j += 1
           }
+          out
         }
       }
       .toDF("id_a", "id_b", "cos_raw")
@@ -660,22 +699,27 @@ object Dedup {
     * sequence is identical to the twin's `Similarity.cosine` — norms are
     * `sqrt(seq-dot)` of the same vector, just hoisted per row.
     *
-    * fanOut BEFORE assignment so the argmin runs at full width on a
-    * single-split corpus; the eager localCheckpoint materializes the
-    * assignment ONCE for both kernel sides (collect + mapPartitions are
-    * separate actions, so an unchecked plan would evaluate the argmin
-    * twice). */
+    * The assignment evaluates exactly ONCE — in the kernel's bounded
+    * collect; the kernel streams over the collected rows themselves — so
+    * no eager localCheckpoint is needed (the pre-round-12 shape
+    * checkpointed the assignment to keep the collect and the stream-side
+    * re-evaluation consistent, and stranded that checkpoint in executor
+    * storage whenever the TOCTOU guard bailed to the twin). No fanOut
+    * either: the O(pairs) loop runs on the kernel's index range at range
+    * parallelism, so the only work at scan parallelism is the argmin
+    * during the collect — worst case (a single-split corpus AT the 500k
+    * guard ceiling) ~0.5s of single-core argmin, against the ~100ms an
+    * always-on repartition exchange was measured to cost every run at
+    * ordinary sizes. */
   private def embeddingNearDupsIvfKernel(df: DataFrame,
                                          centroids: Array[(Long, Array[Double])],
                                          threshold: Double, idCol: String,
                                          vecCol: String): Option[DataFrame] = {
     import graft.similarity.Similarity
-    val k = Similarity.ivfAssign(graft.core.Parallelize.fanOut(df, 0L),
-        centroids, idCol, vecCol)
+    val k = Similarity.ivfAssign(df, centroids, idCol, vecCol)
       .select(col(idCol).cast("long"), col("cluster_id"),
         kernelVec(col(vecCol)))
-      .localCheckpoint(true)
-    pairScoreKernel(k, k, threshold, kernelMaxCorpusRows(df))
+    pairScoreKernel(k, threshold, kernelMaxCorpusRows(df))
   }
 
   /** Declarative twin of [[embeddingNearDupsIvfKernel]] — the fallback past

@@ -97,8 +97,13 @@ object Similarity {
     * oracle: division by a ZERO norm product yields NULL (DuckDB's
     * `x / 0.0`) — a `>= threshold` filter then drops the pair, and a
     * `cos_sim DESC` ranking puts it last (both engines default NULLS
-    * LAST on DESC) — instead of ANSI Spark's DIVIDE_BY_ZERO error (or
-    * non-ANSI's NaN, which compares GREATER and would keep/promote it).
+    * LAST on DESC) — instead of ANSI Spark's DIVIDE_BY_ZERO error.
+    * (Non-ANSI Spark's `Divide` ALSO returns NULL on a zero divisor —
+    * verified on this Spark: `0.0/0.0` is NULL with ansi=false, never
+    * NaN — so `try_divide` changes behavior only under ANSI, the 4.x
+    * default. NaN enters only through the IMPERATIVE kernel's raw IEEE
+    * division, which is what pairScoreKernel's explicit `d != 0.0`
+    * divisor test is for.)
     * `try_divide` is the same IEEE division for any nonzero divisor, so
     * nonzero-norm cosines are bit-identical to a bare `/`; a NaN divisor
     * (NaN elements) is nonzero and propagates, matching the oracle. The

@@ -46,11 +46,19 @@ object FallbackProbe {
       }
       println(f"$name%-26s $label%-24s min=${ts.min}%.2fs  all=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
-    for ((dir, vecs, guard, reps) <- Seq(
-        ("/tmp/sf1x", "20k", "10000", 2),
-        ("/tmp/emb30x", "60k", "50000", 1))) {
+    // Twin legs lower the guard BELOW the 2k-vec warmup corpus (1000), and
+    // BEFORE the warmup runs: with the guard at 10000/50000 the sf0.1
+    // warmup still fit the kernel, so the twin's codegen/operator stack
+    // entered its measured reps cold — the exact ramp contamination the
+    // bench methodology exists to remove, inflating the round-11 twin
+    // table. With guard=1000 both the warmup and the measured reps
+    // dispatch to the twin (the guard only gates dispatch; the twin path
+    // never reads its value otherwise).
+    for ((dir, vecs, reps) <- Seq(
+        ("/tmp/sf1x", "20k", 2),
+        ("/tmp/emb30x", "60k", 1))) {
       qs.foreach(time(s"kernel  $vecs vecs", _, dir, reps))
-      spark.conf.set("spark.graft.dedup.kernelMaxCorpusRows", guard)
+      spark.conf.set("spark.graft.dedup.kernelMaxCorpusRows", "1000")
       qs.foreach(time(s"twin    $vecs vecs", _, dir, reps))
       spark.conf.unset("spark.graft.dedup.kernelMaxCorpusRows")
     }

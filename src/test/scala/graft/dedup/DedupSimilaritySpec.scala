@@ -234,8 +234,9 @@ class DedupSpec extends SparkSpec {
     //  * norm product == 0 (all-zero row 3, all-null-element row 4) →
     //    DuckDB's /0 yields NULL → the >= filter DROPS the pair. The
     //    twins get this from try_divide; ANSI Spark's bare `/` would
-    //    instead THROW mid-join, and non-ANSI's NaN would KEEP it — both
-    //    wrong vs the oracle.
+    //    instead THROW mid-join (non-ANSI Divide also yields NULL, so
+    //    try_divide only changes the ANSI case; NaN arises solely in the
+    //    kernel's raw IEEE division, guarded by its d != 0 test).
     //  * NaN elements with a NONZERO norm product (row 5: its norm is
     //    NaN, and NaN ≠ 0) → NaN cosine propagates and compares GREATER
     //    than the threshold in both engines → pair KEPT.
@@ -278,9 +279,9 @@ class DedupSpec extends SparkSpec {
       (3L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
       .select(col("vec_id"), lit(0L).as("key"),
         transform(col("embedding"), x => coalesce(x, lit(0.0))).as("v"))
-    assert(Dedup.pairScoreKernel(k, k, 0.9, maxRows = 2).isEmpty,
+    assert(Dedup.pairScoreKernel(k, 0.9, maxRows = 2).isEmpty,
       "3-row corpus must not pass a 2-row guard at collect time")
-    val ok = Dedup.pairScoreKernel(k, k, 0.9, maxRows = 3)
+    val ok = Dedup.pairScoreKernel(k, 0.9, maxRows = 3)
     assert(ok.isDefined && ok.get.count() == 1L) // the (1,2) pair
   }
 

@@ -87,10 +87,18 @@ class PlanRegressionSpec extends AnyFunSuite {
       "correction branch must not add a second fact scan")
     assert(p.contains("ReusedExchange"),
       "correction branch should read the reused partials exchange")
-    // (No exact Exchange COUNT here: it depended on ReusedExchange's
-    // string rendering matching "Exchange" twice on one line — brittle
-    // against Spark plan-printing/AQE changes. The one-fact-pass property
-    // is fully captured by the single-FileScan + ReusedExchange asserts.)
+    // Bound the number of PHYSICAL exchanges: the single-FileScan +
+    // ReusedExchange asserts alone still pass if a refactor inserts an
+    // extra shuffle (e.g. before the cube agg), so a shuffle regression
+    // would ship silently without this. Count operator LINES whose first
+    // token is "Exchange" — a ReusedExchange line renders as
+    // "ReusedExchange [...], Exchange hashpartitioning(...)" and matched a
+    // bare "Exchange" regex twice, which is the brittleness the old exact
+    // count died of; line-anchored counting is stable against it.
+    val realExchanges = p.linesIterator
+      .count(_.dropWhile(!_.isLetter).startsWith("Exchange"))
+    assert(realExchanges <= 3,
+      s"plan grew a new shuffle: $realExchanges physical exchanges")
     // The Expand must sit ABOVE the fact exchange (tree prints top-down):
     // expanding before the partial agg would 4x the fact rows.
     assert(p.indexOf("Expand") < p.indexOf("ReusedExchange"),
