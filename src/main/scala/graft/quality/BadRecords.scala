@@ -17,19 +17,21 @@ import org.apache.spark.sql.types.{StringType, StructType}
   */
 object BadRecords {
 
-  /** Split a JSON source into (good rows — `schema`, quarantine — one
-    * `corrupt_line` string column). */
-  def splitJson(spark: SparkSession, location: String, schema: StructType,
-                options: Map[String, String] = Map.empty)
+  /** The quarantine contract, shared by every format: PERMISSIVE read with
+    * the corrupt line in a reserved side column, one materialization, one
+    * (good, bad) split. `load` supplies the format-specific terminal of
+    * the configured reader, so the contract lives in exactly one place. */
+  private def split(spark: SparkSession, schema: StructType,
+                    options: Map[String, String])
+                   (load: org.apache.spark.sql.DataFrameReader => DataFrame)
       : (DataFrame, DataFrame) = {
     val corruptCol = "__corrupt_record"
     require(!schema.fieldNames.contains(corruptCol), s"$corruptCol is reserved")
-    val parsed = spark.read
-      .schema(schema.add(corruptCol, StringType))
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", corruptCol)
-      .options(options)
-      .json(location)
+    val parsed = load(spark.read
+        .schema(schema.add(corruptCol, StringType))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corruptCol)
+        .options(options))
       .localCheckpoint()
     val good = parsed.filter(col(corruptCol).isNull).drop(corruptCol)
     val bad = parsed.filter(col(corruptCol).isNotNull)
@@ -37,22 +39,16 @@ object BadRecords {
     (good, bad)
   }
 
+  /** Split a JSON source into (good rows — `schema`, quarantine — one
+    * `corrupt_line` string column). */
+  def splitJson(spark: SparkSession, location: String, schema: StructType,
+                options: Map[String, String] = Map.empty)
+      : (DataFrame, DataFrame) =
+    split(spark, schema, options)(_.json(location))
+
   /** Same split for CSV (PERMISSIVE + corrupt-record column). */
   def splitCsv(spark: SparkSession, location: String, schema: StructType,
                options: Map[String, String] = Map.empty)
-      : (DataFrame, DataFrame) = {
-    val corruptCol = "__corrupt_record"
-    require(!schema.fieldNames.contains(corruptCol), s"$corruptCol is reserved")
-    val parsed = spark.read
-      .schema(schema.add(corruptCol, StringType))
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", corruptCol)
-      .options(options)
-      .csv(location)
-      .localCheckpoint()
-    val good = parsed.filter(col(corruptCol).isNull).drop(corruptCol)
-    val bad = parsed.filter(col(corruptCol).isNotNull)
-      .select(col(corruptCol).as("corrupt_line"))
-    (good, bad)
-  }
+      : (DataFrame, DataFrame) =
+    split(spark, schema, options)(_.csv(location))
 }

@@ -78,15 +78,27 @@ object DataQuality {
       case NotNullRule(_, _, cols) => nullOrBlankRows(df, cols)
       case RangeRule(_, _, c, mn, mx) => outOfRangeRows(df, c, mn, mx)
       case FkRule(_, _, cc, parent, pc) => orphanRows(df, cc, parent, pc)
-      case QueryRule(id, _, sql) =>
-        // Unique per-run view name: a hardcoded 'temp' would clobber any
-        // session view of that name and break interleaved DQ runs. Rule SQL
-        // references the table as `temp` (reference contract,
-        // data_quality.py:102); we rewrite that token to the unique name.
-        val view = s"dq_${id.replaceAll("[^A-Za-z0-9_]", "_")}_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-        df.createOrReplaceTempView(view)
-        try spark.sql(sql.replaceAll("\\btemp\\b", view)).count()
-        finally spark.catalog.dropTempView(view)
+      case QueryRule(_, _, sql) =>
+        // The reference contract (data_quality.py:102): rule SQL references
+        // the frame as view `temp`. Register that REAL name rather than a
+        // unique name + token rewrite — the rewrite mangled every
+        // word-boundary 'temp' in the SQL including string literals
+        // (`WHERE category = 'temp'` silently became a different rule) and
+        // missed legal case variants (`FROM TEMP` errored unresolved);
+        // direct registration keeps literals intact and Spark's
+        // case-insensitive resolver handles casing. A pre-existing TEMP
+        // VIEW named temp would be irreversibly clobbered — that is a
+        // configuration conflict; fail loudly. (A permanent table named
+        // temp is only shadowed for the duration of the rule.)
+        val clobbers = Try(spark.catalog.getTable("temp")).toOption
+          .exists(_.isTemporary)
+        require(!clobbers,
+          "QueryRule registers the DataFrame as temp view 'temp' " +
+            "(reference contract), but this session already has a temp " +
+            "view of that name — drop or rename it before running DQ")
+        df.createOrReplaceTempView("temp")
+        try spark.sql(sql).count()
+        finally spark.catalog.dropTempView("temp")
     })
     val rtype = rule match {
       case _: UniqueRule => "unique"
@@ -136,8 +148,13 @@ object DataQuality {
     val dqId = Option(root.get("dq_id")).map(_.asText).getOrElse("dq")
     val it = root.get("rules").elements()
     val rules = Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).map { r =>
+      // filterNot(_.isNull): Jackson returns a present NullNode for an
+      // explicit JSON null, so a bare Option(...) treated "min": null as
+      // Some(0.0) (asDouble of null) and "name": null as the string
+      // "null" — an explicit null must read as absent.
+      def opt(field: String) = Option(r.get(field)).filterNot(_.isNull)
       val id = r.get("rule_id").asText
-      val name = Option(r.get("name")).map(_.asText).getOrElse(id)
+      val name = opt("name").map(_.asText).getOrElse(id)
       def cols = {
         val ce = r.get("columns").elements()
         Iterator.continually(ce).takeWhile(_.hasNext).map(_.next().asText).toSeq
@@ -147,7 +164,7 @@ object DataQuality {
         case "not null" => NotNullRule(id, name, cols)
         case "query" => QueryRule(id, name, r.get("query").asText)
         case "range" => RangeRule(id, name, r.get("column").asText,
-          Option(r.get("min")).map(_.asDouble), Option(r.get("max")).map(_.asDouble))
+          opt("min").map(_.asDouble), opt("max").map(_.asDouble))
         // FkRule needs a parent DataFrame — constructed programmatically,
         // not from JSON config.
         case other => throw new IllegalArgumentException(s"Unknown rule_type '$other'")

@@ -28,20 +28,27 @@ object Profiler {
   }
 
   /** One row per profiled column:
-    * (col_name, n_rows, n_nonnull, n_distinct, min_val, max_val). */
+    * (col_name, n_rows, n_nonnull, n_distinct, min_val, max_val).
+    *
+    * Internal aliases are POSITIONAL (`nn__0`, not `nn__<name>`): a legal
+    * column name that is not a bare SQL identifier (`order-date`, a space,
+    * a quote) would otherwise be spliced into `selectExpr` unquoted and
+    * throw — the name now appears only as an escaped string literal. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: cols.flatMap { name =>
-      val c = col(name)
-      val dt = df.schema(name).dataType
-      Seq(count(c).as(s"nn__$name"),
-        count_distinct(c).as(s"nd__$name"),
-        canon(min(c), dt).as(s"mn__$name"),
-        canon(max(c), dt).as(s"mx__$name"))
+    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: cols.zipWithIndex.flatMap {
+      case (name, i) =>
+        val c = col(name)
+        val dt = df.schema(name).dataType
+        Seq(count(c).as(s"nn__$i"),
+          count_distinct(c).as(s"nd__$i"),
+          canon(min(c), dt).as(s"mn__$i"),
+          canon(max(c), dt).as(s"mx__$i"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(n =>
-      s"'$n', nn__$n, nd__$n, mn__$n, mx__$n").mkString(", ")
+    val stackArgs = cols.zipWithIndex.map { case (n, i) =>
+      s"'${n.replace("'", "''")}', nn__$i, nd__$i, mn__$i, mx__$i"
+    }.mkString(", ")
     one.selectExpr("n_rows",
         s"stack(${cols.size}, $stackArgs) AS (col_name, n_nonnull, n_distinct, min_val, max_val)")
       .select(col("col_name"), col("n_rows"), col("n_nonnull"),

@@ -40,9 +40,13 @@ object Streams {
     * form of the CDC latest-per-key snapshot. State is bounded: a key's
     * entry is dropped once the watermark passes it. */
   def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
-                           watermark: String = "2 hours"): DataFrame =
+                           watermark: String = "2 hours"): DataFrame = {
+    require(keys.nonEmpty, "dedupWithinWatermark needs at least one key " +
+      "column (keyless streaming dedup would collapse the stream to one " +
+      "row per watermark horizon — state it explicitly if that's intended)")
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+  }
 
   /** Stream-stream interval join: `probe` rows match `build` rows of the
     * same key whose event time falls within [probe.ts, probe.ts + within].
@@ -175,39 +179,55 @@ object Streams {
     }
     val batch = batch0.withColumn(UpsertBucketCol,
       pmod(xxhash64(pks.map(col): _*), lit(numBuckets.toLong)).cast("int"))
-    // Buckets this batch touches — bounded by numBuckets, so the collect
-    // is a tiny driver-side set, never O(rows).
-    val touched = batch.select(UpsertBucketCol).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    if (touched.nonEmpty) {
-      // Target layout probe, through the Hadoop FS API so hdfs://, s3a://,
-      // ... resolve correctly (a java.io.File probe would read any remote
-      // target as absent and silently drop history). A bare/leftover empty
-      // dir (failed first batch, eager mkdir) reads as empty.
-      val entries = FsOps.list(spark, targetDir)
-      val hasPartDirs = entries.exists { case (name, isDir, _) =>
-        isDir && baseName(name).startsWith(UpsertBucketCol + "=") }
-      val hasFlat = entries.exists { case (name, isDir, size) =>
-        !isDir && name.endsWith(".parquet") && size > 0 }
-      val existing =
-        if (hasPartDirs)
-          spark.read.schema(batch.schema).parquet(targetDir)
-            .where(col(UpsertBucketCol).isin(touched: _*))
-        else if (hasFlat)
-          spark.read.schema(batch0.schema).parquet(targetDir)
-            .withColumn(UpsertBucketCol, pmod(xxhash64(pks.map(col): _*),
-              lit(numBuckets.toLong)).cast("int"))
-        else batch.limit(0)
-      val staging = s"$targetDir/.graft_staging_$batchId"
-      graft.warehouse.Cdc.snapshot(
-          existing.unionByName(batch), pks, Seq(orderCol))
-        .repartition(col(UpsertBucketCol))
-        .write.mode("overwrite").partitionBy(UpsertBucketCol)
-        .parquet(staging)
-      if (!FsOps.exists(spark, bucketMarker(targetDir)))
-        FsOps.putString(spark, bucketMarker(targetDir), numBuckets.toString)
-      completeSwap(spark, targetDir, staging)
-    }
+      // Two actions read this batch (the touched-bucket collect, then the
+      // merge write); without a persist each re-executes the micro-batch
+      // source plan — double scan per batch on the sink's hot path. The
+      // unpersist below runs before the method returns, so nothing is
+      // parked in the block manager across batches.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Buckets this batch touches — bounded by numBuckets, so the collect
+      // is a tiny driver-side set, never O(rows).
+      val touched = batch.select(UpsertBucketCol).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      if (touched.nonEmpty) {
+        // Target layout probe, through the Hadoop FS API so hdfs://, s3a://,
+        // ... resolve correctly (a java.io.File probe would read any remote
+        // target as absent and silently drop history). A bare/leftover empty
+        // dir (failed first batch, eager mkdir) reads as empty.
+        val entries = FsOps.list(spark, targetDir)
+        val hasPartDirs = entries.exists { case (name, isDir, _) =>
+          isDir && baseName(name).startsWith(UpsertBucketCol + "=") }
+        val hasFlat = entries.exists { case (name, isDir, size) =>
+          !isDir && name.endsWith(".parquet") && size > 0 }
+        val existing =
+          if (hasPartDirs)
+            spark.read.schema(batch.schema).parquet(targetDir)
+              .where(col(UpsertBucketCol).isin(touched: _*))
+          else if (hasFlat)
+            spark.read.schema(batch0.schema).parquet(targetDir)
+              .withColumn(UpsertBucketCol, pmod(xxhash64(pks.map(col): _*),
+                lit(numBuckets.toLong)).cast("int"))
+          else batch.limit(0)
+        // Pin the bucket count BEFORE any write exists that depends on it:
+        // writing the marker after the staging commit left a crash window
+        // (staging + _SUCCESS on disk, no marker) where a restart with a
+        // different numBuckets passed the guard above, completed the old
+        // swap, and then hashed keys into a different layout — exactly the
+        // silent duplication the marker exists to prevent. A marker with no
+        // data yet is harmless: the same-value require passes on replay,
+        // and rebuilding an empty target means deleting the dir anyway.
+        if (!FsOps.exists(spark, bucketMarker(targetDir)))
+          FsOps.putString(spark, bucketMarker(targetDir), numBuckets.toString)
+        val staging = s"$targetDir/.graft_staging_$batchId"
+        graft.warehouse.Cdc.snapshot(
+            existing.unionByName(batch), pks, Seq(orderCol))
+          .repartition(col(UpsertBucketCol))
+          .write.mode("overwrite").partitionBy(UpsertBucketCol)
+          .parquet(staging)
+        completeSwap(spark, targetDir, staging)
+      }
+    } finally batch.unpersist(false)
     ()
   }
 
@@ -226,11 +246,18 @@ object Streams {
 
   /** Per-user session aggregation with an EVENT-TIME idle gap — the
     * `flatMapGroupsWithState` pattern for state Spark's built-in windows
-    * can't express (variable-length sessions). A session closes when the
-    * watermark passes `lastTs + gap`: deterministic and replayable, unlike
-    * wall-clock ProcessingTimeTimeout (which also never lets
-    * `processAllAvailable` settle in tests). State is bounded by the
-    * watermark — no session outlives `gap + watermarkDelay`. */
+    * can't express (variable-length sessions). Sessions split in BOTH
+    * places a gap can appear: inside the data branch (events folded in
+    * event-time order; one whose ts exceeds `lastTs + gap` closes the
+    * running session and opens a new one — a watermark timeout between
+    * two same-user arrivals is NOT guaranteed, so relying on it alone
+    * merged sessions hours apart whenever no other traffic advanced the
+    * clock) and via the event-time timeout (the watermark passing
+    * `lastTs + gap` closes an idle session). `closedAtMs` is always
+    * `lastTs + gap` — a function of the data, not of when the watermark
+    * happened to fire — so output is deterministic under replay and
+    * re-batching. State is bounded by the watermark — no session
+    * outlives `gap + watermarkDelay`. */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000,
                  watermarkDelay: String = "10 seconds"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -243,17 +270,23 @@ object Streams {
             val s = state.get
             state.remove()
             Iterator(SessionOut(userId, s.nEvents, s.sumValue,
-              state.getCurrentWatermarkMs()))
+              s.lastTs + gapMs))
           } else {
-            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
-            val buf = rows.toSeq
-            val next = SessionState(
-              prev.nEvents + buf.size,
-              prev.sumValue + buf.map(_.value).sum,
-              math.max(prev.lastTs, buf.map(_.ts.getTime).maxOption.getOrElse(0L)))
-            state.update(next)
-            state.setTimeoutTimestamp(next.lastTs + gapMs)
-            Iterator.empty
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var cur = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              if (cur.nEvents > 0 && t > cur.lastTs + gapMs) {
+                closed += SessionOut(userId, cur.nEvents, cur.sumValue,
+                  cur.lastTs + gapMs)
+                cur = SessionState(0L, 0.0, 0L)
+              }
+              cur = SessionState(cur.nEvents + 1, cur.sumValue + e.value,
+                math.max(cur.lastTs, t))
+            }
+            state.update(cur)
+            state.setTimeoutTimestamp(cur.lastTs + gapMs)
+            closed.iterator
           }
       }
   }

@@ -82,7 +82,14 @@ object Cdc {
     * and AQE picks broadcast per batch size. Deletes are intentionally NOT
     * closed here (absence from a batch ≠ deletion in incremental feeds);
     * close them explicitly from a [[mergeClassify]] 'D' set if the feed is
-    * a full snapshot. */
+    * a full snapshot.
+    *
+    * PRECONDITION — one row per PK in `updates` (reduce a multi-version
+    * batch with [[snapshot]] first, same as [[classifyChanges]]'s `oldDf`
+    * contract): with k same-key rows of distinct hash, the open branch
+    * emits k simultaneous `is_current` versions and the close join
+    * multiplies the current row k times — silent history corruption, not
+    * an error this method can detect without paying an extra distinct. */
   def scd2Merge(history: DataFrame, updates: DataFrame, pks: Seq[String],
                 asOf: Long): DataFrame = {
     val cur = history.filter(col("is_current"))
@@ -112,17 +119,25 @@ object Cdc {
   /** Delta-style merge classification over a full-outer join: every key
     * becomes exactly one of I (new only), U (both, hash differs),
     * D (old only), N (unchanged). One shuffle on the PK; downstream writers
-    * can split by `change_type` without rescanning. */
+    * can split by `change_type` without rescanning. 'D' rows carry their
+    * PK from the OLD side (their new side is all null after the
+    * full-outer join — dropping the old-side keys uncoalesced used to
+    * emit every delete with a null, indistinguishable key, which made the
+    * scd2Merge doc's "close deletes from the D set" workflow impossible);
+    * non-key columns of a 'D' row remain null, as there is no new row. */
   def mergeClassify(oldDf: DataFrame, newDf: DataFrame,
                     pks: Seq[String]): DataFrame = {
     val o = oldDf.select((pks.map(c => col(c).as(s"o_$c")) :+ col("hashcode").as("old_hashcode")): _*)
     val cond = pks.map(c => col(c) === col(s"o_$c")).reduce(_ && _)
-    newDf.join(o, cond, "full_outer")
+    val classified = newDf.join(o, cond, "full_outer")
       .withColumn("change_type",
         when(col(s"o_${pks.head}").isNull, "I")
           .when(col(pks.head).isNull, "D")
           .when(col("hashcode") =!= col("old_hashcode"), "U")
           .otherwise("N"))
+    pks.foldLeft(classified) { (df, c) =>
+        df.withColumn(c, coalesce(col(c), col(s"o_$c")))
+      }
       .drop((pks.map(c => s"o_$c") :+ "old_hashcode"): _*)
   }
 }

@@ -29,4 +29,14 @@ class ProfilerSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Union"), "profile must not union per-column scans")
   }
+
+  test("profile accepts column names that are not bare SQL identifiers") {
+    import spark.implicits._
+    // Legal DataFrame/parquet names; the old name-spliced selectExpr threw
+    // AnalysisException on the dash (parsed as subtraction) and the quote.
+    val df = Seq((1L, "x"), (2L, "y")).toDF("order-date", "it's")
+    val got = rows(Profiler.profile(df, Seq("order-date", "it's")))
+      .map(r => r.getAs[String]("col_name") -> r.getAs[Long]("n_nonnull")).toMap
+    assert(got == Map("order-date" -> 2L, "it's" -> 2L))
+  }
 }

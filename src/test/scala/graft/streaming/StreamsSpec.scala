@@ -343,4 +343,46 @@ class StreamsSpec extends SparkSpec {
       assert(got.contains(100L -> (2L, 4.0)))
     } finally q.stop()
   }
+
+  test("dedupWithinWatermark refuses empty keys with a clear message") {
+    import spark.implicits._
+    val df = Seq((1L, new java.sql.Timestamp(0L))).toDF("event_id", "ts")
+    val e = intercept[IllegalArgumentException] {
+      Streams.dedupWithinWatermark(df, Seq.empty)
+    }
+    assert(e.getMessage.contains("at least one key"))
+  }
+
+  test("sessionize splits same-user sessions separated by more than the gap") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Streams.Event]
+    val base = 1700000000000L
+    def ev(id: Long, user: Long, v: Double, tsMs: Long) =
+      Streams.Event(id, new java.sql.Timestamp(tsMs), user, "t", v)
+    val q = Streams.sessionize(ms.toDS(), gapMs = 60000, watermarkDelay = "1 second")
+      .writeStream.format("memory").queryName("sess_gap_test")
+      .outputMode("append").start()
+    try {
+      // Two same-user events 2h apart with NO other traffic: the watermark
+      // never fires a timeout between them, so the split must come from the
+      // DATA branch — pre-fix these merged into one 2h "session".
+      ms.addData(ev(1, 100L, 1.0, base))
+      q.processAllAvailable()
+      ms.addData(ev(2, 100L, 2.0, base + 7200000))
+      q.processAllAvailable()
+      // In-batch straddle too: one batch carrying both sides of a gap.
+      ms.addData(ev(3, 300L, 5.0, base + 7200000),
+        ev(4, 300L, 6.0, base + 7200000 + 120000))
+      q.processAllAvailable()
+      val got = rows(spark.table("sess_gap_test"))
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("nEvents"),
+          r.getAs[Double]("sumValue"), r.getAs[Long]("closedAtMs")))
+      assert(got.contains((100L, 1L, 1.0, base + 60000)),
+        s"first session must close at lastTs+gap, got $got")
+      assert(got.contains((300L, 1L, 5.0, base + 7200000 + 60000)),
+        s"in-batch gap must split, got $got")
+    } finally q.stop()
+  }
 }

@@ -75,8 +75,10 @@ class CdcSpec extends SparkSpec {
     val got = rows(Cdc.mergeClassify(old, newDf, Seq("id")))
       .map(r => Option(r.getAs[Any]("id")).map(_.asInstanceOf[Long]) ->
         r.getAs[String]("change_type"))
+    // D rows carry the OLD side's key (a delete must be addressable —
+    // the pre-fix null key made every delete indistinguishable).
     assert(got.toMap == Map(Some(4L) -> "I", Some(3L) -> "U",
-      Some(2L) -> "N", None -> "D")) // id 1 only in old → null new-side key
+      Some(2L) -> "N", Some(1L) -> "D"))
   }
 }
 
@@ -126,6 +128,41 @@ class DataQualitySpec extends SparkSpec {
         |{"rule_id":"r","name":"amt","rule_type":"range","column":"amount","min":0}
         |]}""".stripMargin)
     assert(rules == Seq(RangeRule("r", "amt", "amount", Some(0.0), None)))
+  }
+
+  test("JSON explicit null reads as absent, not zero (Jackson NullNode)") {
+    // "min": null used to parse as Some(0.0) — an open lower bound became
+    // a zero bound and every negative value a violation.
+    val (_, rules) = DataQuality.rulesFromJson(
+      """{"dq_id":"d","rules":[
+        |{"rule_id":"r","name":null,"rule_type":"range","column":"amount","min":null,"max":100}
+        |]}""".stripMargin)
+    assert(rules == Seq(RangeRule("r", "r", "amount", None, Some(100.0))))
+  }
+
+  test("query rule SQL keeps 'temp' string literals and resolves TEMP case-insensitively") {
+    import spark.implicits._
+    val cat = Seq((1, "temp"), (2, "humidity")).toDF("id", "category")
+    // Pre-fix, the \btemp\b token rewrite mangled the LITERAL 'temp' into
+    // the generated view name (rule silently passed on 0 rows), and an
+    // uppercase FROM TEMP failed unresolved. Both must work now.
+    val report = DataQuality.run(spark, cat, "t", Seq(
+      QueryRule("lit", "no temp rows", "SELECT * FROM temp WHERE category = 'temp'"),
+      QueryRule("up", "none over 10", "SELECT * FROM TEMP WHERE id > 10")))
+    val byId = report.results.map(r => r.ruleId -> r).toMap
+    assert(byId("lit").violations == 1 && !byId("lit").passed,
+      s"literal 'temp' must survive: ${byId("lit")}")
+    assert(byId("up").violations == 0 && byId("up").passed,
+      s"FROM TEMP must resolve: ${byId("up")}")
+  }
+
+  test("query rule refuses to clobber a pre-existing temp view named temp") {
+    import spark.implicits._
+    Seq(1).toDF("x").createOrReplaceTempView("temp")
+    try {
+      val r = DataQuality.runRule(spark, df, QueryRule("q", "q", "SELECT * FROM temp"))
+      assert(!r.passed && r.error.exists(_.contains("temp")))
+    } finally spark.catalog.dropTempView("temp")
   }
 
   test("JSON rule config round-trips") {
