@@ -52,8 +52,18 @@ object Basket {
     val dist0 = df.select(col(orderCol).as("o"), col(itemCol).as("p"))
       .repartition(col("o"))
       .distinct()
+    // Gate on the SUM OF LEAF relation sizes, not the analyzed root's
+    // estimate: without CBO stats the root estimate multiplies child
+    // sizes through joins, so a tiny join-derived input could report
+    // >1 GiB and re-enable the exact always-persist regression this gate
+    // exists to avoid. Leaf sizes are real for file relations; inputs
+    // with unknown leaves (LogicalRDD from a checkpoint) read as huge and
+    // conservatively materialize — the safe direction for the 100 TB
+    // case this branch serves.
+    val inputBytes = df.queryExecution.analyzed.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
     val dist =
-      if (df.queryExecution.analyzed.stats.sizeInBytes > RescanMaxInputBytes)
+      if (inputBytes > RescanMaxInputBytes)
         dist0.localCheckpoint()
       else dist0
     // Pair generation stays in codegen'd generators (posexplode + slice

@@ -49,7 +49,11 @@ object Graph {
     * pr'_v = (150000 div N) + Σ contrib. Truncation loss (the classic
     * float-PageRank drift, here made explicit) stays bounded and identical
     * across engines and partitionings — reproducibility the double-valued
-    * formulation can't give.
+    * formulation can't give. The unit bounds the graph: |V| ≤ 1e6 is
+    * required (per-node ppm resolution; see the require below), and above
+    * ~150k nodes the teleport term truncates to 0 so long iteration
+    * chains decay toward the truncation floor — pick a finer unit (in
+    * lockstep with the oracle) for graphs near the bound.
     *
     * Dangling-node simplification: nodes that appear only as `dst` have no
     * out-edges, so the rank mass flowing INTO them is not redistributed —
@@ -78,6 +82,19 @@ object Graph {
     val nN = nodes.count() // scalar metadata (|V|), not a data collect
     if (nN == 0) // empty graph → empty ranks (not a driver-side div-by-zero)
       return nodes.withColumn("pr_ppm", lit(0L)).select(col("node"), col("pr_ppm"))
+    // Representation limit of the ppm unit, enforced loudly: at |V| > 1e6
+    // the uniform init 1e6 div |V| is 0 ppm and every iteration stays 0 —
+    // total silent collapse, not the documented bounded truncation. (And
+    // from |V| > 150k the teleport term 150000 div |V| is already 0, so
+    // rank mass decays toward the truncation floor each iteration.) A
+    // larger graph needs a larger integer unit — which changes emitted
+    // values, i.e. the cross-engine contract — so it must be a deliberate
+    // caller/oracle change, not an automatic one here.
+    require(nN <= 1000000L,
+      s"pagerank's integer-ppm formulation cannot represent per-node rank " +
+        s"for |V| = $nN > 1e6 (init would truncate to 0 ppm for every " +
+        "node). Rescale the unit (e.g. per-billion) together with the " +
+        "reconciliation oracle for graphs this large.")
     val base = 150000L / nN
     var pr = nodes.withColumn("pr", lit(1000000L / nN))
     // The rank vector is |V| rows against |E| edges — broadcast it (the

@@ -29,7 +29,16 @@ object Signal {
     * Exactness: y is integer-quantized by the caller; medians of integers /
     * half-integers are dyadic rationals, exact in doubles; the robust-z is
     * one fixed double expression, floor-quantized to basis points, and the
-    * filter thresholds the integer. */
+    * filter thresholds the integer.
+    *
+    * MAD = 0 groups (a majority of identical values — the classic MAD
+    * degenerate case) are DROPPED WHOLE by `where(mad > 0)`: the robust-z
+    * is undefined there, and this is the ORACLE's edge too (its SQL
+    * carries the same WHERE mad > 0). Callers hunting outliers in
+    * near-constant groups should pre-split those groups and apply an
+    * exact-inequality rule instead — a MAD yardstick of zero cannot rank
+    * them. Same deliberate oracle-defined-edge policy as zscoreOutliers'
+    * single-row groups (Stats.scala). */
   def madOutliers(df: DataFrame, groupCol: String, yq: Column,
                   keepCols: Seq[String], thresholdBp: Long): DataFrame = {
     val q = df.select(

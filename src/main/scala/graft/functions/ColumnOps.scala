@@ -24,10 +24,14 @@ object ColumnOps {
   def nvl(c: Column, default: Any): Column = coalesce(c, lit(default))
 
   /** Truthy/falsy in the loose sense of the documented API: falsy = null,
-    * false, 0, or blank string.
-    */
-  def isFalsy(c: Column): Column =
-    c.isNull || c.cast("string").isin("false", "0", "") || trim(c.cast("string")) === ""
+    * false (any case), numeric zero (in any rendering — 0, 0.0, 0.00,
+    * -0), or blank string. The zero test is a string-level pattern, not a
+    * numeric cast: ANSI Spark's cast throws on non-numeric strings, and
+    * the pattern form restates verbatim in any engine. */
+  def isFalsy(c: Column): Column = {
+    val s = trim(lower(c.cast("string")))
+    c.isNull || s === "" || s === "false" || s.rlike("^-?0+(\\.0+)?$")
+  }
   def isTruthy(c: Column): Column = !isFalsy(c)
 
   /** NULL-safe BETWEEN: null bounds behave as unbounded (docs `nullBetween`). */
@@ -101,7 +105,20 @@ object ColumnOps {
   /** The NUL-canonicalized `~`-joined row string — THE canonical bytes
     * behind [[contentHash]] and [[graft.quality.Checksums.rowHash48]].
     * Shared so the full-md5 and 48-bit-prefix consumers can never desync:
-    * a canonicalization change lands in both or neither. */
+    * a canonicalization change lands in both or neither.
+    *
+    * KNOWN LIMIT — the join is not injective across column boundaries: a
+    * literal `~` inside a value means ("a~b","c") and ("a","b~c") share
+    * bytes, and a literal NUL value collides with SQL NULL, so an update
+    * that only moves such a substring across adjacent columns (or swaps
+    * NUL for NULL) hashes unchanged and CDC reports no change. This is
+    * the standard separator-join trade every hash-diff CDC on delimited
+    * canonicalization makes; closing it needs per-field escaping or a
+    * length channel IN EVERY ORACLE RESTATEMENT TOO (10 committed oracle
+    * SQL twins carry these exact bytes — `chr(0)` + `~`), so it must be
+    * one deliberate cross-cutting change, not a local patch. Callers
+    * whose column values legitimately carry `~`/NUL near boundaries
+    * should pre-escape those columns before hashing. */
   def canonicalJoined(cols: Seq[Column]): Column =
     concat_ws("~", cols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*)
 

@@ -78,15 +78,22 @@ object CharEntropy {
     }
     // Σ nc · floor(ln(nc/n)·1e9 + 0.5), then the half-up integer division
     // to µnats — the quantize-once discipline of the corpus formulation.
+    // Exact long ops (multiplyExact/addExact): |Σ q·nc| can exceed
+    // Long.MaxValue for a high-entropy document past ~0.5 GB of text
+    // (|q| ≈ ln(n)·1e9), and a silent wrap would emit garbage entropy for
+    // exactly the pathological inputs an entropy filter exists to catch —
+    // throw loudly instead. Cost is nil: this loop runs once per DISTINCT
+    // code point (alphabet-bounded), not per character.
     var sSum = 0L
     val it = counts.values().iterator()
     while (it.hasNext) {
       val nc = it.next()(0)
       val q = Math.floor(
         StrictMath.log(nc.toDouble / n.toDouble) * 1e9 + 0.5).toLong
-      sSum += q * nc
+      sSum = Math.addExact(sSum, Math.multiplyExact(q, nc))
     }
-    val microNats = (-sSum * 2L + n * 1000L) / (2L * n * 1000L)
+    val microNats = Math.addExact(Math.multiplyExact(sSum, -2L), n * 1000L) /
+      (2L * n * 1000L)
     new GenericInternalRow(Array[Any](n, microNats.toDouble / 1e6))
   }
 

@@ -272,14 +272,23 @@ object TextOps {
       .otherwise(length(regexp_replace(c, "[a-zA-Z0-9\\s]", "")).cast("double")
         / length(c).cast("double"))
 
+  /** 6-dp quantization that is bit-deterministic across engines:
+    * `floor(x·1e6 + 0.5) / 1e6`. The repo-wide discipline (Stats.scala) —
+    * floor of identical doubles is exact where ROUND(double, 6) goes
+    * through each engine's own decimal rounding (Spark: BigDecimal
+    * HALF_UP on the printed string; DuckDB: float arithmetic) and can
+    * disagree by 1 ulp at a rounding boundary. */
+  def quant6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
   /** Composite heuristic quality score in [0,1]: rewards reasonable length,
     * penalizes stopword stuffing and punctuation noise. Plain double
-    * arithmetic (division + multiplication only) → cross-engine exact. */
+    * arithmetic (division + multiplication only), [[quant6]]-stabilized →
+    * cross-engine exact. */
   def qualityScore(c: Column): Column = {
     val toks = size(tokens(c)).cast("double")
     val lenTerm = least(toks / 100.0, lit(1.0))
-    round(lenTerm * 0.5 + (lit(1.0) - stopwordRatio(c)) * 0.3
-      + (lit(1.0) - punctRatio(c)) * 0.2, 6)
+    quant6(lenTerm * 0.5 + (lit(1.0) - stopwordRatio(c)) * 0.3
+      + (lit(1.0) - punctRatio(c)) * 0.2)
   }
 
   // ---- language ID -------------------------------------------------------

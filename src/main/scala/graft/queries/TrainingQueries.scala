@@ -42,12 +42,14 @@ object TrainingQueries {
             .cast("double"), size(toks).cast("double")), 6).as("avg_token_len"))
     }),
 
-    // Quality scoring: stopword/punct ratios + composite score.
+    // Quality scoring: stopword/punct ratios + composite score. quant6,
+    // not round(double, 6): floor-quantization is the cross-engine-exact
+    // 6-dp form (both engines floor the identical double).
     "q22_quality_score" -> ((s, dir) =>
       graft.core.Parallelize.fanOut(t(s, dir, "documents"), 0L).select(
         col("doc_id"),
-        round(TextOps.stopwordRatio(col("text")), 6).as("stop_ratio"),
-        round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
+        TextOps.quant6(TextOps.stopwordRatio(col("text"))).as("stop_ratio"),
+        TextOps.quant6(TextOps.punctRatio(col("text"))).as("punct_ratio"),
         TextOps.qualityScore(col("text")).as("quality"))),
 
     // Language ID: marker-profile argmax vs the labeled lang column.
@@ -295,13 +297,13 @@ object TrainingQueries {
         |  length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct
         | FROM documents)
         |SELECT doc_id,
-        | round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
-        |   len(list_filter(toks, t -> t IN ('the','a','an','of','and','or','in','on','to','is')))::DOUBLE / len(toks)::DOUBLE END, 6) AS stop_ratio,
-        | round(CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct::DOUBLE / n_chars::DOUBLE END, 6) AS punct_ratio,
-        | round(least(len(toks)::DOUBLE / 100.0, 1.0) * 0.5
+        | FLOOR((CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |   len(list_filter(toks, t -> t IN ('the','a','an','of','and','or','in','on','to','is')))::DOUBLE / len(toks)::DOUBLE END) * 1e6 + 0.5) / 1e6 AS stop_ratio,
+        | FLOOR((CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct::DOUBLE / n_chars::DOUBLE END) * 1e6 + 0.5) / 1e6 AS punct_ratio,
+        | FLOOR((least(len(toks)::DOUBLE / 100.0, 1.0) * 0.5
         |   + (1.0 - CASE WHEN len(toks) = 0 THEN 0.0 ELSE
         |       len(list_filter(toks, t -> t IN ('the','a','an','of','and','or','in','on','to','is')))::DOUBLE / len(toks)::DOUBLE END) * 0.3
-        |   + (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct::DOUBLE / n_chars::DOUBLE END) * 0.2, 6) AS quality
+        |   + (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct::DOUBLE / n_chars::DOUBLE END) * 0.2) * 1e6 + 0.5) / 1e6 AS quality
         |FROM q""".stripMargin,
 
     "q23_lang_id" ->

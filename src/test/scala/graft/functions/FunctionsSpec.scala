@@ -248,4 +248,25 @@ class TextOpsSpec extends SparkSpec {
     val Seq(stuffed, real) = rows(df).map(_.getDouble(0))
     assert(stuffed < real && real <= 1.0 && stuffed >= 0.0)
   }
+
+  test("isFalsy covers every documented falsy rendering, ANSI-safe") {
+    import spark.implicits._
+    import graft.functions.ColumnOps
+    // Documented contract: null, false, numeric zero, blank. Pre-fix,
+    // 0.0 / 0.00 / FALSE read as truthy (only the literal strings
+    // "false"/"0" matched), and a numeric-cast approach would throw
+    // under ANSI on non-numeric strings like "abc".
+    val got = Seq("false", "FALSE", "0", "0.0", "0.00", "-0", "", "  ",
+        "abc", "1", "0.5", "true")
+      .toDF("v").select(col("v"), ColumnOps.isFalsy(col("v")).as("f"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val falsy = Seq("false", "FALSE", "0", "0.0", "0.00", "-0", "", "  ")
+    falsy.foreach(v => assert(got(v), s"'$v' must be falsy"))
+    Seq("abc", "1", "0.5", "true").foreach(v =>
+      assert(!got(v), s"'$v' must be truthy"))
+    // null → falsy (isFalsy itself, not the || chain's null)
+    val nf = Seq[Option[String]](None).toDF("v")
+      .select(ColumnOps.isFalsy(col("v")).as("f")).collect().head.getBoolean(0)
+    assert(nf)
+  }
 }

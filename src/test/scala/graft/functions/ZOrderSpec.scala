@@ -49,8 +49,28 @@ class ZOrderSpec extends SparkSpec {
 
   test("interleave2Sql renders the same formula as text") {
     val sql = ZOrder.interleave2Sql("a", "b", 2)
-    assert(sql.contains("((a >> 0) & 1) << 0"))
-    assert(sql.contains("((b >> 1) & 1) << 3"))
+    assert(sql.contains("((CAST(a AS BIGINT) >> 0) & 1) << 0"))
+    assert(sql.contains("((CAST(b AS BIGINT) >> 1) & 1) << 3"))
     assert(sql.startsWith("(") && sql.endsWith(")"))
+  }
+
+  test("interleave2 stays injective and non-negative past bit 15 on INT inputs") {
+    import spark.implicits._
+    // Pre-widening, IntegerType inputs hit 32-bit shift semantics at
+    // bits >= 16: y's bit 15 landed in the int sign bit and higher
+    // positions wrapped mod 32, colliding distinct pairs. bits=20 over
+    // values near 2^20 exercises exactly that band.
+    val vals = Seq(0, 1, 65535, 65536, 524287, 524288, 1048575)
+    val pairs = for (a <- vals; b <- vals) yield (a, b)
+    val zs = pairs.toDF("x", "y")
+      .select(ZOrder.interleave2(col("x"), col("y"), 20).as("z"))
+      .collect().map(_.getLong(0))
+    assert(zs.distinct.length == pairs.length, "Morton keys must not collide")
+    assert(zs.forall(z => z >= 0 && z < (1L << 40)), "keys must stay in [0, 2^40)")
+    // And the SQL twin computes the identical keys.
+    val viaSql = pairs.toDF("x", "y")
+      .selectExpr(ZOrder.interleave2Sql("x", "y", 20) + " AS z")
+      .collect().map(_.getLong(0))
+    assert(viaSql.toSeq == zs.toSeq)
   }
 }
