@@ -72,6 +72,23 @@ object Model {
     else s
   }
 
+  /** Argument split on `;` that respects single-quoted values: a naive
+    * split turned `in('a;b';'c')` into the wrong literals `'a` / `b'` /
+    * `'c'` (the first two then failed lex's quote-strip and matched raw
+    * quote-bearing strings) — silent mis-filtering, no error. */
+  private def splitArgs(args: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inQ = false
+    args.foreach {
+      case '\'' => inQ = !inQ; sb.append('\'')
+      case ';' if !inQ => out += sb.toString; sb.clear()
+      case ch => sb.append(ch)
+    }
+    out += sb.toString
+    out.toSeq
+  }
+
   /** Parse the reference's predicate mini-language into a Column predicate —
     * ONE canonical parser (the reference has two diverging copies,
     * ITable.py:40-66 vs MetaModel.py:324-346; SURVEY.md §7.4).
@@ -79,7 +96,7 @@ object Model {
     */
   def parsePredicate(c: Column, spec: String): Column = spec match {
     case PredRe(op, args) =>
-      val vals = args.split(";").map(lex).toSeq
+      val vals = splitArgs(args).map(lex)
       op.toLowerCase match {
         case "eq" => c === lit(vals.head)
         case "ne" => c =!= lit(vals.head)
@@ -158,8 +175,14 @@ object Model {
       } yield (child, parent, FkEdge(fkCols, pks(parent),
         opt(r.getAs[String]("fk_table_jointype")).getOrElse("LEFT").toLowerCase))
     }
-    pks.keys.map { t =>
-      t -> TableNode(t, pks(t),
+    // Nodes for EVERY table the csv mentions — including tables that only
+    // appear as fk_table (a pure fact table with no standalone pk row).
+    // Building nodes from pks.keys alone dropped such a table's edges
+    // entirely: joinOrder never discovered its parents and the target was
+    // emitted with the parents' columns silently missing.
+    val allTables = pks.keySet ++ edges.map(_._1)
+    allTables.map { t =>
+      t -> TableNode(t, pks.getOrElse(t, Nil),
         edges.collect { case (c, p, e) if c == t => p -> e }.toMap)
     }.toMap
   }

@@ -50,29 +50,6 @@ object Planner {
     DataReader.read(spark, graft.sources.FileType.fromString(m.srcFiletype),
       m.srcFilePath)
 
-  /** Compile one source table's projection: combined filter first (so it
-    * pushes into the scan), then per-column `cast(udf(col)) as target_col`
-    * (reference: CColumn.py:32-52, ITable.py:125-145). */
-  def projectTable(df: DataFrame, rows: Seq[MetaResult]): DataFrame = {
-    val filters = rows.flatMap(m => m.srcColFilter.map(f =>
-      parsePredicate(col(m.srcCol), f)))
-    val filtered = filters.foldLeft(df)((d, p) => d.filter(p))
-    val cols = rows.map { m =>
-      val base = col(m.srcCol)
-      val withUdf = m.udf.map { u =>
-        udfRegistry.getOrElse(u.toLowerCase,
-          throw new IllegalArgumentException(s"Unknown udf '$u'"))(base, m.udfArguments)
-      }.getOrElse(base)
-      withUdf.cast(toDataType(m.targetColDatatype)).as(m.targetCol)
-    }
-    // Join keys must survive the projection even when not mapped to targets.
-    filtered.select(cols: _*)
-  }
-
-  /** Per-table projection that also carries join-key columns (pk + fk cols
-    * of this table) so the join fold can still see them; they're dropped
-    * after the joins. Key columns are aliased `__key_<table>_<col>` to avoid
-    * colliding with target columns or other tables' keys. */
   /** UDFs whose null-defaulting must run AFTER the join fold: for LEFT-joined
     * parent tables an unmatched row yields NULL in the target column, and the
     * intended (oracle) semantics are post-join COALESCE — applying them here
@@ -80,8 +57,18 @@ object Planner {
     * [[joinAll]]. */
   val postJoinUdfs: Set[String] = Set("nvl")
 
+  /** Compile one source table's projection (the cast-project compiler —
+    * reference: CColumn.py:32-52, ITable.py:125-145): combined filter
+    * first (so it pushes into the scan), then per-column
+    * `cast(udf(col)) as target_col`, PLUS this table's join-key columns
+    * (pk + fk cols) aliased `__key_<table>_<col>` so the join fold can
+    * still see them without colliding with target columns; they're
+    * dropped after the joins. (A keyless variant existed through
+    * round 11 but had no callers and a comment claiming keys survived —
+    * they didn't; this is the one projection path.) */
   def projectWithKeys(df: DataFrame, table: String, rows: Seq[MetaResult],
-                      model: Map[String, TableNode]): DataFrame = {
+                      model: Map[String, TableNode],
+                      mappedTables: Set[String]): DataFrame = {
     val filters = rows.flatMap(m => m.srcColFilter.map(f =>
       parsePredicate(col(m.srcCol), f)))
     val filtered = filters.foldLeft(df)((d, p) => d.filter(p))
@@ -93,15 +80,23 @@ object Planner {
       }.getOrElse(base)
       withUdf.cast(toDataType(m.targetColDatatype)).as(m.targetCol)
     }
-    val keyCols = keyColumnsOf(table, model).map(c =>
+    val keyCols = keyColumnsOf(table, model, mappedTables).map(c =>
       col(c).as(s"__key_${table}_$c"))
     filtered.select(targetCols ++ keyCols: _*)
   }
 
-  /** pk columns + any fk columns this table uses to reach parents. */
-  def keyColumnsOf(table: String, model: Map[String, TableNode]): Seq[String] =
-    model.get(table).map(n => (n.pk ++ n.parents.values.flatMap(_.childCols)).distinct)
-      .getOrElse(Nil)
+  /** pk columns + the fk columns this table uses to reach parents THAT THE
+    * TARGET MAPS (`mappedTables`): the join fold only traverses edges
+    * among mapped tables, and demanding an fk column for an unmapped
+    * model ancestor would fail analysis on sources that don't carry it —
+    * valid metadata, never-used edge. */
+  def keyColumnsOf(table: String, model: Map[String, TableNode],
+                   mappedTables: Set[String]): Seq[String] =
+    model.get(table).map { n =>
+      (n.pk ++ n.parents.collect {
+        case (p, e) if mappedTables(p) => e.childCols
+      }.flatten).distinct
+    }.getOrElse(Nil)
 
   /** Fold the BFS join order into one DataFrame plan (reference J1/J2:
     * MetaModel.py:129-182 + ETLTransform.py:53-62). Join condition per edge:
@@ -110,7 +105,13 @@ object Planner {
     * the reference could only ever emit SQL text and hope. */
   def joinAll(tables: Map[String, DataFrame], model: Map[String, TableNode],
               mainTable: String): DataFrame = {
-    val order = joinOrder(model, mainTable)
+    // Restrict the BFS order to tables THIS target actually maps: the
+    // datamodel graph may declare further ancestors (valid metadata), and
+    // folding over an unmapped one both crashed on the tables() lookup
+    // and would have joined a table contributing no output columns. A
+    // mapped table reachable only through unmapped ones still fails
+    // loudly below ("No FK edge"), which is the right behavior.
+    val order = joinOrder(model, mainTable).filter(tables.contains)
     val joined = order.tail.foldLeft(tables(mainTable)) { (acc, parent) =>
       // Find the already-joined child that references this parent.
       val (child, edge) = order.take(order.indexOf(parent))
@@ -159,7 +160,8 @@ object Planner {
     val byTable = rows.groupBy(_.srcTable)
     val mainTable = rows.minBy(_.srcTableOrder).srcTable
     val projected = byTable.map { case (tbl, tblRows) =>
-      tbl -> projectWithKeys(sources(tbl), tbl, tblRows, catalog.model)
+      tbl -> projectWithKeys(sources(tbl), tbl, tblRows, catalog.model,
+        byTable.keySet)
     }
     val joined =
       if (projected.size == 1) {

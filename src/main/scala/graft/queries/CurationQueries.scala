@@ -60,7 +60,7 @@ object CurationQueries {
         |      FROM c CROSS JOIN t)
         |SELECT d.doc_id, d.source, CAST(r.rate_ppm AS BIGINT) AS rate_ppm
         |FROM documents d JOIN r USING (source)
-        |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |WHERE (('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), chr(0) || 'null')), 1, 15))::BIGINT
         |       % 2147483647) % 1000000 < rate_ppm""".stripMargin,
 
     "q116_benford" ->

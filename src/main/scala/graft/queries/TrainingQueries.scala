@@ -507,7 +507,7 @@ object TrainingQueries {
 
     "q54_hash_sample" ->
       s"""SELECT doc_id, lang FROM documents
-         |WHERE ${h31("CAST(doc_id AS VARCHAR)")} % 100 < 20""".stripMargin,
+         |WHERE ${h31("COALESCE(CAST(doc_id AS VARCHAR), chr(0) || 'null')")} % 100 < 20""".stripMargin,
 
     "q55_stratified_quota" ->
       s"""SELECT doc_id, lang FROM (

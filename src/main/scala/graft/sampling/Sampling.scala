@@ -16,12 +16,22 @@ import graft.functions.TextOps
   */
 object Sampling {
 
+  /** NULL-safe key rendering for hash membership: a bare cast leaves NULL
+    * keys with a NULL hash, and `NULL % 100 < pct` is NULL — the filter
+    * silently dropped NULL-keyed rows at EVERY rate, including a "100%
+    * sample". NULL coalesces to a sentinel, so such rows form one
+    * coherent hash key (kept or dropped together, subset-monotone like
+    * any other key). Oracle restatements mirror it as
+    * `COALESCE(CAST(k AS VARCHAR), chr(0) || 'null')`. */
+  private def keyStr(c: Column): Column =
+    coalesce(c.cast("string"), lit("\u0000null"))
+
   /** Keep rows whose stable key hash lands below `percent` (0-100) of the
     * hash space. md5-derived ([[TextOps.h31]]) — engine-agnostic, so the
     * same sample reproduces in any system that can compute md5. */
   def hashSample(df: DataFrame, keyCol: Column, percent: Int): DataFrame = {
     require(percent >= 0 && percent <= 100, s"percent out of range: $percent")
-    df.filter(TextOps.h31(keyCol.cast("string")) % 100 < percent)
+    df.filter(TextOps.h31(keyStr(keyCol)) % 100 < percent)
   }
 
   /** Deterministic stratified quota: at most `k` rows per stratum, chosen
@@ -57,7 +67,7 @@ object Sampling {
       least(lit(1000000L),
         expr("(n_tot * 1000000) div (n_src * n_s)")).as("rate_ppm"))
     df.join(broadcast(rates), srcKey === col("__src"))
-      .where(TextOps.h31(keyCol.cast("string")) % 1000000L < col("rate_ppm"))
+      .where(TextOps.h31(keyStr(keyCol)) % 1000000L < col("rate_ppm"))
       .drop("__src")
   }
 

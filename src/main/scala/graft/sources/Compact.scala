@@ -34,7 +34,11 @@ object Compact {
       !d && n.endsWith(".parquet") }
     require(before.nonEmpty, s"no parquet files under $dir")
     val totalBytes = before.map(_._3).sum
-    val n = math.max(1, ((totalBytes + targetBytes - 1) / targetBytes).toInt)
+    // Overflow-safe ceil-div: `(total + target - 1)` wraps negative for
+    // targetBytes near Long.MaxValue (a legitimate "one file" request),
+    // yielding a garbage file count; `(total - 1) / target + 1` stays in
+    // range for every total >= 0.
+    val n = math.max(1, ((totalBytes - 1) / targetBytes + 1).toInt)
     val tmp = s"$dir.__compact_tmp"
     FsOps.delete(spark, tmp)
     // round-robin repartition: even file sizes regardless of key skew

@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.util.LongAccumulator
 
@@ -60,16 +58,26 @@ object DistributedFetch {
     val okCount: LongAccumulator = spark.sparkContext.longAccumulator("fetch_ok")
     val dest = spark.sparkContext.broadcast(destDir)
     val names = spark.sparkContext.broadcast(destNames(uris))
+    // Writes go through the Hadoop FileSystem API with the SESSION's conf
+    // (same pattern as ZipIngest.writeZipMembers): java.nio only reaches
+    // the executor's local disk, so an hdfs:///s3a:// destDir became a
+    // literal local directory name, payloads scattered across executor
+    // working dirs, and the FetchResults still reported ok=true — data
+    // loss disguised as success on any real cluster.
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     val n = math.max(1, math.min(parallelism, uris.size))
     spark.createDataset(uris.distinct).repartition(n)
       .mapPartitions { it =>
         // per-partition client init would go here (amortized across URIs)
+        val conf = serConf.value
         it.map { uri =>
           try {
             val bytes = fetcher(uri)
-            val target = Paths.get(dest.value, names.value(uri))
-            Files.createDirectories(target.getParent)
-            Files.write(target, bytes)
+            val target =
+              new org.apache.hadoop.fs.Path(dest.value, names.value(uri))
+            val os = target.getFileSystem(conf).create(target, true)
+            try os.write(bytes) finally os.close()
             okCount.add(1)
             FetchResult(uri, target.toString, bytes.length.toLong, ok = true, None)
           } catch {

@@ -40,8 +40,14 @@ object ZipIngest {
     try {
       var e = zin.getNextEntry
       while (e != null) {
-        if (!e.isDirectory && filter.matches(e.getName))
-          out += ZipMember(archive, e.getName, e.getSize, zin.readAllBytes())
+        if (!e.isDirectory && filter.matches(e.getName)) {
+          // sizeBytes from the MATERIALIZED content, not e.getSize: the
+          // header size is -1 for streaming (data-descriptor) zips —
+          // including archives writeZipMembers itself produces — because
+          // ZipInputStream only learns the size AFTER the entry is read.
+          val content = zin.readAllBytes()
+          out += ZipMember(archive, e.getName, content.length.toLong, content)
+        }
         zin.closeEntry()
         e = zin.getNextEntry
       }

@@ -101,6 +101,56 @@ class MetaPlannerSpec extends SparkSpec {
       Seq((1001, 3L), (1002, 1L), (1004, 1L)))
   }
 
+  test("fact table appearing only as fk_table still gets its edges") {
+    // No standalone `purchase,...` row: purchase exists only as fk_table.
+    // Pre-fix, loadDataModel built nodes from the `table` column alone, so
+    // purchase had no node, its edges were dropped, and the invoice target
+    // silently lost every parent column — wrong data, no error.
+    val d = java.nio.file.Files.createTempDirectory("graft-meta-fkonly").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$d/datamodel.csv"),
+      """table,pk,fk_table,fk_col,fk_table_jointype
+        |product,id,purchase,productid,LEFT
+        |store,id,purchase,storeid,INNER
+        |""".stripMargin)
+    val model = Model.loadDataModel(spark, s"$d/datamodel.csv")
+    assert(model.contains("purchase"), "child-only table must get a node")
+    assert(model("purchase").parents.keySet == Set("product", "store"))
+    assert(Model.joinOrder(model, "purchase") == Seq("purchase", "product", "store"))
+    // End-to-end: same invoice rows as with the standalone purchase row.
+    val out = Planner.transformAll(spark, s"$dir/meta.csv", s"$d/datamodel.csv")
+    val invoice = rows(out("invoice").orderBy(col("purchase_id")))
+    assert(invoice.map(_.getAs[Int]("purchase_id")) == Seq(10, 11, 12, 14))
+    assert(invoice.head.getAs[String]("product_name") == "Apple")
+  }
+
+  test("an unmapped model ancestor neither crashes the fold nor demands its fk column") {
+    // category is a declared parent of product, but no target maps it and
+    // product.csv carries no categoryid column. Pre-fix, joinAll folded
+    // over the full BFS order and crashed on tables("category"); and the
+    // key projection demanded product.categoryid, failing analysis.
+    val d = java.nio.file.Files.createTempDirectory("graft-meta-anc").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$d/datamodel.csv"),
+      """table,pk,fk_table,fk_col,fk_table_jointype
+        |product,id,purchase,productid,LEFT
+        |store,id,purchase,storeid,INNER
+        |category,id,product,categoryid,LEFT
+        |purchase,id,,,
+        |""".stripMargin)
+    val out = Planner.transformAll(spark, s"$dir/meta.csv", s"$d/datamodel.csv")
+    val invoice = rows(out("invoice").orderBy(col("purchase_id")))
+    assert(invoice.map(_.getAs[Int]("purchase_id")) == Seq(10, 11, 12, 14))
+  }
+
+  test("predicate args split respects quoted semicolons") {
+    import spark.implicits._
+    val df = Seq("a;b", "c", "a", "b'").toDF("v")
+    val got = rows(df.filter(Model.parsePredicate(col("v"), "in('a;b';'c')")))
+      .map(_.getString(0)).sorted
+    assert(got == Seq("a;b", "c"), s"quoted ';' must not split: $got")
+  }
+
   test("aggregate honors HAVING via aggregatorFilter") {
     val meta = Seq(
       MetaResult("purchase", "csv", s"$dir/purchase.csv", "storeid", "int", None,

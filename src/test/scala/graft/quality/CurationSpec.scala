@@ -35,6 +35,19 @@ class CurationSpec extends SparkSpec {
     assert(again == kept.select("id").as[Long].collect().toSet)
   }
 
+  test("hashSample keeps NULL-keyed rows: a 100% sample loses nothing") {
+    import spark.implicits._
+    import graft.sampling.Sampling
+    // Pre-fix, h31(NULL) was NULL and `NULL % 100 < pct` filtered the row
+    // out at EVERY rate — a "100% sample" silently lost NULL-keyed rows.
+    val df = Seq(Some("a"), Some("b"), None, None).toDF("k")
+    assert(Sampling.hashSample(df, col("k"), 100).count() == 4L)
+    // NULL keys form ONE coherent hash key: all-in or all-out per rate.
+    val nulls = Sampling.hashSample(df, col("k"), 50)
+      .filter(col("k").isNull).count()
+    assert(nulls == 0L || nulls == 2L)
+  }
+
   test("benford reads leading digits from decimal strings, exact ppm") {
     val df = Seq(123L, 19L, 2L, 25L, 999L, 0L, 1L).toDF("y") // 0 excluded
     val got = Stats.benford(df, col("y"))

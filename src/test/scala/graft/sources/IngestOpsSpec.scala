@@ -27,6 +27,10 @@ class ZipIngestSpec extends SparkSpec {
 
     val all = ZipIngest.readZipMembers(spark, dir.toString).collect()
     assert(all.length == 4)
+    // sizeBytes must come from the materialized content: the zip header's
+    // getSize is -1 for streaming (data-descriptor) archives.
+    assert(all.forall(m => m.sizeBytes == m.content.length.toLong),
+      s"sizeBytes must match content: ${all.map(m => m.member -> m.sizeBytes).toSeq}")
 
     val xml = ZipIngest.readZipMembers(spark, dir.toString,
       ZipIngest.NameFilter(suffix = Some(".xml"))).collect()
