@@ -59,6 +59,12 @@ object AsOfJoin {
     require(!left.columns.exists(reserved), s"left columns collide with " +
       s"asofJoin internals: ${left.columns.filter(reserved).mkString(", ")}")
     require(!rightCols.contains("__rts"), "__rts is reserved in rightCols")
+    // Enforce the documented no-collision precondition loudly: emitting a
+    // frame with duplicate column names only blows up (ambiguous
+    // reference) at the caller's NEXT use, far from the true call site.
+    val collide = rightCols.filter(left.columns.toSet)
+    require(collide.isEmpty,
+      s"rightCols collide with left's columns: ${collide.mkString(", ")}")
     val leftOut = left.columns.toSeq
     // Key struct fields named positionally so unionByName sees the same
     // nested names on both sides.
@@ -67,7 +73,11 @@ object AsOfJoin {
     // The matched right timestamp rides inside the payload (µs) so the
     // tolerance can be applied after the window without a second join.
     def micros(c: Column) = unix_micros(c.cast("timestamp"))
-    val rSel = right.select(
+    // A right row with a NULL timestamp can never be an as-of match (every
+    // native ASOF's NULL comparison is false) — but under `asc` it would
+    // SORT FIRST, so the running last() attached its payload to every left
+    // row preceding the first real right row. Filter it out of the union.
+    val rSel = right.where(col(rightTs).isNotNull).select(
       keyStruct(rightKeys).as("__k"),
       col(rightTs).as("__ts"),
       lit(0).as("__side"),
@@ -94,6 +104,12 @@ object AsOfJoin {
     val matched = lSel.unionByName(rAligned)
       .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+      // A NULL-timestamp LEFT row matches nothing either: under `desc`
+      // (forward) it sorts after every right row and the running last()
+      // would hand it the final payload — null it explicitly.
+      .withColumn("__match",
+        when(col("__ts").isNull, lit(null).cast(payloadType))
+          .otherwise(col("__match")))
     val bounded = toleranceUs match {
       case None => matched
       case Some(tol) =>

@@ -23,9 +23,18 @@ object Pareto {
   /** Rows of `df` on the (min `xName`, min `yName`) Pareto frontier,
     * original schema preserved. The window runs over one row per distinct
     * x value — if x is near-unique at your scale, pre-bucket x or use the
-    * range-partitioned variant of this scan instead. */
+    * range-partitioned variant of this scan instead.
+    *
+    * NULL objectives: a row with NULL x or y is EXCLUDED, explicitly and
+    * in both formulations — a row with an unknown objective cannot be
+    * certified non-dominated. (Without the explicit filter the two
+    * formulations DISAGREED: the semi-join's null comparison dropped such
+    * rows while a bare NOT EXISTS kept them, since every dominance
+    * comparison against NULL is NULL.) The oracle carries the matching
+    * IS NOT NULL predicates. */
   def skyline2d(df: DataFrame, xName: String, yName: String): DataFrame = {
-    val perX = df.groupBy(col(xName)).agg(min(col(yName)).as("_sky_y"))
+    val defined = df.where(col(xName).isNotNull && col(yName).isNotNull)
+    val perX = defined.groupBy(col(xName)).agg(min(col(yName)).as("_sky_y"))
     val w = Window.orderBy(col(xName)).rowsBetween(Window.unboundedPreceding, -1)
     // x survives iff its best y strictly beats every cheaper x's best y;
     // within a surviving x only the best-y rows survive (same-x rows with
@@ -34,8 +43,8 @@ object Pareto {
       .withColumn("_prev_min", min(col("_sky_y")).over(w))
       .where(col("_prev_min").isNull || col("_sky_y") < col("_prev_min"))
       .select(col(xName).as("_sky_x"), col("_sky_y"))
-    df.join(front,
-        df.col(xName) === col("_sky_x") && df.col(yName) === col("_sky_y"))
-      .select(df.columns.map(df.col): _*)
+    defined.join(front,
+        defined.col(xName) === col("_sky_x") && defined.col(yName) === col("_sky_y"))
+      .select(df.columns.map(defined.col): _*)
   }
 }

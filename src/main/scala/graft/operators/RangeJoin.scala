@@ -32,13 +32,26 @@ object RangeJoin {
                       intervalCols: Seq[String],
                       bucketMicros: Long = 3600L * 1000000L): DataFrame = {
     require(pointKeys.length == intervalKeys.length, "key arity mismatch")
+    // Bucket ids via INTEGER division (`div`), not double `floor(x / b)`:
+    // long/long widens to double, and past ~2^53 µs the quotient's
+    // rounding error exceeds the bucket spacing, so a boundary point
+    // could land in a bucket the enclosing interval never explodes to —
+    // a silently missing inner-join row (the residual predicate only
+    // removes false positives, it can't recover false negatives). Any
+    // MONOTONE integer bucketing is correct as long as both sides share
+    // it; `div` (truncation) is monotone and exact at every magnitude.
+    def bucketOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      org.apache.spark.sql.graft.Bridge.toColumn(
+        new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.graft.Bridge.toExpr(c),
+          org.apache.spark.sql.catalyst.expressions.Literal(bucketMicros)))
     val p = points
-      .withColumn("__bucket", floor(unix_micros(col(tsCol)) / bucketMicros))
+      .withColumn("__bucket", bucketOf(unix_micros(col(tsCol))))
     val iv = intervals
       .filter(col(endCol) > col(startCol))
       .withColumn("__bucket", explode(sequence(
-        floor(unix_micros(col(startCol)) / bucketMicros),
-        floor((unix_micros(col(endCol)) - 1) / bucketMicros))))
+        bucketOf(unix_micros(col(startCol))),
+        bucketOf(unix_micros(col(endCol)) - 1))))
       .select((intervalKeys.map(col) :+ col("__bucket") :+
         col(startCol) :+ col(endCol)) ++ intervalCols.map(col): _*)
     val keyCond = pointKeys.zip(intervalKeys)

@@ -43,11 +43,18 @@ object TopK {
 
   /** A Filter over key columns only commutes with per-key top-k (it drops
     * whole groups, never reorders within one) — pushing it below the top-k
-    * lets it keep sinking toward the scan, where it belongs. */
+    * lets it keep sinking toward the scan, where it belongs.
+    *
+    * Sound only against keys that ARE bare attributes: for a derived key
+    * (`a % 2`) a filter on `a` does NOT drop whole groups — it removes
+    * group MEMBERS, changing which rows are the group's top-k — so the
+    * old references-of-keys test (which accepted `a` because the derived
+    * key referenced it) silently changed query results. */
   object PushFilterThroughTopK extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
       case f @ Filter(cond, t: TopKPerKeyNode)
-          if cond.references.subsetOf(AttributeSet(t.keys.flatMap(_.references)))
+          if cond.references.subsetOf(
+              AttributeSet(t.keys.collect { case a: Attribute => a }))
             && cond.deterministic =>
         t.copy(child = Filter(cond, t.child))
     }
@@ -69,7 +76,18 @@ object TopK {
     * partitioning the child has (map-side pre-reduction); the final node
     * declares `ClusteredDistribution(keys)`, so EnsureRequirements inserts
     * the hash exchange between the two — the partial/final contract of
-    * HashAggregateExec, reused for rank semantics. */
+    * HashAggregateExec, reused for rank semantics.
+    *
+    * MEMORY ENVELOPE (deliberate, unspilled): each task holds one
+    * ≤k-element heap per distinct key seen in its partition — O(distinct
+    * keys in partition × k) copied UnsafeRows outside the
+    * TaskMemoryManager, with no spill path. That is the right trade for
+    * the operator's target shape (modest key cardinality per partition ×
+    * huge row counts — the case where the window formulation ships and
+    * sorts EVERY row); for extreme per-partition key cardinality where k
+    * rows/key ≈ all rows (top-k degenerating to a full pass-through),
+    * the spilling row_number window formulation is the right tool —
+    * the partial phase cannot reduce what has nothing to drop. */
   final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
                                   k: Int, partial: Boolean, child: SparkPlan)
       extends UnaryExecNode {
@@ -129,10 +147,28 @@ object TopK {
     def attr(n: String): Attribute = plan.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(
         s"column $n not in ${plan.output.map(_.name).mkString(", ")}"))
+    // Float/double grouping keys are normalized (−0.0 → 0.0 via `+ 0.0`,
+    // NaN bit patterns canonicalized via NaNvl): the custom node sits
+    // outside Spark's NormalizeFloatingNumbers rule, so un-normalized
+    // keys would split one logical group across exchange partitions AND
+    // byte-equality HashMap buckets — up to 2k rows for the single key
+    // 0.0, diverging from the row_number window formulation this
+    // operator documents as interchangeable. (Emitted ROWS are the
+    // child's rows, untouched — only the grouping projection normalizes.)
+    import org.apache.spark.sql.catalyst.expressions.{Add, Literal, NaNvl}
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    def keyExpr(n: String): Expression = {
+      val a = attr(n)
+      a.dataType match {
+        case DoubleType => NaNvl(Add(a, Literal(0.0)), Literal(Double.NaN))
+        case FloatType => NaNvl(Add(a, Literal(0.0f)), Literal(Float.NaN))
+        case _ => a
+      }
+    }
     val order = orderBy.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending)
     }
     org.apache.spark.sql.graft.Bridge.ofRows(df.sparkSession,
-      TopKPerKeyNode(keys.map(attr), order, k, plan))
+      TopKPerKeyNode(keys.map(keyExpr), order, k, plan))
   }
 }

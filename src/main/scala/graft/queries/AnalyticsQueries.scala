@@ -479,7 +479,8 @@ object AnalyticsQueries {
     "q96_pareto" ->
       """SELECT p.p_partkey, p.p_retailprice, p.p_size
         |FROM part p
-        |WHERE NOT EXISTS (
+        |WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+        |  AND NOT EXISTS (
         |  SELECT 1 FROM part q
         |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
         |    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))""".stripMargin,

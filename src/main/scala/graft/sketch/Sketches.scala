@@ -78,6 +78,13 @@ object Sketches {
     val nu = a.select(col(valueCol)).unionByName(b.select(col(valueCol)))
       .agg(hll_sketch_estimate(hll_sketch_agg(col(valueCol), lit(lgK))).cast("double"))
       .head.getDouble(0)
-    lit((na + nb - nu) / nu)
+    // Clamp to [0, 1] and define the empty case: two empty (or all-null)
+    // inputs gave 0/0 = NaN, and HLL estimator error on near-disjoint
+    // sets can push the inclusion-exclusion intersection negative — both
+    // nonsense as a similarity. Empty ∪ empty → 0.0 by convention.
+    val j =
+      if (nu <= 0.0) 0.0
+      else math.min(1.0, math.max(0.0, na + nb - nu) / nu)
+    lit(j)
   }
 }

@@ -30,6 +30,10 @@ object Corpus {
     * One exchange on the stream key; the cumsum is a partition-local scan. */
   def packChunks(docs: DataFrame, streamCol: String, idCol: String,
                  textCol: String, budget: Long): DataFrame = {
+    // Same guard as chunk(): `start div 0` is NULL (non-ANSI), which
+    // would silently collapse every document into one chunk_id=NULL
+    // group per stream — well-formed wrong data for a mis-unit budget.
+    require(budget > 0, s"packChunks needs a positive token budget, got $budget")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(streamCol)).orderBy(col("id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -70,10 +74,14 @@ object Corpus {
           6).as("tfidf"))
   }
 
-  /** Top-k most distinctive terms per document. Ranking is fully
-    * integer-deterministic — (tf DESC, df ASC, term ASC) — so the oracle
-    * can't diverge on a last-ulp tfidf tie; the tfidf weight itself is
-    * carried (rounded) for consumers. */
+  /** Top-k terms per document under the integer-deterministic ranking
+    * (tf DESC, df ASC, term ASC). NOTE: this ranking is the CONTRACT, a
+    * frequency-then-rarity proxy chosen so the oracle can't diverge on a
+    * last-ulp double tie — it is NOT argmax of the carried tfidf column,
+    * and is not monotone in it: a rare term with higher tfidf can rank
+    * below a frequent one (tf dominates). Consumers that want strict
+    * tfidf-maximal terms should rank on a quantized tfidf with the same
+    * integer tiebreaks; the weight is carried (rounded) so they can. */
   def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)

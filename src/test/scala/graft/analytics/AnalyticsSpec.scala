@@ -113,6 +113,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(kept == Seq(1L, 2L, 3L, 6L))
   }
 
+  test("skyline2d excludes NULL-objective rows, matching the NOT EXISTS twin") {
+    // A row with an unknown objective cannot be certified non-dominated;
+    // pre-fix the two formulations DISAGREED on such rows (the semi-join
+    // dropped them, a bare NOT EXISTS kept them).
+    val parts = Seq(
+      (1L, Some(1.0), Some(10)),
+      (2L, Option.empty[Double], Some(1)),
+      (3L, Some(2.0), Option.empty[Int])
+    ).toDF("id", "price", "size")
+    val kept = Pareto.skyline2d(parts, "price", "size")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L), s"NULL-objective rows must be excluded: $kept")
+  }
+
   test("bm25 ranks rarer terms above saturated common ones") {
     val docs = Seq(
       (1L, "rare common common common common"),

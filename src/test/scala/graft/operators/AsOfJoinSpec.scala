@@ -26,6 +26,40 @@ class AsOfJoinSpec extends SparkSpec {
       3L -> None, 4L -> None))
   }
 
+  test("null timestamps never match: right null-ts is filtered, left null-ts yields null") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, Some(9L)), (2L, 10L, Option.empty[Long]))
+      .toDF("event_id", "key", "ts")
+    val right = Seq((10L, Option.empty[Long], "poison"), (10L, Some(10L), "v10"))
+      .toDF("rkey", "rts", "payload")
+    // backward: the null-ts right row used to sort FIRST under asc and
+    // attach "poison" to every left row before the first real right row.
+    val back = rows(AsOfJoin.asofJoin(left, right,
+        Seq("key"), Seq("rkey"), "ts", "rts", Seq("payload")))
+      .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[String]("payload")))
+      .toMap
+    assert(back == Map(1L -> None, 2L -> None), s"backward: $back")
+    // forward: a null-ts LEFT row used to sort LAST under desc and pick
+    // up the running last payload.
+    val fwd = rows(AsOfJoin.asofJoin(left, right,
+        Seq("key"), Seq("rkey"), "ts", "rts", Seq("payload"),
+        direction = "forward"))
+      .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[String]("payload")))
+      .toMap
+    assert(fwd == Map(1L -> Some("v10"), 2L -> None), s"forward: $fwd")
+  }
+
+  test("rightCols colliding with left's columns fail fast") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 5L)).toDF("event_id", "key", "ts")
+    val right = Seq((10L, 1L, "x")).toDF("rkey", "rts", "event_id")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoin(left, right, Seq("key"), Seq("rkey"), "ts", "rts",
+        Seq("event_id"))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("forward direction picks earliest at-or-after; tolerance nulls far matches") {
     import spark.implicits._
     val left = Seq(

@@ -96,4 +96,37 @@ class TopKSpec extends AnyFunSuite {
     // on o_totalprice
     assert(!topk.child.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter])
   }
+
+  test("filters on a DERIVED key's inputs do not push through (unsound)") {
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThan, Literal, Pmod}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    // Key = o_custkey % 2 — a filter on o_custkey removes group MEMBERS,
+    // not whole groups, so pushing it below the top-k changes which rows
+    // win. The old rule accepted it because the derived key REFERENCED
+    // the attribute.
+    val plan = Tables.load(spark, sf, "orders").queryExecution.analyzed
+    val cust = plan.output.find(_.name == "o_custkey").get
+    val node = TopK.TopKPerKeyNode(
+      Seq(Pmod(cust, Literal(2L))),
+      Seq(org.apache.spark.sql.catalyst.expressions.SortOrder(cust,
+        org.apache.spark.sql.catalyst.expressions.Ascending)),
+      1, plan)
+    val filtered = Filter(GreaterThan(cust, Literal(5L)), node)
+    val after = TopK.PushFilterThroughTopK(filtered)
+    assert(after match {
+      case Filter(_, _: TopK.TopKPerKeyNode) => true
+      case _ => false
+    }, s"filter on derived-key input must stay above the top-k: $after")
+  }
+
+  test("float keys: -0.0 and 0.0 are one group, like the window formulation") {
+    import spark.implicits._
+    // The custom node sits outside NormalizeFloatingNumbers; without
+    // normalized key projections the two zero encodings hashed apart and
+    // one logical group emitted up to 2k rows.
+    val df = Seq((-0.0, 1.0), (0.0, 2.0), (1.5, 3.0)).toDF("x", "v")
+    val got = TopK.perKey(df, Seq("x"), Seq(("v", false)), 1)
+      .collect().map(_.getDouble(1)).sorted.toSeq
+    assert(got == Seq(2.0, 3.0), s"one row per logical key, got $got")
+  }
 }

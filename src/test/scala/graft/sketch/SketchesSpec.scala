@@ -75,4 +75,17 @@ class SketchesSpec extends SparkSpec {
     val v = a.sparkSession.range(1).select(est).head.getDouble(0)
     assert(math.abs(v - 1000.0 / 3000.0) < 0.05, s"estimate $v")
   }
+
+  test("HLL Jaccard is 0 on empty inputs and always lands in [0, 1]") {
+    import spark.implicits._
+    val empty = Seq.empty[Int].toDF("v")
+    val e = spark.range(1)
+      .select(Sketches.jaccardEstimate(empty, empty, "v")).head.getDouble(0)
+    assert(e == 0.0, s"empty union must be 0.0, not NaN: $e") // was 0/0=NaN
+    val a = (1 to 500).toDF("v")
+    val b = (100001 to 100500).toDF("v") // disjoint: estimator error could
+    val d = spark.range(1)               // push inclusion-exclusion < 0
+      .select(Sketches.jaccardEstimate(a, b, "v")).head.getDouble(0)
+    assert(d >= 0.0 && d <= 1.0, s"clamped similarity, got $d")
+  }
 }

@@ -17,6 +17,14 @@ class PackChunksSpec extends SparkSpec {
     assert(got == Seq((0L, 2L, 7L, 1L, 2L), (1L, 2L, 7L, 3L, 4L)))
   }
 
+  test("packChunks rejects a non-positive budget instead of NULL-collapsing") {
+    val docs = Seq(("s", 1L, "a b")).toDF("src", "id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.packChunks(docs, "src", "id", "text", budget = 0L)
+    }
+    assert(e.getMessage.contains("positive token budget"))
+  }
+
   test("packChunks streams are independent (per-source chunk ids)") {
     val docs = Seq(("a", 1L, "x y z"), ("b", 2L, "x y z"))
       .toDF("src", "id", "text")
