@@ -19,8 +19,11 @@ object Observed {
 
   /** Attach named metrics to the frame: `withMetrics(df, "stage1",
     * count(lit(1)).as("rows"), sum($"err").as("errs"))`. */
-  def withMetrics(df: DataFrame, name: String, metrics: Column*): DataFrame =
+  def withMetrics(df: DataFrame, name: String, metrics: Column*): DataFrame = {
+    require(metrics.nonEmpty,
+      s"withMetrics('$name') needs at least one metric column")
     df.observe(name, metrics.head, metrics.tail: _*)
+  }
 
   /** Listener collecting every observation by name. Register once per
     * session; `latest` is safe to read from any thread. */

@@ -21,7 +21,12 @@ object Scratch {
   }
 
   private def deleteRecursively(f: File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    // Never FOLLOW a symlink: File.listFiles/isDirectory both traverse
+    // links, so recursing into a symlink-to-directory inside a stale
+    // scratch dir would delete the TARGET's contents outside the scratch
+    // area. Delete the link itself and stop.
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete()
     ()
   }

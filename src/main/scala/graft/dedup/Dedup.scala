@@ -63,10 +63,18 @@ object Dedup {
     // Shingle hashes bound via single-element array so the md5s are computed
     // once per row, not once per permutation (HOF lambdas don't hoist
     // loop-invariant subtrees — see TextOps.wordShingles).
-    flatten(transform(array(transform(TextOps.wordShingles(text, shingleN), s => TextOps.h31(s))),
-      hashes => transform(sequence(lit(0), lit(numPerms - 1)),
-        i => array_min(transform(hashes,
-          h => (h * (i * 2L + 3L) + (i * 7919L + 1L)) % P31)))))
+    // A doc too short to shingle yields a NULL SIGNATURE — the documented
+    // contract and what the codegen twin (MinHash.signature) returns. The
+    // old spelling let array_min over the empty shingle set produce
+    // [NULL × numPerms] instead: isNotNull filters kept every short doc,
+    // lshBandKeys (concat_ws skips NULLs) sent them ALL to one mega
+    // bucket, and the agreement count read null slots as matching zeros.
+    element_at(transform(
+      array(transform(TextOps.wordShingles(text, shingleN), s => TextOps.h31(s))),
+      hashes => when(size(hashes) === 0, lit(null))
+        .otherwise(transform(sequence(lit(0), lit(numPerms - 1)),
+          i => array_min(transform(hashes,
+            h => (h * (i * 2L + 3L) + (i * 7919L + 1L)) % P31))))), 1)
   }
 
   /** LSH band keys: split the signature into `bands` bands of `rowsPerBand`
@@ -272,10 +280,17 @@ object Dedup {
     // The broadcast table is postings × 8 B (one hashed long per word
     // shingle). Shingle count ≤ word count, and a whitespace-separated
     // word occupies ≥5 input bytes on real text, so the derived sets are
-    // ≤ ~2× the input text bytes — that factor, applied to the analyzed-
-    // plan stats, bounds the broadcast size without forcing an extra
-    // action on the un-materialized postings plan.
-    val inputBytes = df.queryExecution.analyzed.stats.sizeInBytes * 2
+    // ≤ ~2× the input TEXT bytes. That factor must apply to the TRUE
+    // text bytes, measured with one cheap octet_length aggregate — the
+    // analyzed-plan stats it used to read are the parquet scan's
+    // COMPRESSED file size, and near-dup-heavy text (this operator's
+    // target workload) compresses 5-10×, so a 60 MB file could gate a
+    // ~1 GB set table into a broadcast. The extra action scans text only
+    // (no tokenization) — noise next to the self-join it sizes.
+    val inputBytes = BigInt(
+      df.agg(sum(octet_length(col(textCol)).cast("long"))).head
+        .getAs[java.lang.Long](0) match { case null => 0L; case v => v.longValue }
+    ) * 2
     def verify(pairs: DataFrame, sets: DataFrame): DataFrame = pairs
       .join(sets.select(col("id").as("id_a"), col("n_sh").as("n_a"),
         col("sh").as("sh_a")), "id_a")
@@ -416,6 +431,18 @@ object Dedup {
       labels = updated.select(col("id"), col("label"))
       i += 1
     }
+    // Non-convergence must be VISIBLE: pointer jumping converges in
+    // O(log diameter) rounds, so maxIter=20 covers diameters to ~2^20 —
+    // but a pathological chain that still isn't done would otherwise
+    // return one component carrying SEVERAL cluster ids, and downstream
+    // survivor selection would keep multiple "canonical" docs per dup
+    // cluster with nothing distinguishing that from a converged result.
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"dupClusters: label propagation did NOT converge in " +
+          s"$maxIter rounds — returned labels may split one connected " +
+          "component into several cluster_ids; raise maxIter for " +
+          "extreme-diameter graphs")
     labels.withColumnRenamed("label", "cluster_id")
   }
 
@@ -570,24 +597,15 @@ object Dedup {
     // same semantics instead of an encoder NPE. Null ELEMENTS are handled
     // by [[kernelVec]] in the callers' projections.
     //
-    // The guard limit's collect normally launches partition batches
-    // incrementally (1, then 4×, …) — right for a top-10, pure latency
-    // rounds when the "limit" is a 500k-row guard the corpus rarely hits.
-    // Launch every realistic local partition count in the first round,
-    // restoring the session's setting after (the collect is synchronous).
-    // Measured at sf0.1: one-round vs incremental is ~25ms; Int.MaxValue
-    // here was ~100-200ms WORSE over an AQE exchange, so the value is a
-    // plain 1024, not "infinity".
-    val confKey = "spark.sql.limit.initialNumPartitions"
-    val prev = spark.conf.getOption(confKey)
-    val collected = try {
-      spark.conf.set(confKey, "1024")
-      corpusKeyed.na.drop("any")
-        .limit(maxRows + 1).as[(Long, Long, Array[Double])].collect()
-    } finally prev match {
-      case Some(v) => spark.conf.set(confKey, v)
-      case None => spark.conf.unset(confKey)
-    }
+    // (The guard limit's collect launches partition batches incrementally
+    // — 1, then 4×, … — which costs ~25ms of extra latency rounds at
+    // sf0.1 vs forcing one round via spark.sql.limit.initialNumPartitions.
+    // That knob is SESSION-scoped though: setting/restoring it here would
+    // race concurrent queries and concurrent kernel calls on the same
+    // session — a library must not mutate shared session state for a
+    // 25ms micro-win, so the default incremental behavior stands.)
+    val collected = corpusKeyed.na.drop("any")
+      .limit(maxRows + 1).as[(Long, Long, Array[Double])].collect()
     if (collected.length > maxRows) return None // grew past the guard → twin
     // ONE flat broadcast, sorted by key with per-row group bounds; the
     // stream side is `spark.range` over row INDICES. Tasks carry nothing
@@ -889,6 +907,17 @@ object Dedup {
       if (maxBucketSize == Int.MaxValue) sigs0
       else {
         val sizes = sigs0.groupBy(col("simhash")).agg(count(lit(1)).as("g"))
+        // Same logged-drop discipline as simhashNearDupPairs/capBuckets:
+        // excluding whole signature groups is a recall trade that must be
+        // VISIBLE — this block used to cap silently while its siblings
+        // warned, so a PretrainCorpus run left no evidence that doc
+        // groups vanished from the output.
+        val dropped = sizes.filter(col("g") > maxBucketSize).count()
+        if (dropped > 0)
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"simhashComponents: dropped $dropped identical-signature " +
+              s"group(s) larger than $maxBucketSize docs (boilerplate skew " +
+              "guard; their docs neither cluster nor appear in the output)")
         sigs0.join(sizes.filter(col("g") <= maxBucketSize)
           .select(col("simhash")), "simhash")
       }
@@ -964,12 +993,17 @@ object Dedup {
                          bucketCol: String = "bucket"): DataFrame =
     if (maxBucketSize == Int.MaxValue) buckets
     else {
-      // persist the banded rows: the signature+banding pipeline above is
-      // the dominant cost, and without materialization it would run three
-      // times (dropped-count job, size aggregation, final join probe).
-      // MEMORY_AND_DISK, sized like the corpus × bands — the standard
-      // storage-for-compute trade on the opt-in cap path.
-      val b = buckets.persist()
+      // Materialize the banded rows: the signature+banding pipeline above
+      // is the dominant cost, and without materialization it would run
+      // three times (dropped-count job, size aggregation, final join
+      // probe). localCheckpoint, NOT persist: persist registers in the
+      // session CacheManager, whose strong reference ContextCleaner can
+      // never reclaim, so every capped call leaked one corpus×bands cache
+      // entry for the session lifetime (the round-5 mid-suite 8-58×
+      // slowdowns Bench now quiesces against — but library callers get
+      // no quiesce). Checkpoint blocks are reclaimed by ContextCleaner
+      // as soon as the returned plan is dropped.
+      val b = buckets.localCheckpoint(true)
       val sizes = b.groupBy(col(bucketCol)).agg(count(lit(1)).as("bsz"))
       val dropped = sizes.filter(col("bsz") > maxBucketSize).count()
       if (dropped > 0)

@@ -41,7 +41,7 @@ object StringSim {
         // action so the skew decision is VISIBLE in logs, mirroring
         // Dedup.capBuckets.
         val keyCols = blockCols.map(col) :+
-          expr(s"split_part($nameCol, ' ', 1)").as("__tok")
+          split_part(col(nameCol), lit(" "), lit(1)).as("__tok")
         // Renamed key columns: both join sides descend from `df`, and
         // same-lineage attribute references would resolve ambiguously.
         val sizes = df.groupBy(keyCols: _*).agg(count(lit(1)).as("__bsz"))
@@ -56,14 +56,14 @@ object StringSim {
           sizes.filter(col("__bsz") <= maxBlockSize).drop("__bsz"),
           blockCols.map(c => col(c) === col(s"__k_$c"))
             .reduce(_ && _) &&
-            expr(s"split_part($nameCol, ' ', 1)") === col("__tok"),
+            split_part(col(nameCol), lit(" "), lit(1)) === col("__tok"),
           "left_semi")
       }
     def side(tag: String): DataFrame =
       inBounds.select(blockCols.map(col) ++ Seq(
         col(idCol).as(s"${tag}_id"),
         col(nameCol).as(s"${tag}_name"),
-        expr(s"split_part($nameCol, ' ', 1)").as(s"${tag}_tok"),
+        split_part(col(nameCol), lit(" "), lit(1)).as(s"${tag}_tok"),
         length(col(nameCol)).as(s"${tag}_len")): _*)
     // Parallelism of the quadratic in-block work is governed by the PROBE
     // side's partitioning, not the data volume: a dim table small enough to

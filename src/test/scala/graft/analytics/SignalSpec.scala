@@ -83,6 +83,19 @@ class SignalSpec extends SparkSpec {
     assert(got.sorted == Seq((1L, 2L, 1), (2L, 3L, 1)))
   }
 
+  test("blockedEditPairs accepts non-identifier column names") {
+    // The first-token expressions used to splice the raw name into
+    // expr("split_part(...)"), so a legal name like "product name"
+    // threw a ParseException where col(nameCol) accepted it.
+    val df = Seq(
+      (1L, "B1", "red widget"), (2L, "B1", "red widgit")
+    ).toDF("id", "brand", "product name")
+    val got = StringSim.blockedEditPairs(df, "id", "product name",
+        Seq("brand"), maxLenDiff = 2, maxDist = 5, maxBlockSize = 10)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+
   test("blockedEditPairs maxBlockSize drops oversized blocks whole, keeps the rest") {
     // Hot block: one (brand, first-token) key with 5 rows; cool block: 2.
     val hot = (1L to 5L).map(i => (i, "B1", s"red widget$i"))

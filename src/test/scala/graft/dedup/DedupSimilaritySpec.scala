@@ -407,10 +407,16 @@ class DedupSpec extends SparkSpec {
         Dedup.minhashSignature(col("b.text"), 16, 3),
         (x, y) => x === y), e => e)).as("h")))
     agree.foreach(r => assert(r.getInt(0) == r.getInt(1)))
-    // fewer than shingleN tokens → NULL signature; signatures drop the doc
+    // fewer than shingleN tokens → NULL signature, in BOTH formulations.
+    // The HOF twin used to emit [NULL × numPerms] instead of NULL: every
+    // short doc then passed an isNotNull filter, all of them landed in
+    // one mega LSH bucket (concat_ws skips NULLs), and null agreement
+    // slots read as matches.
     val short = rows(Seq((0L, "two tokens"), (1L, "")).toDF("doc_id", "text")
-      .select(graft.functions.MinHash.signature(col("text"), 16, 3).as("e")))
-    assert(short.forall(_.isNullAt(0)))
+      .select(graft.functions.MinHash.signature(col("text"), 16, 3).as("e"),
+        Dedup.minhashSignature(col("text"), 16, 3).as("h")))
+    assert(short.forall(r => r.isNullAt(0) && r.isNullAt(1)),
+      s"short docs must yield NULL signatures in both forms: $short")
     assert(rows(Dedup.minhashSignatures(
       Seq((0L, "a b"), (1L, "alpha beta gamma delta")).toDF("doc_id", "text"),
       "doc_id", "text", 16, 3)).map(_.getLong(0)) == Seq(1L))
