@@ -49,21 +49,16 @@ object AdvancedQueries {
       // SQL-standard empty-relation semantics: Spark's cube over an EMPTY
       // input emits ZERO rows, while the standard (and the DuckDB oracle)
       // emits the () grouping-set row with COUNT 0 / NULL sums. The
-      // correction branch is a global aggregate — which always produces
-      // exactly one row — kept ONLY when its count is 0, i.e. exactly
-      // when the input was empty (any real input makes n ≥ 1 and filters
-      // it out; the coalesce is live here: sum over the empty partials
-      // relation is NULL). Both branches re-aggregate the same partials
-      // DataFrame, so the fact scan + partial agg run once (ReusedExchange
-      // — pinned in PlanRegressionSpec).
-      val globalIfEmpty = p.agg(
-          Money.toMajor(sum(col("sq").cast("decimal(38,0)")), 100)
-            .as("sum_qty"),
-          coalesce(sum(col("pn")), lit(0L)).as("n"))
-        .where(col("n") === 0)
-        .select(lit(null).cast("string").as("l_returnflag"),
-          lit(null).cast("string").as("l_linestatus"),
-          col("sum_qty"), col("n"), lit(3).cast("int").as("gid"))
+      // correction branch (shared shape: QueryShapes.emptyGroupingCorrection)
+      // is a global aggregate — always exactly one row — kept ONLY when
+      // its count is 0, i.e. exactly when the input was empty. Both
+      // branches re-aggregate the same partials DataFrame, so the fact
+      // scan + partial agg run once (ReusedExchange — pinned in
+      // PlanRegressionSpec).
+      val globalIfEmpty = QueryShapes.emptyGroupingCorrection(p,
+        centsCol = "sq", moneyAlias = "sum_qty",
+        countCol = "pn", countAlias = "n",
+        nullCols = Seq("l_returnflag", "l_linestatus"), gid = 3)
       cubed.unionByName(globalIfEmpty)
     }),
 

@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 
 import graft.analytics.{Behavior, Stats}
 import graft.core.Tables
-import graft.dedup.Dedup
 import graft.functions.ColumnOps
 import graft.operators.Pareto
 import graft.text.Corpus

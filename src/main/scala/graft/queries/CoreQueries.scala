@@ -385,20 +385,12 @@ object CoreQueries {
             .as("revenue"),
           sum(col("pn")).as("n_orders"),
           grouping_id(col("r_name"), col("n_name")).cast("int").as("gid"))
-      // SQL-standard empty-relation semantics (see q57_cube): Spark's
-      // rollup over an empty input emits zero rows where the standard
-      // emits the () subtotal row with COUNT 0. The global-agg branch
-      // always yields one row and survives its own filter only when the
-      // input was empty; same-partials reuse keeps one fact pass.
-      val globalIfEmpty = p.agg(
-          graft.functions.Money
-            .toMajor(sum(col("rev").cast("decimal(38,0)")), 100)
-            .as("revenue"),
-          coalesce(sum(col("pn")), lit(0L)).as("n_orders"))
-        .where(col("n_orders") === 0)
-        .select(lit(null).cast("string").as("r_name"),
-          lit(null).cast("string").as("n_name"),
-          col("revenue"), col("n_orders"), lit(3).cast("int").as("gid"))
+      // SQL-standard empty-relation semantics — the shared shape
+      // (QueryShapes.emptyGroupingCorrection; rationale at q57_cube).
+      val globalIfEmpty = QueryShapes.emptyGroupingCorrection(p,
+        centsCol = "rev", moneyAlias = "revenue",
+        countCol = "pn", countAlias = "n_orders",
+        nullCols = Seq("r_name", "n_name"), gid = 3)
       rolled.unionByName(globalIfEmpty)
     }),
 
@@ -457,7 +449,12 @@ object CoreQueries {
         .groupBy(col("event_type"))
         .agg(sum(col("total_micros")).as("sum_micros"), count(lit(1)).as("n"))
         .select(col("event_type"),
-          IsoDuration.formatDuration(floor(col("sum_micros") / col("n"))).as("avg_duration"))
+          // Integer `div`, not floor(double /): the oracle's `//` is exact
+          // integer division, and long/long in Spark widens to DOUBLE —
+          // past 2^53 µs-sums (reachable at large SF) the rounded quotient
+          // can differ from the exact one by 1 µs and flip the formatted
+          // string. Same bug class as RangeJoin's bucket ids.
+          IsoDuration.formatDuration(expr("sum_micros div n")).as("avg_duration"))
     })
   )
 

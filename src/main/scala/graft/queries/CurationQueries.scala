@@ -52,14 +52,17 @@ object CurationQueries {
         |FROM customer GROUP BY 1, 2""".stripMargin,
 
     "q115_source_mix" ->
-      """WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1),
-        |t AS (SELECT COUNT(*) AS n_tot, COUNT(DISTINCT source) AS n_src
+      """WITH c AS (SELECT COALESCE(source, chr(0) || 'null') AS src,
+        |             COUNT(*) AS n_s FROM documents GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS n_tot,
+        |             COUNT(DISTINCT COALESCE(source, chr(0) || 'null')) AS n_src
         |      FROM documents),
-        |r AS (SELECT source,
+        |r AS (SELECT src,
         |        LEAST(1000000, (n_tot * 1000000) // (n_src * n_s)) AS rate_ppm
         |      FROM c CROSS JOIN t)
         |SELECT d.doc_id, d.source, CAST(r.rate_ppm AS BIGINT) AS rate_ppm
-        |FROM documents d JOIN r USING (source)
+        |FROM documents d
+        |JOIN r ON COALESCE(d.source, chr(0) || 'null') = r.src
         |WHERE (('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), chr(0) || 'null')), 1, 15))::BIGINT
         |       % 2147483647) % 1000000 < rate_ppm""".stripMargin,
 

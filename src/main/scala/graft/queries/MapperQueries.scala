@@ -46,9 +46,17 @@ object MapperQueries {
         .select(col("doc_id"), split(col("text"), "\\s+").as("words"))
       val result = Flattener.flatten(withArr, "docs",
         cascadeKeys = Seq(("doc_id", "pk_doc_id")))
-      result.views("docs_words")
+      // Left-join the counts back onto the document list: the oracle
+      // emits n_words = 0 for a zero-token document, but a groupBy over
+      // the filtered exploded rows emits NO row for it — the aggregate
+      // must not silently drop empty docs (the same edge q21 defends
+      // with try_divide).
+      val counts = result.views("docs_words")
         .filter(col("value") =!= "")
-        .groupBy(col("pk_doc_id")).agg(count(lit(1)).as("n_words"))
+        .groupBy(col("pk_doc_id")).agg(count(lit(1)).as("n_cnt"))
+      withArr.select(col("doc_id").as("pk_doc_id"))
+        .join(counts, Seq("pk_doc_id"), "left")
+        .select(col("pk_doc_id"), coalesce(col("n_cnt"), lit(0L)).as("n_words"))
     })
   )
 

@@ -49,7 +49,14 @@ object ScaleQueries {
       // amortization (pay the bucketing shuffle once, every later join is
       // exchange-free), and it keeps repeated bench reps / plan audits
       // from re-writing and leaking tables per invocation.
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      // Collision-proof tag: the readable sanitized dir PLUS an md5
+      // prefix of the RAW dir string — sanitization alone is lossy
+      // (/data/sf0.1 and /data/sf0_1 collapse to one tag), and a
+      // collision would silently reuse the FIRST dir's bucketed tables
+      // for the second.
+      val md5tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + md5tag
       val (lt, ot) = (s"graft_q121_l_$tag", s"graft_q121_o_$tag")
       if (!s.catalog.tableExists(lt) || !s.catalog.tableExists(ot)) {
         val base = Files.createTempDirectory("graft_q121").toString

@@ -16,6 +16,17 @@ import graft.similarity.Similarity
   */
 object TrainingQueries {
 
+  /** The 8 seed centroids every IVF query shares (vec_id < 8, decoded to
+    * primitive arrays, id-sorted). ONE definition — this block used to be
+    * copy-pasted into q28/q41/q130/q134, and a centroid-count or decode
+    * change applied to one site would silently desynchronize them. */
+  private def seedCentroids(emb: DataFrame): Array[(Long, Array[Double])] =
+    emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -93,11 +104,7 @@ object TrainingQueries {
     // IVF bucket assignment to 8 seed centroids (the ANN scale path).
     "q28_ivf_assign" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val centroids = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1)
+      val centroids = seedCentroids(emb)
       Similarity.ivfAssign(emb, centroids)
         .select(col("vec_id"), col("cluster_id"), col("cluster_dist"))
     }),
@@ -111,11 +118,7 @@ object TrainingQueries {
     // so the gate certifies assignment, pair recall, and survivor logic.
     "q134_semantic_dedup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val centroids = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1)
+      val centroids = seedCentroids(emb)
       val assigned = Similarity.ivfAssign(emb, centroids)
         .select(col("vec_id"), col("cluster_id"))
       val dropped = Dedup.embeddingNearDupsIvf(emb, centroids, 0.4)
@@ -203,11 +206,7 @@ object TrainingQueries {
       val exact = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 5)
         .select(col("query_id"), col("neighbor_id"))
         .localCheckpoint(true)
-      val centroids = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1)
+      val centroids = seedCentroids(emb)
       val assigned = Similarity.ivfAssign(emb, centroids).localCheckpoint(true)
       val approx = Similarity.ivfTopK(assigned,
           assigned.filter(col("vec_id") < 10), 5)
@@ -227,11 +226,7 @@ object TrainingQueries {
     // scored only within each query's own cluster (nprobe=1).
     "q41_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val centroids = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1)
+      val centroids = seedCentroids(emb)
       val assigned = Similarity.ivfAssign(emb, centroids)
       val queries = assigned.filter(col("vec_id") < 10)
       Similarity.ivfTopK(assigned, queries, 5)
@@ -513,7 +508,7 @@ object TrainingQueries {
       s"""SELECT doc_id, lang FROM (
          | SELECT doc_id, lang, row_number() OVER (
          |   PARTITION BY lang
-         |   ORDER BY ${h31("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS rn
+         |   ORDER BY ${h31("COALESCE(CAST(doc_id AS VARCHAR), chr(0) || 'null')")} ASC, doc_id ASC) AS rn
          | FROM documents) WHERE rn <= 20""".stripMargin,
 
     // Transitive closure over the q25 pair set; label = min reachable id.

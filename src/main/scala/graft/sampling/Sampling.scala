@@ -37,11 +37,19 @@ object Sampling {
   /** Deterministic stratified quota: at most `k` rows per stratum, chosen
     * by ascending key hash (with the key itself as tiebreak) — every
     * stratum contributes equally regardless of its size, the classic
-    * rebalancing step for skewed language/source distributions. */
+    * rebalancing step for skewed language/source distributions.
+    *
+    * NULL keys hash via the [[keyStr]] sentinel: a bare cast left the
+    * hash NULL, and the two engines ORDER null hashes oppositely (Spark
+    * asc = nulls first, DuckDB asc = nulls last), so a NULL-keyed row
+    * consumed a quota slot on one engine only. With the sentinel,
+    * several NULL-keyed rows in one stratum tie exactly like duplicate
+    * non-null keys always have (equal hash, equal key) — rank among
+    * them is arbitrary; distinct keys stay total-ordered. */
   def stratifiedQuota(df: DataFrame, strataCol: Column, keyCol: Column,
                       k: Int): DataFrame = {
     val w = Window.partitionBy(strataCol)
-      .orderBy(TextOps.h31(keyCol.cast("string")).asc, keyCol.asc)
+      .orderBy(TextOps.h31(keyStr(keyCol)).asc, keyCol.asc)
     df.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)
       .drop("__rank")
