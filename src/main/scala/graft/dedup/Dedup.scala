@@ -69,9 +69,13 @@ object Dedup {
     // [NULL × numPerms] instead: isNotNull filters kept every short doc,
     // lshBandKeys (concat_ws skips NULLs) sent them ALL to one mega
     // bucket, and the agreement count read null slots as matching zeros.
+    // coalesce(size(...), 0): NULL TEXT makes the shingle array itself
+    // NULL (size(NULL) is NULL, not 0), and a bare === 0 test would fall
+    // through to the otherwise-branch and emit [NULL × numPerms] for
+    // null-text docs — the same mega-bucket bug, one input class over.
     element_at(transform(
       array(transform(TextOps.wordShingles(text, shingleN), s => TextOps.h31(s))),
-      hashes => when(size(hashes) === 0, lit(null))
+      hashes => when(coalesce(size(hashes), lit(0)) === 0, lit(null))
         .otherwise(transform(sequence(lit(0), lit(numPerms - 1)),
           i => array_min(transform(hashes,
             h => (h * (i * 2L + 3L) + (i * 7919L + 1L)) % P31))))), 1)

@@ -80,25 +80,19 @@ object DataQuality {
       case FkRule(_, _, cc, parent, pc) => orphanRows(df, cc, parent, pc)
       case QueryRule(_, _, sql) =>
         // The reference contract (data_quality.py:102): rule SQL references
-        // the frame as view `temp`. Register that REAL name rather than a
-        // unique name + token rewrite — the rewrite mangled every
-        // word-boundary 'temp' in the SQL including string literals
-        // (`WHERE category = 'temp'` silently became a different rule) and
-        // missed legal case variants (`FROM TEMP` errored unresolved);
-        // direct registration keeps literals intact and Spark's
-        // case-insensitive resolver handles casing. A pre-existing TEMP
-        // VIEW named temp would be irreversibly clobbered — that is a
-        // configuration conflict; fail loudly. (A permanent table named
-        // temp is only shadowed for the duration of the rule.)
-        val clobbers = Try(spark.catalog.getTable("temp")).toOption
-          .exists(_.isTemporary)
-        require(!clobbers,
-          "QueryRule registers the DataFrame as temp view 'temp' " +
-            "(reference contract), but this session already has a temp " +
-            "view of that name — drop or rename it before running DQ")
-        df.createOrReplaceTempView("temp")
-        try spark.sql(sql).count()
-        finally spark.catalog.dropTempView("temp")
+        // the frame as view `temp`. The rule runs in a CLONED session
+        // (shared SparkContext/cache, PRIVATE temp-view catalog), which
+        // satisfies every constraint at once: the REAL name registers (no
+        // token rewrite — the old rewrite mangled string literals like
+        // `WHERE category = 'temp'` and missed case variants `FROM TEMP`),
+        // a user's own `temp` view in the main session is never clobbered
+        // or even consulted, and concurrent DQ runs each see only their
+        // own registration instead of racing on one session-global name.
+        val scoped = spark.newSession()
+        org.apache.spark.sql.graft.Bridge
+          .ofRows(scoped, df.queryExecution.analyzed)
+          .createOrReplaceTempView("temp")
+        scoped.sql(sql).count()
     })
     val rtype = rule match {
       case _: UniqueRule => "unique"

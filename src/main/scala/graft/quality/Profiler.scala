@@ -46,12 +46,19 @@ object Profiler {
           canon(max(c), dt).as(s"mx__$i"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.zipWithIndex.map { case (n, i) =>
-      s"'${n.replace("'", "''")}', nn__$i, nd__$i, mn__$i, mx__$i"
-    }.mkString(", ")
+    // The stack emits the column INDEX (an int literal — nothing to
+    // escape), and the real name maps back through an array-of-literals
+    // lookup. Splicing the name as a SQL string literal needed
+    // mode-dependent escaping (backslashes go through escape processing
+    // under the default parser but not under escapedStringLiterals) — a
+    // name like `a\nb` silently corrupted col_name.
+    val stackArgs = cols.indices.map(i =>
+      s"$i, nn__$i, nd__$i, mn__$i, mx__$i").mkString(", ")
     one.selectExpr("n_rows",
-        s"stack(${cols.size}, $stackArgs) AS (col_name, n_nonnull, n_distinct, min_val, max_val)")
-      .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+        s"stack(${cols.size}, $stackArgs) AS (col_idx, n_nonnull, n_distinct, min_val, max_val)")
+      .select(
+        element_at(array(cols.map(lit): _*), col("col_idx") + 1).as("col_name"),
+        col("n_rows"), col("n_nonnull"),
         col("n_distinct"), col("min_val"), col("max_val"))
   }
 }

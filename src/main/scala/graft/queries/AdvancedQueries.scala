@@ -622,7 +622,7 @@ object AdvancedQueries {
         |GROUP BY event_type, tile""".stripMargin,
 
     "q73_weighted_sample" -> {
-      val h = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2147483647)"
+      val h = "(('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), chr(0) || 'null')), 1, 15))::BIGINT % 2147483647)"
       s"""SELECT doc_id, lang, n_chars, ROUND(pr, 6) AS priority FROM (
          |  SELECT doc_id, lang, n_chars,
          |    POW(($h + 1) / 2147483648.0, 1.0 / n_chars) AS pr

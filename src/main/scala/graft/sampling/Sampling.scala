@@ -89,7 +89,11 @@ object Sampling {
     * non-positive weight are excluded. */
   def weightedSample(df: DataFrame, keyCol: Column, weightCol: Column,
                      k: Int): DataFrame = {
-    val u = (TextOps.h31(keyCol.cast("string")) + 1).cast("double") /
+    // keyStr: the one sampler the NULL-key sentinel fix initially missed —
+    // a NULL key made priority NULL, which sorts last under desc in Spark
+    // but FIRST in DuckDB, so the row was silently never sampled here and
+    // always sampled by the oracle.
+    val u = (TextOps.h31(keyStr(keyCol)) + 1).cast("double") /
       2147483648.0
     val priority = pow(u, lit(1.0) / weightCol.cast("double"))
     df.filter(weightCol > 0)

@@ -412,11 +412,14 @@ class DedupSpec extends SparkSpec {
     // short doc then passed an isNotNull filter, all of them landed in
     // one mega LSH bucket (concat_ws skips NULLs), and null agreement
     // slots read as matches.
-    val short = rows(Seq((0L, "two tokens"), (1L, "")).toDF("doc_id", "text")
+    // ...including NULL text (shingle array NULL, not just empty — the
+    // size(...)===0 guard alone fell through on it).
+    val short = rows(Seq((0L, "two tokens"), (1L, ""), (2L, null))
+      .toDF("doc_id", "text")
       .select(graft.functions.MinHash.signature(col("text"), 16, 3).as("e"),
         Dedup.minhashSignature(col("text"), 16, 3).as("h")))
     assert(short.forall(r => r.isNullAt(0) && r.isNullAt(1)),
-      s"short docs must yield NULL signatures in both forms: $short")
+      s"short/empty/null docs must yield NULL signatures in both forms: $short")
     assert(rows(Dedup.minhashSignatures(
       Seq((0L, "a b"), (1L, "alpha beta gamma delta")).toDF("doc_id", "text"),
       "doc_id", "text", 16, 3)).map(_.getLong(0)) == Seq(1L))

@@ -48,6 +48,19 @@ class CurationSpec extends SparkSpec {
     assert(nulls == 0L || nulls == 2L)
   }
 
+  test("weightedSample gives NULL-keyed rows a real priority") {
+    import spark.implicits._
+    import graft.sampling.Sampling
+    // A NULL key used to make priority NULL (never sampled in Spark,
+    // always first in DuckDB's nulls-first desc) — now it hashes via the
+    // sentinel like every other sampler in the family.
+    val df = Seq((Some("a"), 1.0), (Option.empty[String], 1.0)).toDF("k", "w")
+    val got = Sampling.weightedSample(df, col("k"), col("w"), 2)
+    assert(got.count() == 2L, "both rows must be sampleable")
+    assert(got.filter(col("priority").isNull).count() == 0L,
+      "NULL-keyed rows must carry a real priority")
+  }
+
   test("benford reads leading digits from decimal strings, exact ppm") {
     val df = Seq(123L, 19L, 2L, 25L, 999L, 0L, 1L).toDF("y") // 0 excluded
     val got = Stats.benford(df, col("y"))

@@ -34,9 +34,12 @@ class ProfilerSpec extends SparkSpec {
     import spark.implicits._
     // Legal DataFrame/parquet names; the old name-spliced selectExpr threw
     // AnalysisException on the dash (parsed as subtraction) and the quote.
-    val df = Seq((1L, "x"), (2L, "y")).toDF("order-date", "it's")
-    val got = rows(Profiler.profile(df, Seq("order-date", "it's")))
+    val df = Seq((1L, "x", 0.5), (2L, "y", 1.5))
+      .toDF("order-date", "it's", "a\\nb")
+    val got = rows(Profiler.profile(df, Seq("order-date", "it's", "a\\nb")))
       .map(r => r.getAs[String]("col_name") -> r.getAs[Long]("n_nonnull")).toMap
-    assert(got == Map("order-date" -> 2L, "it's" -> 2L))
+    // "a\nb" (literal backslash-n) round-trips exactly: name literals
+    // used to pass through SQL escape processing and became a newline.
+    assert(got == Map("order-date" -> 2L, "it's" -> 2L, "a\\nb" -> 2L))
   }
 }

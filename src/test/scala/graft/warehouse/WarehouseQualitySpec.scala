@@ -156,12 +156,18 @@ class DataQualitySpec extends SparkSpec {
       s"FROM TEMP must resolve: ${byId("up")}")
   }
 
-  test("query rule refuses to clobber a pre-existing temp view named temp") {
+  test("query rule leaves a user's own temp view named temp untouched") {
     import spark.implicits._
-    Seq(1).toDF("x").createOrReplaceTempView("temp")
+    // The rule runs in a cloned session with a private temp catalog, so
+    // it neither clobbers the user's view nor reads it by accident.
+    Seq(1, 20).toDF("id").createOrReplaceTempView("temp")
     try {
-      val r = DataQuality.runRule(spark, df, QueryRule("q", "q", "SELECT * FROM temp"))
-      assert(!r.passed && r.error.exists(_.contains("temp")))
+      val r = DataQuality.runRule(spark, df,
+        QueryRule("q", "q", "SELECT * FROM temp WHERE id > 10"))
+      // runs against df (ids 1,1,2,3 — none over 10), NOT the user view
+      assert(r.passed && r.violations == 0, s"$r")
+      val mine = spark.table("temp").collect().map(_.getInt(0)).sorted
+      assert(mine.toSeq == Seq(1, 20), "user view must survive untouched")
     } finally spark.catalog.dropTempView("temp")
   }
 
