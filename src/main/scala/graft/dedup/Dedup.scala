@@ -766,6 +766,160 @@ object Dedup {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** SemDeDup end-to-end: per-vector keep/drop accounting in ONE call —
+    * IVF-assign, score pairs within a cluster, and apply the survivor rule
+    * (a vector is dropped iff some LOWER-id vector in its cluster is
+    * ≥ threshold cosine-similar). Output: (idCol, cluster_id, kept 1/0),
+    * one row per input row.
+    *
+    * Under the broadcast guard this runs a single-job accounting kernel
+    * ([[semanticDedupAccounting]]): the bounded corpus collect already
+    * holds every (id, cluster, vector), so the kernel emits each vector's
+    * MAX cosine against its lower-id cluster neighbors directly — no pair
+    * materialization, no distinct shuffle, no re-scan for the assignment
+    * side, no join. The keep decision stays in Spark
+    * (`round(cos_max, 6) >= threshold`): `round` is monotone
+    * non-decreasing on non-NaN doubles, so
+    * `round(max c) >= t  ⟺  ∃ pair round(c) >= t` — the kernel never has
+    * to replicate Spark's HALF_UP rounding. Measured vs the
+    * pairs+distinct+join formulation it replaces (q134 at sf0.1): the
+    * accounting plan drops two shuffles and a second argmin scan.
+    *
+    * Past the guard — or for non-long ids, or when any non-null id value
+    * occurs on more than one row — the declarative twin
+    * [[semanticDedupIvfJoin]] runs (assignment left-joined against the
+    * distinct dropped-id set). Duplicate ids route to the twin because the
+    * two formulations genuinely differ there: the join drops every row OF
+    * a dropped id, the per-row kernel would drop only the rows whose own
+    * vector matched — the twin's id-level semantics are the contract. */
+  def semanticDedupIvf(df: DataFrame, centroids: Array[(Long, Array[Double])],
+                       threshold: Double, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    import graft.similarity.Similarity
+    val kernel =
+      if (fitsKernel(df, idCol)) {
+        val k = Similarity.ivfAssign(df, centroids, idCol, vecCol)
+          .select(col(idCol).cast("long"), col("cluster_id"),
+            kernelVec(col(vecCol)))
+        semanticDedupAccounting(k, threshold, kernelMaxCorpusRows(df), idCol)
+      } else None
+    kernel.getOrElse(
+      semanticDedupIvfJoin(df, centroids, threshold, idCol, vecCol))
+  }
+
+  /** Declarative twin of the accounting kernel — the fallback past the
+    * guard and the parity oracle (spec-gated exceptAll-both-ways in
+    * DedupSimilaritySpec): IVF assignment left-joined against the distinct
+    * set of dropped ids from the pair formulation. */
+  private[graft] def semanticDedupIvfJoin(df: DataFrame,
+                                          centroids: Array[(Long, Array[Double])],
+                                          threshold: Double,
+                                          idCol: String = "vec_id",
+                                          vecCol: String = "embedding"): DataFrame = {
+    import graft.similarity.Similarity
+    val assigned = Similarity.ivfAssign(df, centroids, idCol, vecCol)
+      .select(col(idCol), col("cluster_id"))
+    val dropped = embeddingNearDupsIvfJoin(df, centroids, threshold, idCol, vecCol)
+      .select(col("id_b").as(idCol)).distinct().withColumn("dup", lit(true))
+    assigned.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cluster_id"),
+        when(col("dup").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+  }
+
+  /** Accounting kernel over a KEYED corpus (same input contract as
+    * [[pairScoreKernel]]: exactly (id: long, key: long, vec:
+    * array<double>)), emitting one (id, key, kept) row PER INPUT ROW from
+    * a single `spark.range` job over the bounded collect.
+    *
+    * Parity with [[semanticDedupIvfJoin]], case by case:
+    *  - clean rows pair within their key group under `id_a < id_b`; the
+    *    kernel tracks the max cosine over a row's LOWER-id neighbors,
+    *    skipping zero-divisor pairs (the twin's try_divide NULL) and
+    *    short-circuiting to NaN when a NaN cosine appears (NaN compares
+    *    greater than every double in Spark, so it IS the max);
+    *  - a row with a null id or null vector can neither drop nor be
+    *    dropped (null ids fail the twin's join and `<`; null vectors
+    *    yield null cosines its filter removes) → passthrough, kept = 1;
+    *  - duplicate non-null ids → None, caller runs the twin (id-level
+    *    vs row-level drop semantics — see [[semanticDedupIvf]]).
+    *
+    * The collect is `limit(maxRows + 1)`-bounded exactly like
+    * [[pairScoreKernel]]'s (TOCTOU backstop: a corpus that re-evaluates
+    * larger than the dispatch probe saw degrades to the twin, never an
+    * unbounded driver collect), and the broadcast lifecycle note there
+    * applies verbatim. */
+  private[graft] def semanticDedupAccounting(corpusKeyed: DataFrame,
+                                             threshold: Double, maxRows: Int,
+                                             idName: String): Option[DataFrame] = {
+    val spark = corpusKeyed.sparkSession
+    import spark.implicits._
+    val collected = corpusKeyed.limit(maxRows + 1)
+      .as[(Option[Long], Option[Long], Option[Array[Double]])].collect()
+    if (collected.length > maxRows) return None
+    val definedIds = collected.iterator.flatMap(_._1)
+    val seen = new java.util.HashSet[Long]()
+    while (definedIds.hasNext) // any repeated id → twin semantics differ
+      if (!seen.add(definedIds.next())) return None
+    val (clean0, dirty) = collected.partition(r =>
+      r._1.isDefined && r._2.isDefined && r._3.isDefined)
+    val clean = clean0.sortBy(_._2.get)
+    val nClean = clean.length
+    val ids = clean.map(_._1.get)
+    val keys = clean.map(_._2.get)
+    val vecs = clean.map(_._3.get)
+    val norms = vecs.map(v => math.sqrt(seqDot(v, v)))
+    val gs = new Array[Int](nClean)
+    val ge = new Array[Int](nClean)
+    var s = 0
+    while (s < nClean) {
+      var e = s
+      while (e < nClean && keys(e) == keys(s)) e += 1
+      var i = s
+      while (i < e) { gs(i) = s; ge(i) = e; i += 1 }
+      s = e
+    }
+    val dirtyRows: Array[(Option[Long], Option[Long], Option[Double])] =
+      dirty.map(r => (r._1, r._2, None))
+    val bc = spark.sparkContext.broadcast(
+      (ids, keys, vecs, norms, gs, ge, dirtyRows))
+    val n = nClean + dirtyRows.length
+    val acc = spark.range(n.toLong)
+      .mapPartitions { it =>
+        val (cIds, cKeys, cVecs, cNorms, s0, e0, cDirty) = bc.value
+        val nc = cIds.length
+        it.map { iL =>
+          val i = iL.toInt
+          if (i >= nc) cDirty(i - nc)
+          else {
+            val ida = cIds(i)
+            val va = cVecs(i)
+            val na = cNorms(i)
+            var m = 0.0
+            var has = false
+            var j = s0(i)
+            while (j < e0(i)) {
+              if (cIds(j) < ida) {
+                val d = na * cNorms(j)
+                // d == 0 → skip (oracle's /0 = NULL pair, filtered); NaN
+                // cosine → it IS the max (NaN > every double in Spark).
+                if (d != 0.0) {
+                  val c = seqDot(va, cVecs(j)) / d
+                  if (java.lang.Double.isNaN(c)) { m = c; has = true; j = e0(i) }
+                  else if (!has || c > m) { m = c; has = true }
+                }
+              }
+              j += 1
+            }
+            (Some(ida), Some(cKeys(i)), if (has) Some(m) else None)
+          }
+        }
+      }
+      .toDF(idName, "cluster_id", "cos_max")
+    Some(acc.select(col(idName), col("cluster_id"),
+      when(round(col("cos_max"), 6) >= threshold, lit(0))
+        .otherwise(lit(1)).as("kept")))
+  }
+
   // ---- SimHash -----------------------------------------------------------
 
   /** Bit-position weights 2^0..2^30 (h31 is 31-bit, so bit 31+ never set). */

@@ -111,22 +111,19 @@ object TrainingQueries {
 
     // SemDeDup-style semantic dedup, fully oracle-gated (the scale path
     // q39's doc only described): IVF-assign to the 8 seed centroids, score
-    // pairs only WITHIN a cluster (Σ cluster² not n², shuffled on
-    // cluster_id so AQE splits skew), then the deterministic survivor rule
-    // — a vector is dropped iff some LOWER-id vector in its cluster is
-    // ≥ τ cosine-similar. Output is per-vector accounting (cluster, kept),
-    // so the gate certifies assignment, pair recall, and survivor logic.
+    // pairs only WITHIN a cluster (Σ cluster² not n²), then the
+    // deterministic survivor rule — a vector is dropped iff some LOWER-id
+    // vector in its cluster is ≥ τ cosine-similar. Output is per-vector
+    // accounting (cluster, kept), so the gate certifies assignment, pair
+    // recall, and survivor logic. One call: under the broadcast guard the
+    // accounting kernel emits kept flags from a single range job (no pair
+    // materialization, no distinct/join shuffles, no second argmin scan);
+    // past it the declarative twin runs — assignment left-joined against
+    // the distinct dropped-id set, shuffled on cluster_id so AQE splits
+    // skewed clusters.
     "q134_semantic_dedup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val centroids = seedCentroids(emb)
-      val assigned = Similarity.ivfAssign(emb, centroids)
-        .select(col("vec_id"), col("cluster_id"))
-      val dropped = Dedup.embeddingNearDupsIvf(emb, centroids, 0.4)
-        .select(col("id_b").as("vec_id")).distinct()
-        .withColumn("dup", lit(true))
-      assigned.join(dropped, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cluster_id"),
-          when(col("dup").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+      Dedup.semanticDedupIvf(emb, seedCentroids(emb), 0.4)
     }),
 
     // Document fingerprints: Karp-Rabin rolling hash + winnowing min-hash.

@@ -329,6 +329,104 @@ class DedupSpec extends SparkSpec {
       !droppedIds.contains(4L))
   }
 
+  test("semanticDedupIvf: accounting kernel is bit-identical to the join twin") {
+    // Same recipe as q134: real corpus, first 8 vectors as seed centroids,
+    // threshold low enough that many vectors drop. EXACT equality with the
+    // declarative twin — the kernel emits each vector's raw max cosine and
+    // leaves the round(·,6) >= t decision to Spark, so rounding semantics
+    // are shared by construction (round is monotone: round(max c) >= t
+    // ⟺ ∃ pair round(c) >= t).
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val kernel = Dedup.semanticDedupIvf(emb, centroids, 0.2)
+    assert(kernel.queryExecution.executedPlan.toString.contains("MapPartitions"),
+      "corpus under the guard must take the accounting kernel")
+    val twin = Dedup.semanticDedupIvfJoin(emb, centroids, 0.2)
+    assert(kernel.count() == emb.count(), "one accounting row per input row")
+    assert(kernel.filter(col("kept") === 0).count() > 20,
+      "test corpus should drop many vectors at this threshold")
+    assert(kernel.exceptAll(twin).count() == 0L &&
+      twin.exceptAll(kernel).count() == 0L)
+    assert(kernel.schema.map(f => (f.name, f.dataType)) ==
+      twin.schema.map(f => (f.name, f.dataType)))
+  }
+
+  test("semanticDedupIvf: dirty corpus (null id/vec, zero-norm, NaN) matches the twin") {
+    import spark.implicits._
+    // Row 2 drops against row 1 (cos ≈ 1 ≥ 0.9). Zero-norm row 3 and
+    // all-null row 4 pair with nobody (divisor 0 → twin's try_divide NULL).
+    // NaN-element rows get NaN distances to every centroid, so ivfAssign's
+    // argmin keeps the -1 seed: rows 5 and 7 land TOGETHER in cluster -1,
+    // their pair's divisor is NaN ≠ 0, the cosine is NaN ≥ t in both
+    // engines → the higher id 7 drops, 5 survives. Null-id and null-vec
+    // rows pass through kept = 1 (they fail the twin's join/filter).
+    val rows = Seq(
+      (java.lang.Long.valueOf(1L), Seq[java.lang.Double](1.0, 0.0)),
+      (java.lang.Long.valueOf(2L), Seq[java.lang.Double](1.0, 0.001)),
+      (java.lang.Long.valueOf(3L), Seq[java.lang.Double](0.0, 0.0)),
+      (java.lang.Long.valueOf(4L), Seq[java.lang.Double](null, null)),
+      (java.lang.Long.valueOf(5L), Seq[java.lang.Double](Double.NaN, 1.0)),
+      (java.lang.Long.valueOf(6L), null: Seq[java.lang.Double]),
+      (java.lang.Long.valueOf(7L), Seq[java.lang.Double](Double.NaN, 2.0)),
+      (null: java.lang.Long, Seq[java.lang.Double](1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val centroids = Array((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+    val kernel = Dedup.semanticDedupIvf(rows, centroids, 0.9)
+    assert(kernel.queryExecution.executedPlan.toString.contains("MapPartitions"))
+    val twin = Dedup.semanticDedupIvfJoin(rows, centroids, 0.9)
+    assert(kernel.exceptAll(twin).count() == 0L &&
+      twin.exceptAll(kernel).count() == 0L)
+    val kept = kernel.collect()
+      .map(r => (if (r.isNullAt(0)) -99L else r.getLong(0)) -> r.getInt(2)).toMap
+    assert(kept == Map(1L -> 1, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 1,
+      6L -> 1, 7L -> 0, -99L -> 1))
+  }
+
+  test("semanticDedupIvf: duplicate ids route to the twin's id-level semantics") {
+    import spark.implicits._
+    // id 2 occurs twice: one row near-dups id 1, the other is orthogonal.
+    // The twin drops EVERY row of a dropped id (join on id), so both id-2
+    // rows read kept = 0 — per-row accounting would keep the orthogonal
+    // one, which is why the kernel refuses duplicate ids and the twin runs.
+    val rows = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(1.0, 0.001)),
+      (2L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
+    val centroids = Array((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+    val got = Dedup.semanticDedupIvf(rows, centroids, 0.9)
+    assert(!got.queryExecution.executedPlan.toString.contains("MapPartitions"),
+      "duplicate ids must route to the join twin")
+    val byId = got.collect().groupBy(_.getLong(0))
+    assert(byId(2L).map(_.getInt(2)).toSeq == Seq(0, 0),
+      "both rows of a dropped id must read kept = 0")
+    assert(byId(1L).head.getInt(2) == 1)
+  }
+
+  test("semanticDedupIvf: past-guard corpora fall back to the twin, same accounting") {
+    import spark.implicits._
+    val rows = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.001)),
+      (3L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
+    val centroids = Array((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+    val viaKernel = Dedup.semanticDedupIvf(rows, centroids, 0.9)
+    assert(viaKernel.queryExecution.executedPlan.toString.contains("MapPartitions"))
+    spark.conf.set("spark.graft.dedup.kernelMaxCorpusRows", "1")
+    try {
+      val twin = Dedup.semanticDedupIvf(rows, centroids, 0.9)
+      assert(!twin.queryExecution.executedPlan.toString.contains("MapPartitions"),
+        "guard must route past-limit corpora to the join twin")
+      assert(twin.collect().toSet == viaKernel.collect().toSet)
+    } finally spark.conf.unset("spark.graft.dedup.kernelMaxCorpusRows")
+    // TOCTOU backstop: the accounting collect itself is limit-bounded
+    val k = rows.select(col("vec_id"), lit(0L).as("key"),
+      transform(col("embedding"), x => coalesce(x, lit(0.0))).as("v"))
+    assert(Dedup.semanticDedupAccounting(k, 0.9, maxRows = 2, "vec_id").isEmpty,
+      "3-row corpus must not pass a 2-row guard at collect time")
+  }
+
   test("simhash: identical docs collide, near-dups are hamming-close") {
     import spark.implicits._
     val sh = rows(docs.select(col("doc_id"), Dedup.simhash31(col("text")).as("s")))

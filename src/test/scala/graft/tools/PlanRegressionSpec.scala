@@ -440,16 +440,22 @@ class PlanRegressionSpec extends AnyFunSuite {
 
   test("q39/q134: pair scoring runs in the broadcast kernel, never a pairwise join") {
     // The round-10 headline: under the corpus guard, the O(pairs) cosine
-    // work happens in pairScoreKernel's mapPartitions over broadcast
-    // primitive arrays — a BNLJ or cluster-keyed join materializing both
-    // vectors per pair (~1 KB/pair) must not reappear (10×: q39 8.0→1.2s,
-    // q134 21.6→1.75s). q134's survivor left-join IS allowed — only the
-    // pair-generating joins are banned.
+    // work happens in the broadcast kernels' mapPartitions over primitive
+    // arrays — a BNLJ or cluster-keyed join materializing both vectors per
+    // pair (~1 KB/pair) must not reappear (10×: q39 8.0→1.2s,
+    // q134 21.6→1.75s). Since round 11, q134 goes through the accounting
+    // kernel (semanticDedupAccounting): the kept flags come straight out
+    // of the single range job, so its plan carries NO join and NO exchange
+    // at all — the survivor left-join + distinct shuffle exist only in the
+    // past-guard twin.
     for (q <- Seq("q39_embedding_neardup", "q134_semantic_dedup")) {
       val p = plan(q)
       assert(p.contains("MapPartitions"), s"$q: kernel mapPartitions missing")
       assert(!p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("CartesianProduct"), s"$q must not score pairs in a join")
     }
+    val p134 = plan("q134_semantic_dedup")
+    assert(!p134.contains("Join") && !p134.contains("Exchange"),
+      "q134's accounting kernel must emit kept flags with no join/shuffle")
   }
 }
