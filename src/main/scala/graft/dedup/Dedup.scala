@@ -532,6 +532,25 @@ object Dedup {
     pairScoreKernel(k, threshold, kernelMaxCorpusRows(df))
   }
 
+  /** [start, end) bounds of each equal-key run in an already-sorted key
+    * array, aligned per row — the group index both broadcast kernels scan
+    * ([[pairScoreKernel]] and [[semanticDedupAccounting]] share this so
+    * their grouping cannot diverge). */
+  private def keyGroupBounds(keys: Array[Long]): (Array[Int], Array[Int]) = {
+    val n = keys.length
+    val gs = new Array[Int](n)
+    val ge = new Array[Int](n)
+    var s = 0
+    while (s < n) {
+      var e = s
+      while (e < n && keys(e) == keys(s)) e += 1
+      var i = s
+      while (i < e) { gs(i) = s; ge(i) = e; i += 1 }
+      s = e
+    }
+    (gs, ge)
+  }
+
   /** Element-order dot product — the same IEEE op sequence as
     * `DotProduct`'s generated loop, so kernel cosines are bit-identical
     * to the declarative twins'. */
@@ -626,16 +645,7 @@ object Dedup {
     val vecs = sorted.map(_._3)
     val norms = vecs.map(v => math.sqrt(seqDot(v, v)))
     val n = sorted.length
-    val groupStart = new Array[Int](n)
-    val groupEnd = new Array[Int](n)
-    var s = 0
-    while (s < n) {
-      var e = s
-      while (e < n && sorted(e)._2 == sorted(s)._2) e += 1
-      var i = s
-      while (i < e) { groupStart(i) = s; groupEnd(i) = e; i += 1 }
-      s = e
-    }
+    val (groupStart, groupEnd) = keyGroupBounds(sorted.map(_._2))
     val bc = spark.sparkContext.broadcast((ids, vecs, norms, groupStart, groupEnd))
     val pre = threshold - 1e-6
     val pairs = spark.range(n.toLong)
@@ -785,13 +795,17 @@ object Dedup {
     * pairs+distinct+join formulation it replaces (q134 at sf0.1): the
     * accounting plan drops two shuffles and a second argmin scan.
     *
-    * Past the guard — or for non-long ids, or when any non-null id value
-    * occurs on more than one row — the declarative twin
-    * [[semanticDedupIvfJoin]] runs (assignment left-joined against the
-    * distinct dropped-id set). Duplicate ids route to the twin because the
-    * two formulations genuinely differ there: the join drops every row OF
-    * a dropped id, the per-row kernel would drop only the rows whose own
-    * vector matched — the twin's id-level semantics are the contract. */
+    * When the accounting kernel refuses — duplicate non-null ids, or a
+    * TOCTOU re-evaluation past the guard — the fallback is the PAIRS
+    * composition over the still-gated [[embeddingNearDupsIvf]]: pair
+    * scoring stays in the broadcast kernel whenever the corpus fits, and
+    * the distinct+join step supplies the id-level drop semantics the
+    * per-row kernel cannot (the join drops every row OF a dropped id; a
+    * per-row max would drop only the rows whose own vector matched —
+    * which is also why duplicate ids refuse the accounting kernel). For
+    * corpora past the guard or with non-long ids that composition
+    * degrades further to [[embeddingNearDupsIvfJoin]]'s shuffled join,
+    * i.e. the fully declarative [[semanticDedupIvfJoin]] twin. */
   def semanticDedupIvf(df: DataFrame, centroids: Array[(Long, Array[Double])],
                        threshold: Double, idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
@@ -803,8 +817,19 @@ object Dedup {
             kernelVec(col(vecCol)))
         semanticDedupAccounting(k, threshold, kernelMaxCorpusRows(df), idCol)
       } else None
-    kernel.getOrElse(
-      semanticDedupIvfJoin(df, centroids, threshold, idCol, vecCol))
+    kernel.getOrElse {
+      // Pairs from the gated path (kernel under the guard, join twin past
+      // it), then the id-level survivor join — identical rows to
+      // semanticDedupIvfJoin by the pairs-parity gate, kernel-speed
+      // scoring for the dup-id case the accounting kernel refuses.
+      val assigned = Similarity.ivfAssign(df, centroids, idCol, vecCol)
+        .select(col(idCol), col("cluster_id"))
+      val dropped = embeddingNearDupsIvf(df, centroids, threshold, idCol, vecCol)
+        .select(col("id_b").as(idCol)).distinct().withColumn("dup", lit(true))
+      assigned.join(dropped, Seq(idCol), "left")
+        .select(col(idCol), col("cluster_id"),
+          when(col("dup").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+    }
   }
 
   /** Declarative twin of the accounting kernel — the fallback past the
@@ -868,16 +893,7 @@ object Dedup {
     val keys = clean.map(_._2.get)
     val vecs = clean.map(_._3.get)
     val norms = vecs.map(v => math.sqrt(seqDot(v, v)))
-    val gs = new Array[Int](nClean)
-    val ge = new Array[Int](nClean)
-    var s = 0
-    while (s < nClean) {
-      var e = s
-      while (e < nClean && keys(e) == keys(s)) e += 1
-      var i = s
-      while (i < e) { gs(i) = s; ge(i) = e; i += 1 }
-      s = e
-    }
+    val (gs, ge) = keyGroupBounds(keys)
     val dirtyRows: Array[(Option[Long], Option[Long], Option[Double])] =
       dirty.map(r => (r._1, r._2, None))
     val bc = spark.sparkContext.broadcast(

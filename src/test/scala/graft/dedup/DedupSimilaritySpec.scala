@@ -389,21 +389,31 @@ class DedupSpec extends SparkSpec {
   test("semanticDedupIvf: duplicate ids route to the twin's id-level semantics") {
     import spark.implicits._
     // id 2 occurs twice: one row near-dups id 1, the other is orthogonal.
-    // The twin drops EVERY row of a dropped id (join on id), so both id-2
-    // rows read kept = 0 — per-row accounting would keep the orthogonal
-    // one, which is why the kernel refuses duplicate ids and the twin runs.
+    // The id-level contract drops EVERY row of a dropped id (join on id),
+    // so both id-2 rows read kept = 0 — per-row accounting would keep the
+    // orthogonal one, which is why the accounting kernel refuses duplicate
+    // ids. The fallback keeps pair SCORING in the broadcast kernel (the
+    // pairs formulation handles duplicate ids) and takes the id-level
+    // semantics from the distinct+join step.
     val rows = Seq(
       (1L, Seq(1.0, 0.0)),
       (2L, Seq(1.0, 0.001)),
       (2L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
     val centroids = Array((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
     val got = Dedup.semanticDedupIvf(rows, centroids, 0.9)
-    assert(!got.queryExecution.executedPlan.toString.contains("MapPartitions"),
-      "duplicate ids must route to the join twin")
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"),
+      "dup-id fallback must still score pairs in the broadcast kernel")
+    assert(plan.contains("Join"),
+      "dup-id fallback must take id-level semantics from the survivor join")
     val byId = got.collect().groupBy(_.getLong(0))
     assert(byId(2L).map(_.getInt(2)).toSeq == Seq(0, 0),
       "both rows of a dropped id must read kept = 0")
     assert(byId(1L).head.getInt(2) == 1)
+    // and the fully declarative twin agrees row-for-row
+    val twin = Dedup.semanticDedupIvfJoin(rows, centroids, 0.9)
+    assert(got.exceptAll(twin).count() == 0L &&
+      twin.exceptAll(got).count() == 0L)
   }
 
   test("semanticDedupIvf: past-guard corpora fall back to the twin, same accounting") {
