@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — one JSON line per run, queries fully executed via the
   * noop sink (count() alone would let Catalyst prune most of the work).
@@ -17,16 +16,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // Canonical session factory (Sessions.local): the benchmark must time
+    // the engine under the same settings Verify's oracle dump and library
+    // users run with — three hand-rolled builders had already drifted
+    // (Kryo and the explicit AQE flags were in Sessions.local only).
+    val spark = graft.core.Sessions.local(appName = "graft-bench", cores = cpus)
     graft.core.Scratch.cleanStale()
 
 

@@ -27,30 +27,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "built-in")
 
+  /** Arity gate in front of each builder: SQL text with the wrong argument
+    * count gets the usage string back, not the builder's raw
+    * IndexOutOfBoundsException — these functions are called from
+    * metadata-driven SQL (DQ rules, warehouse transforms) where an opaque
+    * crash carries no hint of which call was malformed. */
+  private def arity(n: Int, usage: String)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children => {
+      if (children.length != n)
+        throw new IllegalArgumentException(
+          s"expected $n argument(s), got ${children.length}; usage: $usage")
+      build(children)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     // Whole-operator extension: per-key top-k logical node → strategy
     // (partial/final bounded-heap split) + key-filter pushdown rule.
     ext.injectPlannerStrategy(_ => graft.plans.TopK.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopK.PushFilterThroughTopK)
-    ext.injectFunction((
-      FunctionIdentifier("iso_duration_micros"),
-      info("iso_duration_micros", "iso_duration_micros(iso) - ISO-8601 duration string to microseconds (null on malformed)."),
-      (children: Seq[Expression]) => IsoDuration.ParseIsoDuration(children.head, strict = false)))
-    ext.injectFunction((
-      FunctionIdentifier("format_iso_duration"),
-      info("format_iso_duration", "format_iso_duration(micros) - microseconds to ISO-8601 duration string."),
-      (children: Seq[Expression]) => IsoDuration.FormatIsoDuration(children.head)))
-    ext.injectFunction((
-      FunctionIdentifier("dot_product"),
-      info("dot_product", "dot_product(a, b) - sequential-fold dot product of two array<double> (codegen'd)."),
-      (children: Seq[Expression]) => Similarity.DotProduct(children.head, children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("normalize_nfc"),
-      info("normalize_nfc", "normalize_nfc(str) - Unicode NFC normalization (canonical composition)."),
-      (children: Seq[Expression]) => TextOps.NormalizeNfc(children.head)))
-    ext.injectFunction((
-      FunctionIdentifier("l2sq_distance"),
-      info("l2sq_distance", "l2sq_distance(a, b) - sequential-fold squared L2 distance of two array<double> (codegen'd)."),
-      (children: Seq[Expression]) => Similarity.L2SqDistance(children.head, children(1))))
+    def fn(name: String, n: Int, usage: String)(
+        build: Seq[Expression] => Expression): Unit =
+      ext.injectFunction(
+        (FunctionIdentifier(name), info(name, usage), arity(n, usage)(build)))
+    fn("iso_duration_micros", 1,
+      "iso_duration_micros(iso) - ISO-8601 duration string to microseconds (null on malformed).")(
+      children => IsoDuration.ParseIsoDuration(children.head, strict = false))
+    fn("format_iso_duration", 1,
+      "format_iso_duration(micros) - microseconds to ISO-8601 duration string.")(
+      children => IsoDuration.FormatIsoDuration(children.head))
+    fn("dot_product", 2,
+      "dot_product(a, b) - sequential-fold dot product of two array<double> (codegen'd).")(
+      children => Similarity.DotProduct(children.head, children(1)))
+    fn("normalize_nfc", 1,
+      "normalize_nfc(str) - Unicode NFC normalization (canonical composition).")(
+      children => TextOps.NormalizeNfc(children.head))
+    fn("l2sq_distance", 2,
+      "l2sq_distance(a, b) - sequential-fold squared L2 distance of two array<double> (codegen'd).")(
+      children => Similarity.L2SqDistance(children.head, children(1)))
   }
 }

@@ -1,21 +1,18 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // The library's canonical session factory, so the correctness dump runs
+    // under exactly the engine settings users of Sessions.local get — a
+    // hand-rolled builder here had already drifted from it (Kryo, explicit
+    // AQE flags), and any future engine-relevant conf would have to be
+    // kept in sync by hand across three copies.
+    val spark = graft.core.Sessions.local(
+      appName = "graft-verify",
+      cores = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(4))
     graft.core.Scratch.cleanStale()
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q78_x,q40_y limits the dump to named queries (same

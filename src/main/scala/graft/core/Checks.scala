@@ -57,7 +57,12 @@ object Checks {
     df.select(col(col0)).collect().toSeq.map(_.getAs[T](0))
 
   /** P8: two columns to a driver map (reference: twoColumns2Dictionary).
-    * Later rows win on duplicate keys, like dict assignment. */
+    * On duplicate keys the row that is later IN COLLECT ORDER wins — that
+    * is partition order, not source order, so it is only deterministic
+    * when the upstream plan's row order is (a single-split scan, or an
+    * explicit orderBy). Callers that need a defined winner must
+    * deduplicate or order first; this mirrors the reference, whose
+    * dict-assignment loop had the same partition-order dependence. */
   def twoColumnsToMap[K, V](df: DataFrame, key: String, value: String): Map[K, V] =
     df.select(col(key), col(value)).collect()
       .map(r => r.getAs[K](0) -> r.getAs[V](1)).toMap

@@ -22,20 +22,32 @@ object Launcher {
       conf: Map[String, String] = Map.empty,
       args: Seq[String] = Nil)
 
+  /** Single-quote a token for POSIX shells when it contains anything a
+    * shell would re-tokenize or expand — conf values with spaces
+    * (`-XX:+UseG1GC -Xss4m`), app names with spaces, globs, `$`s. Plain
+    * tokens render as-is so the common command stays readable. */
+  private def shellQuote(s: String): String =
+    if (s.nonEmpty && s.forall(ch => ch.isLetterOrDigit || "._-/:=,+@%".contains(ch))) s
+    else "'" + s.replace("'", "'\\''") + "'"
+
   /** Render the spark-submit command line (reference parity with
-    * sbin/execute-tasks-spark-submit.sh:40-52 defaults). */
+    * sbin/execute-tasks-spark-submit.sh:40-52 defaults). Every
+    * caller-supplied token is shell-quoted: an executor-JVM-options conf
+    * with embedded spaces used to split into stray spark-submit arguments
+    * when the rendered string reached a shell. */
   def renderSubmit(c: SubmitConf): String = {
     val confs = (Map(
       "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer",
       "spark.dynamicAllocation.enabled" -> "false",
       "spark.yarn.maxAppAttempts" -> "1") ++ c.conf)
-      .toSeq.sortBy(_._1).map { case (k, v) => s"--conf $k=$v" }.mkString(" ")
+      .toSeq.sortBy(_._1).flatMap { case (k, v) => Seq("--conf", s"$k=$v") }
     (Seq("spark-submit",
-      s"--master ${c.master}", s"--deploy-mode ${c.deployMode}",
-      s"--name ${c.appName}", s"--class ${c.mainClass}",
-      s"--driver-memory ${c.driverMemory}", s"--executor-memory ${c.executorMemory}",
-      s"--num-executors ${c.numExecutors}", s"--executor-cores ${c.executorCores}",
-      confs, c.jar) ++ c.args).mkString(" ")
+      "--master", c.master, "--deploy-mode", c.deployMode,
+      "--name", c.appName, "--class", c.mainClass,
+      "--driver-memory", c.driverMemory, "--executor-memory", c.executorMemory,
+      "--num-executors", c.numExecutors.toString,
+      "--executor-cores", c.executorCores.toString) ++
+      confs ++ Seq(c.jar) ++ c.args).map(shellQuote).mkString(" ")
   }
 
   /** Split [start, end] into chunks of at most `days` days — one backfill

@@ -65,9 +65,16 @@ object Multimodal {
 
     /** REAL IMPLEMENTATION GOES HERE (Graphics2D / native scaler).
       * Fake: payload truncated/padded pro-rata to the target pixel count —
-      * deterministic, size-contract-faithful (RGB byte-per-channel). */
+      * deterministic, size-contract-faithful (RGB byte-per-channel).
+      * Dimensions are validated up front: `w*h*3` is computed in Long and
+      * must fit an Int (a 30000×30000 request used to overflow Int and
+      * either throw NegativeArraySizeException or corrupt the pro-rata
+      * index divisor). */
     def resizeImage(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-      val target = w * h * 3
+      val targetL = w.toLong * h * 3
+      require(w > 0 && h > 0 && targetL <= Int.MaxValue,
+        s"resize target ${w}x$h exceeds byte-array bounds (w*h*3 = $targetL)")
+      val target = targetL.toInt
       val out = new Array[Byte](target)
       if (bytes.nonEmpty) {
         var i = 0
@@ -76,13 +83,23 @@ object Multimodal {
       out
     }
 
+    /** Non-negative by masking the sign bit — math.abs(Long.MinValue) is
+      * Long.MinValue, which used to leak negative media ids / dimensions
+      * on the one-in-2^64 payload whose rolling hash lands there. */
     def stableHash(bytes: Array[Byte]): Long = {
       var acc = 1125899906842597L
       var i = 0
       while (i < bytes.length) { acc = acc * 31 + bytes(i); i += 1 }
-      math.abs(acc)
+      acc & Long.MaxValue
     }
   }
+
+  /** `mediaSchema` declares `content` nullable (media whose payload fetch
+    * failed but whose metadata was kept) — every decoder entry point maps
+    * a null payload to empty bytes instead of NPE-killing the stage for
+    * one bad record: zero features, zero frames, zero-filled resize. */
+  private def payload(r: MediaRecord): Array[Byte] =
+    if (r.content == null) Array.emptyByteArray else r.content
 
   /** Decode + featurize in partition-sized batches. Output drops the payload
     * (features only cross the next shuffle). */
@@ -92,8 +109,9 @@ object Multimodal {
     records.mapPartitions { it =>
       // per-partition codec init would go here (amortized like mapInPandas)
       it.map { r =>
-        val (w, h, c) = Decoders.decodeImage(r.content)
-        DecodedImage(r.media_id, w, h, c, Decoders.extractFeatures(r.content, featureDim))
+        val bytes = payload(r)
+        val (w, h, c) = Decoders.decodeImage(bytes)
+        DecodedImage(r.media_id, w, h, c, Decoders.extractFeatures(bytes, featureDim))
       }
     }
   }
@@ -106,7 +124,7 @@ object Multimodal {
       : Dataset[MediaRecord] = {
     import records.sparkSession.implicits._
     records.mapPartitions(_.map { r =>
-      val resized = Decoders.resizeImage(r.content, w, h)
+      val resized = Decoders.resizeImage(payload(r), w, h)
       r.copy(content = resized,
         meta = r.meta.copy(sizeBytes = resized.length.toLong))
     })
@@ -117,8 +135,9 @@ object Multimodal {
       : Dataset[AudioFrames] = {
     import records.sparkSession.implicits._
     records.mapPartitions(_.map { r =>
-      AudioFrames(r.media_id, 16000, (r.content.length + stride - 1) / stride,
-        Decoders.sampleFrames(r.content, stride))
+      val bytes = payload(r)
+      AudioFrames(r.media_id, 16000, (bytes.length + stride - 1) / stride,
+        Decoders.sampleFrames(bytes, stride))
     })
   }
 

@@ -65,9 +65,15 @@ object ClinicalTrial {
     // Hadoop FS probe so a remote stagingDir (hdfs://, s3a://) is seen —
     // a java.io.File probe reads any non-local path as empty, making every
     // run re-ingest the full source as "new".
+    // Any non-hidden data file counts — suffix-matching ".json" alone read
+    // a compressed staging area (part-*.json.gz when a codec is configured)
+    // as empty, making every run re-ingest the full landing area as "new"
+    // and append duplicates. Spark's own readers use the same convention:
+    // files starting with "_" or "." are metadata, everything else is data.
     val hasData = FsOps.list(spark, p.stagingDir)
       .exists { case (name, isDir, size) =>
-        !isDir && name.endsWith(".json") && size > 0 }
+        !isDir && size > 0 &&
+          !name.startsWith("_") && !name.startsWith(".") }
     if (!hasData)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         like.schema)

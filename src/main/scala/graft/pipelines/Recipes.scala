@@ -39,6 +39,18 @@ object Recipes {
       val (dqId, rules) = DataQuality.rulesFromJson(json)
       val report = DataQuality.run(spark, raw, dqId, rules)
       reportDir.foreach(d => DataQuality.writeHtmlReport(report, s"$d/$dqId.html"))
+      // The DQ pass is report-only (the reference pipeline cleans rather
+      // than rejects), but a failed rule must be OBSERVABLE even when no
+      // reportDir was given — the rule jobs are a full scan of the input;
+      // silently discarding their verdicts made that scan pure waste.
+      if (!report.overallPassed)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "task1 DQ report {}: {} of {} rules failed — {}", dqId,
+          Integer.valueOf(report.results.count(!_.passed)),
+          Integer.valueOf(report.results.size),
+          report.results.filterNot(_.passed)
+            .map(r => s"${r.ruleId}/${r.ruleName}: ${r.violations} violations")
+            .mkString("; "))
     }
 
     val cleaned = Standardize.renameColumns(raw, renames)

@@ -184,11 +184,13 @@ object StreamQueries {
 
   /** q42 shares q18's oracle (same semantics, streaming execution);
     * q43's STUB codec math (Multimodal.Decoders — rolling 64-bit byte hash
-    * with Java wraparound) is restated exactly in DuckDB via HUGEINT
-    * mod-2^64 arithmetic, upgrading it from rows-only to hash-gated. The
-    * documents corpus is ASCII, so per-character `ascii()` equals the
-    * UTF-8 byte sequence the Scala side hashes. q117's key-set output is
-    * exactly the batch DISTINCT. */
+    * with Java wraparound, then the sign bit MASKED off: `acc &
+    * Long.MaxValue`, i.e. mod 2^63 of the unsigned value — not abs(),
+    * which is undefined-ish at Long.MinValue) is restated exactly in
+    * DuckDB via HUGEINT mod-2^64 arithmetic, upgrading it from rows-only
+    * to hash-gated. The documents corpus is ASCII, so per-character
+    * `ascii()` equals the UTF-8 byte sequence the Scala side hashes.
+    * q117's key-set output is exactly the batch DISTINCT. */
   val oracles: Map[String, String] = Map(
     "q43_multimodal_decode" ->
       """WITH h AS (
@@ -198,10 +200,7 @@ object StreamQueries {
         |      (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) AS u
         |  FROM documents),
         |s AS (
-        |  SELECT doc_id,
-        |    abs(CASE WHEN u >= 9223372036854775808::HUGEINT
-        |         THEN u - 18446744073709551616::HUGEINT ELSE u END) AS a
-        |  FROM h)
+        |  SELECT doc_id, (u % 9223372036854775808::HUGEINT) AS a FROM h)
         |SELECT doc_id AS media_id,
         |  (64 + a % 193)::INT AS width,
         |  (64 + (a // 256) % 193)::INT AS height,

@@ -76,13 +76,22 @@ object MockData {
       case BinaryType => { val b = new Array[Byte](rnd.nextInt(16)); rnd.nextBytes(b); b }
       case d: DecimalType =>
         BigDecimal(rnd.nextInt(1000000)).bigDecimal.movePointLeft(d.scale)
-      case ArrayType(et, _) =>
-        Seq.fill(rnd.nextInt(cfg.maxColl))(genValue(rnd, et, cfg))
-      case MapType(kt, vt, _) =>
+      // Nested nullability is honored the same way genDataFrame honors the
+      // top level: containsNull=false elements, valueContainsNull=false map
+      // values, and non-nullable struct fields never draw null — Spark
+      // codegen trusts declared nullability, so injecting nulls there makes
+      // the fuzzer report phantom bugs (getLong on a null slot) instead of
+      // real ones.
+      case ArrayType(et, containsNull) =>
         Seq.fill(rnd.nextInt(cfg.maxColl))(
-          (genValue(rnd, kt, cfg.copy(pNull = 0)), genValue(rnd, vt, cfg))).toMap
+          genValue(rnd, et, if (containsNull) cfg else cfg.copy(pNull = 0)))
+      case MapType(kt, vt, valueContainsNull) =>
+        Seq.fill(rnd.nextInt(cfg.maxColl))(
+          (genValue(rnd, kt, cfg.copy(pNull = 0)),
+            genValue(rnd, vt, if (valueContainsNull) cfg else cfg.copy(pNull = 0)))).toMap
       case st: StructType =>
-        Row.fromSeq(st.fields.toSeq.map(f => genValue(rnd, f.dataType, cfg)))
+        Row.fromSeq(st.fields.toSeq.map(f =>
+          genValue(rnd, f.dataType, if (f.nullable) cfg else cfg.copy(pNull = 0))))
       case other => throw new IllegalArgumentException(s"no generator for $other")
     }
   }

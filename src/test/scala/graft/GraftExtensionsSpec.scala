@@ -45,6 +45,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("wrong-arity SQL calls get a usage message, not IndexOutOfBounds") {
+    withExtendedSession { s =>
+      val e = intercept[Exception] {
+        s.sql("SELECT dot_product(array(1.0d))").collect()
+      }
+      // the arity gate's message (possibly wrapped by the analyzer) must
+      // carry the usage hint — metadata-driven SQL needs to know WHICH
+      // call was malformed
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("dot_product(a, b)")),
+        s"expected the usage string in: ${messages(e).mkString(" | ")}")
+      val z = intercept[Exception] {
+        s.sql("SELECT iso_duration_micros()").collect()
+      }
+      assert(messages(z).exists(_.contains("expected 1 argument")))
+    }
+  }
+
   test("normalize_nfc composes decomposed sequences via SQL") {
     withExtendedSession { s =>
       val r = s.sql("SELECT length(normalize_nfc(concat('cafe', '́')))")

@@ -17,6 +17,27 @@ class LauncherSpec extends AnyFunSuite {
     assert(cmd.endsWith("graft.jar --sf 0.1"))
   }
 
+  test("renderSubmit shell-quotes tokens a shell would re-split or expand") {
+    val cmd = Launcher.renderSubmit(Launcher.SubmitConf(
+      appName = "my app", mainClass = "graft.Bench", jar = "graft.jar",
+      conf = Map("spark.executor.extraJavaOptions" -> "-XX:+UseG1GC -Xss4m"),
+      args = Seq("it's", "plain")))
+    // the space-carrying conf value must survive shell tokenization whole
+    assert(cmd.contains("--conf 'spark.executor.extraJavaOptions=-XX:+UseG1GC -Xss4m'"))
+    assert(cmd.contains("--name 'my app'"))
+    assert(cmd.contains("'it'\\''s' plain"))
+    // plain tokens stay unquoted for readability
+    assert(cmd.contains("--master yarn"))
+    // and the rendered line round-trips through a real shell into the
+    // intended argv (the original bug: -Xss4m parsed as the app jar)
+    val echoed = Launcher.runPool(Seq(Seq("sh", "-c",
+      "printf '%s\\n' " + cmd.stripPrefix("spark-submit ")))).head
+    val argv = echoed.stdout.split("\n").toSeq
+    assert(argv.contains("spark.executor.extraJavaOptions=-XX:+UseG1GC -Xss4m"))
+    assert(argv.contains("my app") && argv.contains("it's"))
+    assert(argv.last == "plain")
+  }
+
   test("dateChunks splits inclusively and clamps the tail") {
     val chunks = Launcher.dateChunks(
       LocalDate.of(2024, 1, 1), LocalDate.of(2024, 1, 10), days = 4)

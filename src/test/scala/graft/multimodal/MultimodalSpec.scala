@@ -46,6 +46,37 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Int]("nFrames") == offsets.length)
   }
 
+  test("null payloads (mediaSchema allows them) decode as empty, never NPE") {
+    import spark.implicits._
+    val withNull = media.collect().toSeq.take(2)
+      .map(r => r.copy(content = if (r.media_id % 2 == 0) null else r.content))
+      .toDS()
+    val decoded = rows(decodeImages(withNull, featureDim = 8).toDF())
+    assert(decoded.length == 2) // no task death on the null-payload row
+    val frames = rows(sampleFrames(withNull, stride = 64).toDF())
+    assert(frames.forall(_.getAs[Int]("nFrames") >= 0))
+    val resized = rows(resizeImages(withNull, 4, 4).toDF())
+    assert(resized.forall(_.getAs[Array[Byte]]("content").length == 4 * 4 * 3))
+  }
+
+  test("resizeImage validates dimensions before the Int byte-count overflows") {
+    intercept[IllegalArgumentException] {
+      Multimodal.Decoders.resizeImage(Array[Byte](1, 2, 3), 30000, 30000)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.Decoders.resizeImage(Array[Byte](1), 0, 4)
+    }
+  }
+
+  test("stableHash is always non-negative (media ids, fake dimensions)") {
+    // math.abs(Long.MinValue) is Long.MinValue; the sign-bit mask is not.
+    // Drive the raw rolling hash through a spread of payloads.
+    (0 until 64).foreach { i =>
+      val bytes = Array.fill[Byte](i * 7 + 1)((i * 31 + 5).toByte)
+      assert(Multimodal.Decoders.stableHash(bytes) >= 0L)
+    }
+  }
+
   test("media schema matches the declared contract") {
     assert(media.toDF().schema("content").dataType.typeName == "binary")
     assert(media.toDF().schema("meta").dataType.typeName == "struct")

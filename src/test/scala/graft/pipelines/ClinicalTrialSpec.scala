@@ -76,4 +76,22 @@ class ClinicalTrialSpec extends SparkSpec {
     val counts2 = ClinicalTrial.loadWarehouse(spark, params, transformations)
     assert(counts2 == Map("studies" -> 4L, "sponsors" -> 5L))
   }
+
+  test("readStaging sees a COMPRESSED staging area (not just *.json files)") {
+    import spark.implicits._
+    // A staging dir written with a codec holds part-*.json.gz — the old
+    // ".json"-suffix probe read it as empty, so every later run re-ingested
+    // the whole landing area as "new" and appended duplicates.
+    val base = Files.createTempDirectory("ct_gz").toString
+    val params = ClinicalTrial.Params(
+      landingDir = s"$base/landing", stagingDir = s"$base/staging",
+      warehouseDir = s"$base/wh",
+      xmlSchema = StructType.fromDDL("nct_id STRING, title STRING"),
+      pks = Seq("nct_id"))
+    val like = Seq(("NCT001", "alpha")).toDF("nct_id", "title")
+    like.write.option("compression", "gzip").json(params.stagingDir)
+    val staged = ClinicalTrial.readStaging(spark, params, like)
+    assert(staged.count() == 1L,
+      "compressed staging files must be recognized as data")
+  }
 }

@@ -150,6 +150,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("genValue honors NESTED nullability: non-nullable slots never draw null") {
+    // Spark codegen trusts declared nullability — a null in a
+    // nullable=false nested slot makes the operator under test read
+    // garbage, so the fuzzer would report phantom bugs. Drive a high
+    // null probability through every nesting shape and assert the
+    // non-nullable slots stay populated.
+    val cfg = MockData.GenConfig(pNull = 0.9)
+    val rnd = new Random(17L)
+    val st = StructType(Seq(
+      StructField("req", LongType, nullable = false),
+      StructField("opt", LongType, nullable = true)))
+    // genValue may return the WHOLE value as null (that is the top-level
+    // draw genDataFrame guards with the field's own nullability) — the
+    // nested contract is about the slots INSIDE a non-null value.
+    val structs = (0 until 400).map(_ => MockData.genValue(rnd, st, cfg))
+      .collect { case r: org.apache.spark.sql.Row => r }
+    assert(structs.nonEmpty)
+    structs.foreach(r => assert(!r.isNullAt(0), "non-nullable struct field drew null"))
+    // and the nullable slot does exercise nulls at this probability
+    assert(structs.exists(_.isNullAt(1)), "nullable field never drew null at pNull=0.9")
+    val arrays = (0 until 400).map(_ => MockData.genValue(rnd,
+        ArrayType(LongType, containsNull = false), cfg))
+      .collect { case a: Seq[_] => a }
+    assert(arrays.nonEmpty)
+    arrays.foreach(a =>
+      assert(a.forall(_ != null), "containsNull=false array drew a null element"))
+    val maps = (0 until 400).map(_ => MockData.genValue(rnd,
+        MapType(LongType, LongType, valueContainsNull = false), cfg))
+      .collect { case m: Map[_, _] => m }
+    assert(maps.nonEmpty)
+    maps.foreach(m =>
+      assert(m.values.forall(_ != null), "valueContainsNull=false map drew a null value"))
+  }
+
   test("generated frames of random schemas survive a parquet roundtrip") {
     (10L to 12L).foreach { seed =>
       val rnd = new Random(seed)
