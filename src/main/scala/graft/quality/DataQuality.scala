@@ -80,15 +80,18 @@ object DataQuality {
       case FkRule(_, _, cc, parent, pc) => orphanRows(df, cc, parent, pc)
       case QueryRule(_, _, sql) =>
         // The reference contract (data_quality.py:102): rule SQL references
-        // the frame as view `temp`. The rule runs in a CLONED session
-        // (shared SparkContext/cache, PRIVATE temp-view catalog), which
+        // the frame as view `temp`. The rule runs in a CLONE of the
+        // caller's session (shared SparkContext/cache, COPIED state), which
         // satisfies every constraint at once: the REAL name registers (no
         // token rewrite — the old rewrite mangled string literals like
         // `WHERE category = 'temp'` and missed case variants `FROM TEMP`),
         // a user's own `temp` view in the main session is never clobbered
-        // or even consulted, and concurrent DQ runs each see only their
-        // own registration instead of racing on one session-global name.
-        val scoped = spark.newSession()
+        // (the registration lands in the clone's copied catalog only),
+        // concurrent DQ runs each see only their own registration, AND —
+        // unlike newSession(), whose empty catalog broke this — rule SQL
+        // can still join the caller's OTHER temp views (lookup tables,
+        // valid-code lists).
+        val scoped = org.apache.spark.sql.graft.Bridge.cloneSession(spark)
         org.apache.spark.sql.graft.Bridge
           .ofRows(scoped, df.queryExecution.analyzed)
           .createOrReplaceTempView("temp")
@@ -122,6 +125,8 @@ object DataQuality {
     */
   def summarize(df: DataFrame, uniques: Seq[UniqueRule],
                 notNulls: Seq[NotNullRule]): DataFrame = {
+    require(uniques.nonEmpty || notNulls.nonEmpty,
+      "summarize needs at least one unique or not-null rule")
     val aggs =
       uniques.map(r =>
         (count(lit(1)) - count_distinct(struct(r.columns.map(col): _*)))
@@ -140,24 +145,32 @@ object DataQuality {
     import com.fasterxml.jackson.databind.ObjectMapper
     val root = new ObjectMapper().readTree(json)
     val dqId = Option(root.get("dq_id")).map(_.asText).getOrElse("dq")
-    val it = root.get("rules").elements()
+    val rulesNode = Option(root.get("rules")).filterNot(_.isNull).getOrElse(
+      throw new IllegalArgumentException("rules JSON missing required array 'rules'"))
+    val it = rulesNode.elements()
     val rules = Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).map { r =>
       // filterNot(_.isNull): Jackson returns a present NullNode for an
       // explicit JSON null, so a bare Option(...) treated "min": null as
       // Some(0.0) (asDouble of null) and "name": null as the string
       // "null" — an explicit null must read as absent.
       def opt(field: String) = Option(r.get(field)).filterNot(_.isNull)
-      val id = r.get("rule_id").asText
+      // Missing REQUIRED fields get a named error (which rule, which
+      // field), not the bare NPE a raw r.get(...).asText chain threw.
+      def req(field: String) = opt(field).getOrElse(
+        throw new IllegalArgumentException(
+          s"rule ${opt("rule_id").map(_.asText).getOrElse("<no rule_id>")}: " +
+            s"missing required field '$field'"))
+      val id = req("rule_id").asText
       val name = opt("name").map(_.asText).getOrElse(id)
       def cols = {
-        val ce = r.get("columns").elements()
+        val ce = req("columns").elements()
         Iterator.continually(ce).takeWhile(_.hasNext).map(_.next().asText).toSeq
       }
-      r.get("rule_type").asText match {
+      req("rule_type").asText match {
         case "unique" => UniqueRule(id, name, cols)
         case "not null" => NotNullRule(id, name, cols)
-        case "query" => QueryRule(id, name, r.get("query").asText)
-        case "range" => RangeRule(id, name, r.get("column").asText,
+        case "query" => QueryRule(id, name, req("query").asText)
+        case "range" => RangeRule(id, name, req("column").asText,
           opt("min").map(_.asDouble), opt("max").map(_.asDouble))
         // FkRule needs a parent DataFrame — constructed programmatically,
         // not from JSON config.
@@ -167,15 +180,20 @@ object DataQuality {
     (dqId, rules)
   }
 
-  /** HTML report (reference: data_quality.py:137-223). */
+  /** HTML report (reference: data_quality.py:137-223). Rule ids/names are
+    * caller-supplied strings — escaped so a name like "checks <orders> &
+    * returns" renders instead of breaking the table (and a hostile name
+    * can't inject markup into a report viewed in a browser). */
   def htmlReport(report: DqReport): String = {
+    def esc(s: String): String = s.replace("&", "&amp;")
+      .replace("<", "&lt;").replace(">", "&gt;").replace("\"", "&quot;")
     def table(title: String, rows: Seq[RuleResult]): String =
       if (rows.isEmpty) ""
       else s"""<h2>$title</h2><table border="1"><tr><th>rule</th><th>name</th><th>type</th><th>violations</th></tr>""" +
-        rows.map(r => s"<tr><td>${r.ruleId}</td><td>${r.ruleName}</td><td>${r.ruleType}</td><td>${r.violations}</td></tr>").mkString +
+        rows.map(r => s"<tr><td>${esc(r.ruleId)}</td><td>${esc(r.ruleName)}</td><td>${esc(r.ruleType)}</td><td>${r.violations}</td></tr>").mkString +
         "</table>"
     val (pass, fail) = report.results.partition(_.passed)
-    s"""<html><body><h1>Data quality report: ${report.dqId} — ${if (report.overallPassed) "PASSED" else "FAILED"}</h1>
+    s"""<html><body><h1>Data quality report: ${esc(report.dqId)} — ${if (report.overallPassed) "PASSED" else "FAILED"}</h1>
        |${table("Failed rules", fail)}
        |${table("Passed rules", pass)}
        |</body></html>""".stripMargin

@@ -22,8 +22,15 @@ import org.apache.spark.sql.types._
   */
 object Profiler {
 
+  /** Fixed-scale decimal rendering where the value fits, plain cast where
+    * it doesn't: a bare decimal(28,6) cast overflows for |v| >= 1e22 —
+    * under ANSI (Spark 4 default) that THREW and killed the whole profile,
+    * with ansi=false it silently nulled min/max of a fully-populated
+    * column. try_cast + coalesce keeps the profiler total on first-contact
+    * data, which is its entire job. */
   private def canon(c: Column, dt: DataType): Column = dt match {
-    case _: NumericType => c.cast("decimal(28,6)").cast("string")
+    case _: NumericType =>
+      coalesce(c.try_cast("decimal(28,6)").cast("string"), c.cast("string"))
     case _ => c.cast("string")
   }
 

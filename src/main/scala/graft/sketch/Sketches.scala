@@ -66,18 +66,25 @@ object Sketches {
 
   /** Sketch-based distinct-similarity of two keyed sets (|A∩B| / |A∪B| via
     * inclusion–exclusion on HLL estimates) — the cheap pre-screen before an
-    * exact q25-style intersection join at corpus scale. */
+    * exact q25-style intersection join at corpus scale.
+    *
+    * EAGER: runs one Spark job and returns the estimate as a literal (the
+    * Column return type is for composing the result, not the computation).
+    * All three estimates come from a single scan of the tagged union —
+    * |A|, |B|, and |A∪B| as three HLL aggregates over one pass — where the
+    * per-frame formulation scanned each input twice across three jobs. */
   def jaccardEstimate(a: DataFrame, b: DataFrame, valueCol: String,
                       lgK: Int = 12): Column = {
-    // Exposed as a composable helper on pre-unioned frames in SketchesSpec;
-    // the per-pair form at scale rides distinctSketches + mergeDistinct.
-    val na = a.agg(hll_sketch_estimate(hll_sketch_agg(col(valueCol), lit(lgK))).cast("double"))
-      .head.getDouble(0)
-    val nb = b.agg(hll_sketch_estimate(hll_sketch_agg(col(valueCol), lit(lgK))).cast("double"))
-      .head.getDouble(0)
-    val nu = a.select(col(valueCol)).unionByName(b.select(col(valueCol)))
-      .agg(hll_sketch_estimate(hll_sketch_agg(col(valueCol), lit(lgK))).cast("double"))
-      .head.getDouble(0)
+    val tagged = a.select(col(valueCol).as("v"), lit(true).as("is_a"))
+      .unionByName(b.select(col(valueCol).as("v"), lit(false).as("is_a")))
+    // coalesce: an empty (or all-null) side aggregates to a NULL sketch,
+    // whose estimate must read as 0 distinct values, not a driver NPE.
+    def est(c: Column) = coalesce(hll_sketch_estimate(c).cast("double"), lit(0.0))
+    val r = tagged.agg(
+      est(hll_sketch_agg(when(col("is_a"), col("v")), lit(lgK))).as("na"),
+      est(hll_sketch_agg(when(!col("is_a"), col("v")), lit(lgK))).as("nb"),
+      est(hll_sketch_agg(col("v"), lit(lgK))).as("nu")).head
+    val (na, nb, nu) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
     // Clamp to [0, 1] and define the empty case: two empty (or all-null)
     // inputs gave 0/0 = NaN, and HLL estimator error on near-disjoint
     // sets can push the inclusion-exclusion intersection negative — both

@@ -50,7 +50,24 @@ object Compact {
     val old = s"$dir.__compact_old"
     FsOps.delete(spark, old)
     require(fs.rename(p, new Path(old)), s"could not move $dir aside")
-    require(fs.rename(new Path(tmp), p), s"could not promote $tmp")
+    // The two renames are not one atomic swap: if the promote fails (object
+    // stores, permissions, a crash window), roll the original back so the
+    // directory never stays missing — the doc's "a failed rewrite leaves
+    // the original intact" has to hold on BOTH renames. (Concurrent readers
+    // still see a brief gap during a successful swap; compact is an
+    // offline/maintenance operation.)
+    val promoted = try fs.rename(new Path(tmp), p) catch {
+      case e: Throwable =>
+        if (!fs.rename(new Path(old), p))
+          throw new IllegalStateException(
+            s"promote of $tmp failed AND rollback of $old failed — data is in $old", e)
+        throw e
+    }
+    if (!promoted) {
+      require(fs.rename(new Path(old), p),
+        s"promote of $tmp failed AND rollback of $old failed — data is in $old")
+      sys.error(s"could not promote $tmp; original $dir restored")
+    }
     FsOps.delete(spark, old)
     val after = FsOps.list(spark, dir).count { case (nm, d, _) =>
       !d && nm.endsWith(".parquet") }

@@ -34,10 +34,17 @@ object RepartitionPolicy {
       n.fold(df.repartitionByRange(cs: _*))(df.repartitionByRange(_, cs: _*))
     case Salted(cols, buckets, n) =>
       // salted key ≙ reference's concat_ws('~', cols…, floor(rand()*n))
-      // (utils/spark.py:142-147); salt dropped post-shuffle.
+      // (utils/spark.py:142-147); salt dropped post-shuffle. The salt is
+      // DETERMINISTIC per (partition, row position) — not rand(): a shuffle
+      // key that changes when a lost map task recomputes sends rows to
+      // different reducers than the surviving fetched outputs, silently
+      // duplicating or dropping them. monotonically_increasing_id replays
+      // identically for deterministic sources and still spreads a hot key
+      // evenly within each partition.
       val saltCol = "__graft_salt"
       val salted = df.withColumn(
-        saltCol, concat_ws("~", (cols.map(col) :+ floor(rand() * buckets)): _*))
+        saltCol, concat_ws("~",
+          (cols.map(col) :+ pmod(monotonically_increasing_id(), lit(buckets.toLong))): _*))
       val out = n.fold(salted.repartition(col(saltCol)))(salted.repartition(_, col(saltCol)))
       out.drop(saltCol)
   }

@@ -45,8 +45,15 @@ object StreamMetrics {
 
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
 
+    /** Stats keyed by query name — when two live queries share a name (or
+      * a named query restarted under a new run id), the duplicates are
+      * disambiguated as `name [id]` instead of silently collapsing to
+      * whichever entry iterated last. */
     def snapshot: Map[String, QueryStats] =
-      stats.values.map(s => s.name -> s).toMap
+      stats.toMap.groupBy(_._2.name).flatMap {
+        case (name, one) if one.size == 1 => one.values.map(name -> _)
+        case (name, many) => many.map { case (id, s) => s"$name [$id]" -> s }
+      }
   }
 
   /** Attach a fresh recorder to the session; caller keeps the handle and

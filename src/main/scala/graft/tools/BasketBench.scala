@@ -64,7 +64,9 @@ object BasketBench {
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
         .agg(count(lit(1)).as("n_ab"))
-        .where(col("n_ab") >= 5)
+        // pair support 2 = A_shipped's minPairSupport (was 5: the variant
+        // timed a semantically different, smaller query than the baseline)
+        .where(col("n_ab") >= 2)
       val item = dist.groupBy(col("p")).agg(count(lit(1)).as("n"))
         .where(col("n") >= 5)
       val nOrders = dist.select(col("o")).distinct()
@@ -124,7 +126,7 @@ object BasketBench {
         .select(col("ka"),
           explode(expr("slice(items, ki + 2, size(items) - ki - 1)")).as("kb"))
       val pairs = pairRows.groupBy(col("ka"), col("kb"))
-        .agg(count(lit(1)).as("n_ab")).where(col("n_ab") >= 5)
+        .agg(count(lit(1)).as("n_ab")).where(col("n_ab") >= 2) // = A's minPairSupport
         .select(col("ka").as("pa"), col("kb").as("pb"), col("n_ab"))
       val item = dist.groupBy(col("p")).agg(count(lit(1)).as("n"))
         .where(col("n") >= 5)

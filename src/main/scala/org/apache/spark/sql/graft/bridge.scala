@@ -22,6 +22,15 @@ object Bridge {
   def stopStateStores(): Unit =
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 
+  /** Fork a session that INHERITS the parent's state — temp views, SQL
+    * conf, registered functions — but isolates everything registered
+    * afterwards (`SparkSession.cloneSession()` is `private[sql]`). Unlike
+    * `newSession()`, whose empty temp-view catalog breaks any SQL that
+    * references the caller's other views. */
+  def cloneSession(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+
   /** Wrap a hand-built LogicalPlan as a DataFrame (`Dataset.ofRows` is
     * `private[sql]` in Spark 4's classic module) — the construction path
     * for custom logical operators like [[graft.plans.TopK]]. */

@@ -22,6 +22,20 @@ class ProfilerSpec extends SparkSpec {
     assert(got("score") == ((4L, 3L, 3L, "1.250000", "9.000000")))
   }
 
+  test("profile survives values past the decimal(28,6) range (ANSI would throw)") {
+    import spark.implicits._
+    // |v| >= 1e22 overflows the fixed-scale canon cast: under ANSI that
+    // killed the whole profile job; non-ANSI silently nulled min/max of a
+    // fully-populated column. Out-of-range values fall back to the plain
+    // double rendering.
+    val df = Seq(1e23, -1e23, 2.5).toDF("v")
+    val got = rows(Profiler.profile(df, Seq("v"))).head
+    assert(got.getAs[Long]("n_nonnull") == 3L)
+    // the double literal 1e23's shortest decimal rendering (Java toString)
+    assert(got.getAs[String]("min_val") == "-9.999999999999999E22")
+    assert(got.getAs[String]("max_val") == "9.999999999999999E22")
+  }
+
   test("profile is a single-scan plan (no per-column unions)") {
     import spark.implicits._
     val df = Seq((1L, "x"), (2L, "y")).toDF("a", "b")

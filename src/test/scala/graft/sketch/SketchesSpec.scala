@@ -87,5 +87,10 @@ class SketchesSpec extends SparkSpec {
     val d = spark.range(1)               // push inclusion-exclusion < 0
       .select(Sketches.jaccardEstimate(a, b, "v")).head.getDouble(0)
     assert(d >= 0.0 && d <= 1.0, s"clamped similarity, got $d")
+    // ONE empty side: its conditional sketch aggregates to NULL — must
+    // read as 0 distinct (J = 0), not a driver NPE
+    val half = spark.range(1)
+      .select(Sketches.jaccardEstimate(a, empty, "v")).head.getDouble(0)
+    assert(half == 0.0, s"A vs empty must be 0.0, got $half")
   }
 }

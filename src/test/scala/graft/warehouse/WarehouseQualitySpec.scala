@@ -171,6 +171,44 @@ class DataQualitySpec extends SparkSpec {
     } finally spark.catalog.dropTempView("temp")
   }
 
+  test("query rule SQL can still join the caller's OTHER temp views") {
+    import spark.implicits._
+    // The scoped session is a CLONE of the caller's (inherits its temp
+    // catalog) — a newSession() with an empty catalog broke lookup-table
+    // rules like this anti-join against a caller-registered view.
+    Seq("x").toDF("name").createOrReplaceTempView("valid_names")
+    try {
+      val r = DataQuality.runRule(spark, df, QueryRule("q", "names valid",
+        "SELECT t.* FROM temp t LEFT ANTI JOIN valid_names v ON t.name = v.name"))
+      assert(r.error.isEmpty, s"rule must resolve valid_names: $r")
+      assert(r.violations == 3 && !r.passed, s"$r") // y, blank, null
+    } finally spark.catalog.dropTempView("valid_names")
+  }
+
+  test("JSON config with missing required fields names the rule and field") {
+    val e = intercept[IllegalArgumentException] {
+      DataQuality.rulesFromJson(
+        """{"dq_id":"d","rules":[{"rule_id":"r9","rule_type":"query"}]}""")
+    }
+    assert(e.getMessage.contains("r9") && e.getMessage.contains("query"))
+    val noRules = intercept[IllegalArgumentException] {
+      DataQuality.rulesFromJson("""{"dq_id":"d"}""")
+    }
+    assert(noRules.getMessage.contains("rules"))
+    val noId = intercept[IllegalArgumentException] {
+      DataQuality.rulesFromJson(
+        """{"dq_id":"d","rules":[{"rule_type":"unique","columns":["id"]}]}""")
+    }
+    assert(noId.getMessage.contains("rule_id"))
+  }
+
+  test("summarize with no rules fails loudly, not with empty.head") {
+    val e = intercept[IllegalArgumentException] {
+      DataQuality.summarize(df, Nil, Nil)
+    }
+    assert(e.getMessage.contains("at least one"))
+  }
+
   test("JSON rule config round-trips") {
     val (dqId, parsed) = DataQuality.rulesFromJson(
       """{"dq_id":"demo","rules":[
@@ -191,5 +229,13 @@ class DataQualitySpec extends SparkSpec {
       RuleResult("r2", "nn", "not null", 5, passed = false)))
     val html = DataQuality.htmlReport(report)
     assert(html.contains("FAILED") && html.contains("r2") && html.contains("Passed rules"))
+  }
+
+  test("HTML report escapes markup in caller-supplied rule names") {
+    val report = DqReport("demo", Seq(
+      RuleResult("r1", "checks <orders> & returns", "unique", 0, passed = true)))
+    val html = DataQuality.htmlReport(report)
+    assert(html.contains("checks &lt;orders&gt; &amp; returns"))
+    assert(!html.contains("<orders>"))
   }
 }
