@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Edge-count ceiling for [[triangles]]' broadcast hints: 5M canonical
+    * edges ≈ 80 MB of (long, long) rows — comfortably under the 8 GB
+    * broadcast cap and a 4 GB executor heap with room for the hash
+    * relation's overhead. */
+  val BroadcastMaxEdges: Long = 5000000L
+
   /** Triangle enumeration on an undirected graph, given a DIRECTED edge
     * list: edges are first canonicalized to least<greatest and
     * de-duplicated, then triangles (u < v < w) are enumerated via two
@@ -29,14 +35,20 @@ object Graph {
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
-    // Broadcast the closing sides: checkpointed inputs carry no size
-    // stats, so the static planner would pick sort-merge even for a tiny
-    // edge set (AQE fixes it at runtime, but the plan pin wants it
-    // guaranteed). For billion-edge graphs drop the hints and pre-filter
-    // by degree orientation instead.
+    // Broadcast the closing sides ONLY under a size gate: checkpointed
+    // inputs carry no size stats, so the static planner would pick
+    // sort-merge even for a tiny edge set — but an UNCONDITIONAL broadcast
+    // hint is a hard instruction, and a multi-GB edge set would hit the
+    // 8 GB broadcast cap / executor heap as a cliff. The count is one
+    // cheap job over already-checkpointed blocks. Past the gate the joins
+    // shuffle and AQE plans them; for billion-edge graphs also pre-filter
+    // by degree orientation.
+    val edgeCount = und.count()
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (edgeCount <= BroadcastMaxEdges) broadcast(df) else df
     val uv = und
-    val vw = broadcast(und.select(col("u").as("v2"), col("v").as("w")))
-    val uw = broadcast(und.select(col("u").as("u3"), col("v").as("w3")))
+    val vw = maybeBcast(und.select(col("u").as("v2"), col("v").as("w")))
+    val uw = maybeBcast(und.select(col("u").as("u3"), col("v").as("w3")))
     uv.join(vw, col("v") === col("v2"))
       .join(uw, col("u") === col("u3") && col("w") === col("w3"))
       .select(col("u"), col("v"), col("w"))

@@ -69,12 +69,20 @@ object Signal {
     * One exchange on the group key, one partition-local sort: the same
     * shape a 1000-executor run wants. All-integer, so the gate is exact.
     * Returns (group, peak, t_at_peak) with the EARLIEST time attaining the
-    * peak. */
+    * peak.
+    *
+    * NULL endpoints: an interval with a NULL start or end is EXCLUDED —
+    * without the filter a NULL-end row (the usual encoding for a
+    * still-open session) sorts FIRST under the ascending window order, its
+    * −1 lands before any +1, and every running count in the group is
+    * silently off by one. Callers with open intervals close them
+    * explicitly (e.g. coalesce(end, now)) so the semantics are theirs. */
   def peakConcurrency(df: DataFrame, groupCol: String, startS: Column,
                       endS: Column, idCol: Column): DataFrame = {
-    val starts = df.select(col(groupCol), startS.cast("long").as("t"),
+    val defined = df.where(startS.isNotNull && endS.isNotNull)
+    val starts = defined.select(col(groupCol), startS.cast("long").as("t"),
       lit(1).as("delta"), idCol.cast("long").as("pid"))
-    val ends = df.select(col(groupCol), endS.cast("long").as("t"),
+    val ends = defined.select(col(groupCol), endS.cast("long").as("t"),
       lit(-1).as("delta"), idCol.cast("long").as("pid"))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("t"), col("delta"), col("pid"))

@@ -133,9 +133,16 @@ object ColumnOps {
   def stable64(c: Column): Column =
     Md5Prefix.prefix60(c.cast("string"))
 
-  /** Salted composite key (reference: utils/spark.py:142-147). */
+  /** Salted composite key (reference: utils/spark.py:142-147). The salt is
+    * DETERMINISTIC per (partition, row position) — not the reference's
+    * rand(): salted keys feed repartitions/write distributions, and a salt
+    * that re-draws when a lost map task recomputes routes rows to
+    * different reducers than the surviving fetched outputs — silent
+    * duplication/loss on stage retry (same rule as DataWriter's Salted
+    * policy). */
   def saltedKey(buckets: Int, cols: Column*): Column =
-    concat_ws("~", (cols :+ floor(rand() * buckets).cast("string")): _*)
+    concat_ws("~",
+      (cols :+ pmod(monotonically_increasing_id(), lit(buckets.toLong)).cast("string")): _*)
 
   // ---- audit ------------------------------------------------------------
 

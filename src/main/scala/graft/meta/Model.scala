@@ -182,8 +182,21 @@ object Model {
     // emitted with the parents' columns silently missing.
     val allTables = pks.keySet ++ edges.map(_._1)
     allTables.map { t =>
-      t -> TableNode(t, pks.getOrElse(t, Nil),
-        edges.collect { case (c, p, e) if c == t => p -> e }.toMap)
+      val es = edges.collect { case (c, p, e) if c == t => p -> e }
+      // One FK edge per (child, parent): the join synthesis (joinOrder /
+      // joinAll) joins each parent table exactly once, so a role-playing
+      // dimension referenced through two different FKs (buyer_id AND
+      // seller_id -> customer) cannot be expressed — and letting toMap
+      // keep whichever edge came last would silently resolve one of the
+      // roles through the WRONG key. Fail with the table pair instead;
+      // the workaround is the reference's own: register the parent twice
+      // under aliased table names.
+      val dup = es.groupBy(_._1).collect { case (p, more) if more.size > 1 => p }
+      require(dup.isEmpty,
+        s"datamodel: table '$t' references parent(s) ${dup.mkString(", ")} " +
+          "through multiple foreign keys — alias the parent per role " +
+          "(one edge per child/parent pair is supported)")
+      t -> TableNode(t, pks.getOrElse(t, Nil), es.toMap)
     }.toMap
   }
 

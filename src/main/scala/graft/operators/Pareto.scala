@@ -22,8 +22,10 @@ object Pareto {
 
   /** Rows of `df` on the (min `xName`, min `yName`) Pareto frontier,
     * original schema preserved. The window runs over one row per distinct
-    * x value — if x is near-unique at your scale, pre-bucket x or use the
-    * range-partitioned variant of this scan instead.
+    * x value — if x is near-unique at your scale (continuous price/latency
+    * objectives make |distinct x| ≈ |rows|, and an un-partitioned window
+    * sorts all of it on ONE task), use [[skyline2dRanged]], which does the
+    * same prefix-min scan range-partitioned.
     *
     * NULL objectives: a row with NULL x or y is EXCLUDED, explicitly and
     * in both formulations — a row with an unknown objective cannot be
@@ -41,6 +43,47 @@ object Pareto {
     // larger y are dominated strictly on y).
     val front = perX
       .withColumn("_prev_min", min(col("_sky_y")).over(w))
+      .where(col("_prev_min").isNull || col("_sky_y") < col("_prev_min"))
+      .select(col(xName).as("_sky_x"), col("_sky_y"))
+    defined.join(front,
+        defined.col(xName) === col("_sky_x") && defined.col(yName) === col("_sky_y"))
+      .select(df.columns.map(defined.col): _*)
+  }
+
+  /** [[skyline2d]] for near-unique x at scale: the prefix-min scan runs
+    * RANGE-PARTITIONED instead of on one task. The running min over
+    * x-order decomposes: within each range partition it is an ordinary
+    * partitioned window (parallel), and the carry-in from all earlier
+    * ranges is the min over a per-partition summary of `ranges` rows —
+    * broadcast back and combined with `least`. RangePartitioner assigns
+    * ascending x to ascending partition ids and keeps equal x together,
+    * so partition id IS the range order. Same dominance and NULL
+    * semantics as [[skyline2d]] (parity spec-gated, including tie rows).
+    *
+    * Cost: one hash-agg, one range exchange over |distinct x| rows (its
+    * shuffle is reused by the summary arm), a partitioned window, and the
+    * same join back — no single-task stage anywhere. */
+  def skyline2dRanged(df: DataFrame, xName: String, yName: String,
+                      ranges: Int = 64): DataFrame = {
+    require(ranges > 0, "ranges must be positive")
+    val defined = df.where(col(xName).isNotNull && col(yName).isNotNull)
+    val perX = defined.groupBy(col(xName)).agg(min(col(yName)).as("_sky_y"))
+      .repartitionByRange(ranges, col(xName))
+      .withColumn("_sky_pid", spark_partition_id())
+    // within-range strict-prefix min (parallel: window is partitioned)
+    val wIn = Window.partitionBy(col("_sky_pid")).orderBy(col(xName))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // carry-in: min over every EARLIER range's per-range min (tiny set)
+    val perRange = perX.groupBy(col("_sky_pid")).agg(min(col("_sky_y")).as("_rng_min"))
+    val wPrev = Window.orderBy(col("_sky_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = perRange
+      .withColumn("_carry_min", min(col("_rng_min")).over(wPrev))
+      .select(col("_sky_pid"), col("_carry_min"))
+    val front = perX
+      .join(broadcast(carry), Seq("_sky_pid"))
+      .withColumn("_prev_min",
+        least(min(col("_sky_y")).over(wIn), col("_carry_min")))
       .where(col("_prev_min").isNull || col("_sky_y") < col("_prev_min"))
       .select(col(xName).as("_sky_x"), col("_sky_y"))
     defined.join(front,

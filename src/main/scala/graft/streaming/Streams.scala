@@ -127,16 +127,25 @@ object Streams {
     ()
   }
 
+  /** The protocol's OWN commit marker inside a staging dir. The job
+    * committer's `_SUCCESS` is not reliable as a commit point — clusters
+    * running object-store committers commonly set
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false`, and under
+    * that config a crash mid-swap would make recovery misread a COMMITTED
+    * staging dir (holding the only copy of buckets whose live counterpart
+    * was already deleted) as an uncommitted write and discard it. */
+  private def stagingCommitMarker(staging: String) = s"$staging/.graft_committed"
+
   /** Heal interrupted batches before touching the target: a staging dir
-    * with a `_SUCCESS` marker holds the complete new state of its buckets
-    * (finish its swap); one without is an uncommitted write over an intact
-    * target (discard it). After this, the target is in a consistent state
-    * and the replayed batch merges against correct inputs. */
+    * with the protocol's commit marker holds the complete new state of its
+    * buckets (finish its swap); one without is an uncommitted write over an
+    * intact target (discard it). After this, the target is in a consistent
+    * state and the replayed batch merges against correct inputs. */
   private def recoverPendingSwaps(spark: SparkSession, targetDir: String): Unit = {
     import graft.sources.FsOps
     FsOps.list(spark, targetDir).foreach { case (name, isDir, _) =>
       if (isDir && baseName(name).startsWith(".graft_staging_")) {
-        if (FsOps.exists(spark, s"$name/_SUCCESS"))
+        if (FsOps.exists(spark, stagingCommitMarker(name)))
           completeSwap(spark, targetDir, name)
         else { FsOps.delete(spark, name); () }
       }
@@ -152,8 +161,9 @@ object Streams {
     * (dot-prefix = invisible to FileIndex readers) — one write job, the
     * merge plan reads the old partition files directly and the repartition
     * by bucket yields ONE file per touched partition; (3) swap the staged
-    * dirs in ([[completeSwap]]). The staging `_SUCCESS` marker is the
-    * commit point: crash before it → staging discarded, target untouched,
+    * dirs in ([[completeSwap]]). The protocol's own staging commit marker
+    * ([[stagingCommitMarker]], written after the staging job succeeds) is
+    * the commit point: crash before it → staging discarded, target untouched,
     * replay recomputes; crash after it → recovery finishes the swap from
     * staging (which still holds any bucket whose rename hadn't landed), and
     * the replayed batch then re-merges idempotently (snapshot keeps
@@ -163,7 +173,14 @@ object Streams {
     * A legacy FLAT parquet target (pre-partitioning layout) triggers a
     * one-time MIGRATE: the whole target is merged and bucketed — pruning
     * against a flat target would read `_kb` as null and silently drop all
-    * history — and the flat files are removed inside the same swap. */
+    * history — and the flat files are removed inside the same swap.
+    *
+    * SINGLE WRITER assumed (the Structured Streaming driver): the protocol
+    * has no fence against a zombie driver's in-flight attempt completing a
+    * stale swap after a new driver has healed and moved on — run one query
+    * per target (Spark's checkpoint lock enforces this for one checkpoint
+    * dir), and use a transactional table format (Delta/Iceberg) when
+    * concurrent writers are a real requirement. */
   def upsertBatch(batch0: DataFrame, batchId: Long, targetDir: String,
                   pks: Seq[String], orderCol: String, numBuckets: Int): Unit = {
     import graft.sources.FsOps
@@ -225,6 +242,10 @@ object Streams {
           .repartition(col(UpsertBucketCol))
           .write.mode("overwrite").partitionBy(UpsertBucketCol)
           .parquet(staging)
+        // The protocol's own commit point — written only after the staging
+        // job fully succeeded, independent of whether the cluster's
+        // committer emits _SUCCESS (see stagingCommitMarker).
+        FsOps.putString(spark, stagingCommitMarker(staging), batchId.toString)
         completeSwap(spark, targetDir, staging)
       }
     } finally batch.unpersist(false)
@@ -257,7 +278,14 @@ object Streams {
     * `lastTs + gap` — a function of the data, not of when the watermark
     * happened to fire — so output is deterministic under replay and
     * re-batching. State is bounded by the watermark — no session
-    * outlives `gap + watermarkDelay`. */
+    * outlives `gap + watermarkDelay`.
+    *
+    * Memory bound: one (user, micro-batch) group's events are sorted
+    * IN-HEAP on a single task (flatMapGroupsWithState gives no secondary
+    * sort), so per-task memory is O(events of the hottest key in one
+    * micro-batch) — bound it at the source (`maxFilesPerTrigger` /
+    * maxOffsetsPerTrigger), and pre-split pathological keys (bots) before
+    * sessionizing if a single key can exceed a task's heap share. */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000,
                  watermarkDelay: String = "10 seconds"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._

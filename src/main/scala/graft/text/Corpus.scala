@@ -161,7 +161,16 @@ object Corpus {
     * single-partition window) → broadcast left join (vocab is k rows by
     * construction — the hint is safe) → per-doc hash-agg. Corpus-linear;
     * the checkpoint holds the tokenized corpus in executor storage —
-    * same size class as the input scan, partitioned, never driver-side. */
+    * same size class as the input scan, partitioned, never driver-side.
+    *
+    * localCheckpoint trade (deliberate): it deduplicates the tokenizer
+    * across the vocab and join branches (measured 0.55→0.46s at sf0.1)
+    * WITHOUT the CacheManager strong reference a persist would leak, at
+    * the price of truncated lineage — non-replicated blocks, so one lost
+    * executor mid-query fails the query instead of recomputing (Spark
+    * retries the batch). On a cluster where executor churn is routine,
+    * swap for persist(MEMORY_AND_DISK) + caller-side unpersist, or a
+    * reliable checkpoint dir. */
   def oovRate(docs: DataFrame, idCol: String, textCol: String,
               vocabSize: Int): DataFrame = {
     val tokArrays = graft.core.Parallelize.fanOut(docs)

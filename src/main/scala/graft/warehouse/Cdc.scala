@@ -64,6 +64,15 @@ object Cdc {
       .filter(col("hashcode") =!= col("old_hashcode"))
       .drop("old_hashcode")
       .withColumn("change_type", lit("U"))
+    // The trailing dropDuplicates is reference parity (change_data_capture
+    // .py's distinct over the union) and only ever removes full-row
+    // duplicates ORIGINATING IN THE INPUTS: the branches are disjoint by
+    // construction (left_anti = absent PKs, inner+hash-differs = present
+    // PKs), so it collapses newDf's own full-row dups and the join fan-out
+    // of a non-snapshotted oldDf with duplicate PK rows. At 100 TB it is
+    // the widest possible exchange — callers that guarantee snapshotted
+    // inputs (one row per PK, e.g. via snapshot()) can skip it by
+    // deduplicating newDf up front instead.
     inserts.unionByName(updates).dropDuplicates()
   }
 

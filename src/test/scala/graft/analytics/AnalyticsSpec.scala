@@ -127,6 +127,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(kept == Seq(1L), s"NULL-objective rows must be excluded: $kept")
   }
 
+  test("skyline2dRanged matches skyline2d exactly (near-unique x, ties, NULLs)") {
+    // The range-partitioned variant decomposes the prefix-min scan; it
+    // must agree row-for-row with the single-window formulation on a
+    // near-unique x (every row its own x), exact-duplicate rows, same-x
+    // different-y, NULL objectives — across several range counts,
+    // including ranges > |distinct x| (empty partitions).
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 500).map { i =>
+      (i.toLong, rnd.nextDouble() * 100, rnd.nextInt(1000))
+    } ++ Seq(
+      (1001L, 13.5, 7), (1002L, 13.5, 7),     // exact duplicates
+      (1003L, 13.5, 9))                        // same-x dominated
+    val parts0 = rows.toDF("id", "price", "size")
+    val withNulls = parts0.unionByName(Seq(
+      (2001L, Option.empty[Double], Option(1)),
+      (2002L, Option(0.001), Option.empty[Int]))
+      .toDF("id", "price", "size"))
+    val base = Pareto.skyline2d(withNulls, "price", "size")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(base.nonEmpty && base.size < rows.size)
+    for (r <- Seq(1, 7, 64, 1024)) {
+      val ranged = Pareto.skyline2dRanged(withNulls, "price", "size", r)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(ranged == base, s"ranges=$r diverged from skyline2d")
+    }
+  }
+
   test("bm25 ranks rarer terms above saturated common ones") {
     val docs = Seq(
       (1L, "rare common common common common"),

@@ -20,6 +20,22 @@ class SignalSpec extends SparkSpec {
     assert(out.head.getAs[Long]("t_at_peak") == 5L)
   }
 
+  test("peakConcurrency excludes NULL-endpoint intervals instead of corrupting the count") {
+    // A NULL end (open session) used to sort its −1 to the head of the
+    // window and shift every running count down by one.
+    val iv = Seq(
+      ("g", Option(0L), Option(10L), 1L),
+      ("g", Option(5L), Option(15L), 2L),
+      ("g", Option(7L), Option.empty[Long], 3L), // open interval: excluded
+      ("g", Option.empty[Long], Option(9L), 4L)) // unknown start: excluded
+      .toDF("k", "t0", "t1", "id")
+    val out = Signal.peakConcurrency(iv, "k", col("t0"), col("t1"), col("id"))
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("peak") == 2L, s"${out.head}")
+    assert(out.head.getAs[Long]("t_at_peak") == 5L)
+  }
+
   test("rollingMedian matches a brute-force computation, odd and even frames") {
     val df = Seq(("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 20L),
       ("a", 4L, 40L), ("b", 1L, 7L)).toDF("k", "o", "y")

@@ -166,14 +166,16 @@ class StreamsSpec extends SparkSpec {
       0L, target, Seq("id"), "version", 16)
     // simulate the worst crash window: a committed staging existed, the
     // live partition was deleted, the rename never landed — move one live
-    // partition dir INTO a staged dir carrying the _SUCCESS commit marker
+    // partition dir INTO a staged dir carrying the protocol's own commit
+    // marker (NOT the job committer's _SUCCESS, which object-store-
+    // committer clusters may not write at all)
     val fs = graft.sources.FsOps
     val victim = fs.list(spark, target)
       .collect { case (n, true, _) if n.contains(s"${Streams.UpsertBucketCol}=") => n }
       .head
     val staging = s"$target/.graft_staging_99"
     fs.mkdirs(spark, staging)
-    fs.putString(spark, s"$staging/_SUCCESS", "")
+    fs.putString(spark, s"$staging/.graft_committed", "99")
     assert(fs.rename(spark, victim,
       s"$staging/${victim.substring(victim.lastIndexOf('/') + 1)}"))
     // next batch (any batch) must first heal the interrupted swap
