@@ -84,15 +84,17 @@ object Signal {
       lit(1).as("delta"), idCol.cast("long").as("pid"))
     val ends = defined.select(col(groupCol), endS.cast("long").as("t"),
       lit(-1).as("delta"), idCol.cast("long").as("pid"))
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col("t"), col("delta"), col("pid"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val live = starts.unionAll(ends)
-      .withColumn("conc", sum(col("delta")).over(w))
+    // Running count via the range-partitioned prefix sum: a window
+    // partitioned by the group alone put a whole group's 2·|intervals|
+    // sweep points on ONE task (groups are few — event types — so at the
+    // 100 TB point single tasks owned whole-fact partitions); the ranged
+    // decomposition keeps the identical running sum at groups×ranges
+    // parallelism (parity: RankedSpec + the hand-traced cases here).
+    val live = graft.operators.Ranked.prefixSumRanged(
+      starts.unionAll(ends), Seq(groupCol),
+      Seq(col("t"), col("delta"), col("pid")), col("delta"), "conc")
     // One pass for (peak, earliest t at peak): max of (conc, −t) is the
-    // argmax on conc with ties broken toward the smallest t — referencing
-    // `live` once keeps the union+window DAG single-execution (a join-back
-    // formulation ran it twice: 2× cost, measured at sf0.1).
+    // argmax on conc with ties broken toward the smallest t.
     live.groupBy(col(groupCol))
       .agg(max(struct(col("conc"), (-col("t")).as("negt"))).as("s"))
       .select(col(groupCol), col("s.conc").as("peak"),

@@ -121,15 +121,23 @@ object Stats {
   /** ntile(`buckets`) summary over a ranked measure: bucket membership is
     * decided by a TOTAL order (`orderCols` must end in a unique key) so the
     * assignment — and therefore every downstream aggregate — is
-    * deterministic under ties. The global-sort window is over the GROUPED
-    * measure (one row per entity, not per fact); at warehouse scale swap
-    * the single window for range-partitioned bucketing on pre-computed
-    * quantile bounds. */
+    * deterministic under ties. The rank comes from
+    * [[graft.operators.Ranked.rowNumberRanged]] (range-partitioned global
+    * row number — no single-task global-sort window, which buffered every
+    * entity on one core) and the tile is reconstructed exactly from
+    * (row number, entity count) via [[graft.operators.Ranked
+    * .ntileFromRowNumber]]; parity with the plain `ntile().over` window is
+    * spec-gated. */
   def ntileSummary(entities: DataFrame, measure: Column, buckets: Int,
                    orderCols: Seq[Column]): DataFrame = {
-    val w = Window.orderBy(orderCols: _*)
-    entities
-      .withColumn("bucket", ntile(buckets).over(w))
+    import graft.operators.Ranked
+    val ranked = Ranked.rowNumberRanged(entities, Nil, orderCols, "_nt_rn")
+    // entity count: one tiny aggregate over the same grouped input (its
+    // exchange is reused), broadcast into every row
+    val n = entities.agg(count(lit(1)).as("_nt_n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("bucket",
+        Ranked.ntileFromRowNumber(col("_nt_rn"), col("_nt_n"), buckets))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
         sum(measure).cast("double").as("total"),

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Range-partitioned decompositions of the order-prefix window functions
+  * (row_number, running sum) for TOTAL orders or LOW-CARDINALITY window
+  * partitions — the shapes where a plain `Window.partitionBy(group)
+  * .orderBy(...)` funnels the whole fact through |groups| tasks (1 for a
+  * global order), each sorting and buffering its entire partition.
+  *
+  * Decomposition: range-partition the rows by (group, order...) — equal
+  * full keys stay in one partition, ascending ranges land in ascending
+  * `spark_partition_id()`s — compute the function WITHIN each (group,
+  * range) via an ordinary partitioned window (parallelism = groups ×
+  * ranges), then add a per-(group, range) carry-in combined from a tiny
+  * summary (groups × ranges rows) that broadcasts back. Exact — not an
+  * approximation: row_number and running sum are order-prefix
+  * decomposable, and ties of the FULL ordering tuple never straddle a
+  * range (callers wanting deterministic output order their tuples totally,
+  * exactly as they must for the plain window).
+  *
+  * Correctness anchor: the summary arm and the main arm share the range
+  * exchange, and Spark's exchange reuse (`spark.sql.exchange.reuse`,
+  * default on) executes it ONCE — both arms therefore see identical range
+  * boundaries (RangePartitioner samples with an instance-derived seed, so
+  * two independent executions could legally choose different boundaries).
+  * PlanRegressionSpec pins the ReusedExchange in a gated consumer.
+  *
+  * Cost: two exchanges of the data (range, then hash for the local
+  * window) instead of the plain window's one — the price of turning a
+  * |groups|-task sort into a groups×ranges-task one. Use the plain window
+  * when |groups| already exceeds the cluster's parallelism. */
+object Ranked {
+
+  /** `row_number() OVER (PARTITION BY partCols ORDER BY orderExprs)` as a
+    * LONG column `rnName`, at groups×ranges parallelism. `orderExprs` may
+    * carry directions (`col.desc`); make the tuple a total order for
+    * deterministic numbering (same requirement as the plain window). */
+  def rowNumberRanged(df: DataFrame, partCols: Seq[String],
+                      orderExprs: Seq[Column], rnName: String,
+                      ranges: Int = 64): DataFrame = {
+    require(ranges > 0, "ranges must be positive")
+    val parted = df
+      .repartitionByRange(ranges, (partCols.map(col) ++ orderExprs): _*)
+      .withColumn("_rr_pid", spark_partition_id())
+    val wLocal = Window
+      .partitionBy((partCols.map(col) :+ col("_rr_pid")): _*)
+      .orderBy(orderExprs: _*)
+    val withLocal = parted
+      .withColumn("_rr_local", row_number().over(wLocal).cast("long"))
+    // per-(group, range) row counts == max local rn (no extra agg pass
+    // over the rows' values needed)
+    val perRange = withLocal
+      .groupBy((partCols.map(col) :+ col("_rr_pid")): _*)
+      .agg(max(col("_rr_local")).as("_rr_cnt"))
+    val wCarry = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col("_rr_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = perRange
+      .withColumn("_rr_carry", coalesce(sum(col("_rr_cnt")).over(wCarry), lit(0L)))
+      .select((partCols.map(col) :+ col("_rr_pid") :+ col("_rr_carry")): _*)
+    joinCarry(withLocal, carry, partCols, df.columns)
+      .withColumn(rnName, col("_rr_carry") + col("_rr_local"))
+      .select((df.columns.map(col) :+ col(rnName)): _*)
+  }
+
+  /** Null-safe carry join: a NULL group key is one window partition in the
+    * plain formulation, so the carry must attach to it too — a plain
+    * equi-join (null != null) silently DROPPED null-group rows. The carry
+    * side's keys are renamed and matched with `<=>`. */
+  private def joinCarry(rows: DataFrame, carry: DataFrame,
+                        partCols: Seq[String],
+                        originalCols: Seq[String]): DataFrame = {
+    val renamed = carry.select(
+      (partCols.zipWithIndex.map { case (c, i) => col(c).as(s"_rr_k$i") } :+
+        col("_rr_pid").as("_rr_pid2") :+ col("_rr_carry")): _*)
+    val cond = (partCols.zipWithIndex.map { case (c, i) =>
+      col(c) <=> col(s"_rr_k$i")
+    } :+ (col("_rr_pid") === col("_rr_pid2"))).reduce(_ && _)
+    rows.join(broadcast(renamed), cond)
+  }
+
+  /** Running `sum(valueExpr) OVER (PARTITION BY partCols ORDER BY
+    * orderExprs ROWS UNBOUNDED PRECEDING)` as column `outName`, same
+    * decomposition: within-range running sum + a carry-in of earlier
+    * ranges' totals. `valueExpr` must be exactly summable (longs /
+    * decimals — the engine's integer-arithmetic discipline). */
+  def prefixSumRanged(df: DataFrame, partCols: Seq[String],
+                      orderExprs: Seq[Column], valueExpr: Column,
+                      outName: String, ranges: Int = 64): DataFrame = {
+    require(ranges > 0, "ranges must be positive")
+    val parted = df
+      .repartitionByRange(ranges, (partCols.map(col) ++ orderExprs): _*)
+      .withColumn("_rr_pid", spark_partition_id())
+      .withColumn("_rr_v", valueExpr)
+    val wLocal = Window
+      .partitionBy((partCols.map(col) :+ col("_rr_pid")): _*)
+      .orderBy(orderExprs: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withLocal = parted
+      .withColumn("_rr_local", sum(col("_rr_v")).over(wLocal))
+    val perRange = withLocal
+      .groupBy((partCols.map(col) :+ col("_rr_pid")): _*)
+      .agg(sum(col("_rr_v")).as("_rr_tot"))
+    val wCarry = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col("_rr_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = perRange
+      .withColumn("_rr_carry", sum(col("_rr_tot")).over(wCarry))
+      .select((partCols.map(col) :+ col("_rr_pid") :+ col("_rr_carry")): _*)
+    joinCarry(withLocal, carry, partCols, df.columns)
+      .withColumn(outName,
+        col("_rr_local") + coalesce(col("_rr_carry"), lit(0)))
+      .select((df.columns.map(col) :+ col(outName)): _*)
+  }
+
+  /** Reconstruct `ntile(buckets)` EXACTLY from a row number and the
+    * partition size: ntile gives the first `n % buckets` tiles
+    * `n div buckets + 1` rows and the rest `n div buckets`. Division goes
+    * through floor-of-double (the Column `/` on longs is double), exact
+    * for operands < 2^53 — i.e. up to ~9e15 rows per window partition,
+    * far past any real group. `greatest(q, 1)` keeps the never-taken
+    * branch division-safe when n < buckets. */
+  def ntileFromRowNumber(rn: Column, n: Column, buckets: Int): Column = {
+    def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+    val b = lit(buckets.toLong)
+    val q = idiv(n, b)
+    val r = n % b
+    val cut = r * (q + lit(1L))
+    when(rn <= cut, idiv(rn - lit(1L), q + lit(1L)) + lit(1L))
+      .otherwise(r + idiv(rn - cut - lit(1L), greatest(q, lit(1L))) + lit(1L))
+  }
+}

@@ -187,12 +187,23 @@ object AdvancedQueries {
     // Equi-depth histogram: ntile deciles per group (ties broken by
     // event_id so both engines assign identical tiles), min/max/count per
     // tile — the optimizer-statistics / data-profiling primitive.
+    // Tile assignment via Ranked: ntile(10) OVER (PARTITION BY event_type)
+    // buffered each type's ENTIRE slice of the fact on one task (~4 types
+    // → 4 tasks owning the whole table, and ntile's unbounded frame means
+    // WindowExec materializes the partition before emitting a row). The
+    // ranged row number + exact tile reconstruction keep identical
+    // assignments at types×ranges parallelism.
     "q72_histogram" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
-      t(s, dir, "events")
+      import graft.operators.Ranked
+      val base = t(s, dir, "events")
         .filter(col("value").isNotNull)
-        .withColumn("tile", ntile(10).over(w))
+        .select(col("event_type"), col("value"), col("event_id"))
+      val ranked = Ranked.rowNumberRanged(base, Seq("event_type"),
+        Seq(col("value"), col("event_id")), "_rk")
+      val counts = base.groupBy(col("event_type")).agg(count(lit(1)).as("_n"))
+      ranked.join(broadcast(counts), "event_type")
+        .withColumn("tile",
+          Ranked.ntileFromRowNumber(col("_rk"), col("_n"), 10).cast("int"))
         .groupBy(col("event_type"), col("tile"))
         .agg(count(lit(1)).as("n"),
           round(min(col("value")), 6).as("lo"),
@@ -316,17 +327,27 @@ object AdvancedQueries {
 
     // Random-hyperplane LSH (Charikar sign-bit sketch): 8 fixed planes →
     // 256 buckets; high-cosine vectors collide. Per-row codegen'd dots,
-    // zero shuffle for the assignment; the window count shuffles by bucket
-    // (corpus-linear). The scale path pairing for exact q39/q27.
+    // zero shuffle for the assignment. bucket_size via groupBy + a
+    // broadcast join back — NOT a window partitioned by bucket: with ≤256
+    // buckets a window caps parallelism at the bucket count and buffers
+    // each bucket's whole membership on one task (LSH buckets skew, and
+    // AQE cannot split a window partition); the aggregate is map-side
+    // combinable and its ≤256-row result broadcasts for free. The scale
+    // path pairing for exact q39/q27.
     "q65_hyperplane_lsh" -> ((s, dir) => {
       import graft.similarity.Similarity
       val planes = Similarity.gridPlanes(k = 8, dim = 64)
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
-      t(s, dir, "embeddings")
+      val bucketed = t(s, dir, "embeddings")
         .select(col("vec_id"),
           Similarity.hyperplaneBucket(
             Similarity.toDoubleVec(col("embedding")), planes).as("bucket"))
-        .withColumn("bucket_size", count(lit(1)).over(w))
+      val sizes = bucketed.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("bucket_size"))
+      // (bucketed is deliberately NOT checkpointed: two corpus scans beat
+      // one corpus-wide shuffle-and-buffer, and pinning the corpus in
+      // executor storage is the worse trade at warehouse scale.)
+      bucketed.join(broadcast(sizes), Seq("bucket"))
+        .select(col("vec_id"), col("bucket"), col("bucket_size"))
     }),
 
     // Exact grouped percentiles (linear interpolation at p(n-1)) — the

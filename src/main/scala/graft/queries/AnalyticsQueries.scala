@@ -68,11 +68,16 @@ object AnalyticsQueries {
     // Canonical-corpus selection: one winner (min doc_id) per exact-content
     // cluster; per-source kept/dropped accounting for the dedup report.
     "q93_canonical_corpus" -> ((s, dir) => {
+      // keep_id via a window min per content_hash instead of groupBy +
+      // self-join: one scan of the corpus and ONE md5 pass (the join shape
+      // read documents — and hashed every text — twice, its branches
+      // diverging below any reusable exchange). Window partitions are the
+      // dup-clusters themselves: tiny and fully parallel.
       val docs = t(s, dir, "documents")
         .withColumn("content_hash", ColumnOps.contentHash(col("text")))
-      val winners = docs.groupBy(col("content_hash"))
-        .agg(min(col("doc_id")).as("keep_id"))
-      docs.join(winners, "content_hash")
+      val wHash = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("content_hash"))
+      docs.withColumn("keep_id", min(col("doc_id")).over(wHash))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("doc_id") === col("keep_id"), 1L).otherwise(0L))
@@ -190,25 +195,26 @@ object AnalyticsQueries {
     // Percent rank as exact integer ppm over a TOTAL order — top 5% orders
     // within each order month. rank/count stay integers end-to-end; the
     // filter thresholds the integer, so membership can't flip on a float.
+    // The per-month rank comes from Ranked.rowNumberRanged (window
+    // partitions were the ~84 months — each month's entire order volume
+    // sorted and buffered on ONE task, a skew cliff AQE cannot split);
+    // the per-month count comes from a map-side-combinable aggregate
+    // broadcast back, not an unbounded-frame count window that buffers
+    // the month all over again.
     "q99_percent_rank" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("ym"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("ym"))
-      t(s, dir, "orders")
+      val base = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"),
           (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
             .cast("int").as("ym"))
-        .withColumn("rk", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(wn))
+      val ranked = graft.operators.Ranked.rowNumberRanged(base, Seq("ym"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), "rk")
+      val counts = base.groupBy(col("ym")).agg(count(lit(1)).as("n"))
+      ranked.join(broadcast(counts), "ym")
         .where(col("n") > 1)
         .withColumn("prank_ppm",
-          // rk is row_number's INT: widen before the ppm multiply or months
-          // with >2148 orders overflow 32-bit (caught by the 10× stress)
-          expr("((cast(rk as bigint) - 1) * 1000000) div (n - 1)"))
+          expr("((rk - 1) * 1000000) div (n - 1)")) // rk already long
         .where(col("prank_ppm") < 50000L)
-        .select(col("o_orderkey"), col("ym"), col("rk").cast("long").as("rk"),
-          col("prank_ppm"))
+        .select(col("o_orderkey"), col("ym"), col("rk"), col("prank_ppm"))
     }),
 
     // Incremental re-aggregation: daily partials combined into monthly
@@ -299,19 +305,22 @@ object AnalyticsQueries {
     // a type's first observation stay null in both engines.
     "q105_locf_gap_fill" -> ((s, dir) => {
       val ev = t(s, dir, "events")
+      // ONE scan of the fact (the q86/q126 pattern): bounds and the type
+      // dimension derive from the checkpointed hourly aggregate instead of
+      // re-reading the fact in two more independent subtrees.
       val hourly = ev
         .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
           col("event_type"))
         .agg(sum(dec(col("value"))).cast("double").as("sv"))
-      val bounds = ev.agg(
-        min(unix_timestamp(date_trunc("hour", col("ts")))).as("lo"),
-        max(unix_timestamp(date_trunc("hour", col("ts")))).as("hi"))
+        .localCheckpoint(true)
+      val bounds = hourly.agg(
+        min(col("hour_epoch")).as("lo"), max(col("hour_epoch")).as("hi"))
       val spine = bounds.select(
         explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour_epoch"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("event_type")).orderBy(col("hour_epoch"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      spine.crossJoin(ev.select(col("event_type")).distinct())
+      spine.crossJoin(hourly.select(col("event_type")).distinct())
         .join(hourly, Seq("hour_epoch", "event_type"), "left")
         .select(col("hour_epoch"), col("event_type"),
           col("sv").isNotNull.as("observed"),

@@ -61,15 +61,19 @@ object CoreQueries {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
     }),
 
-    // J1/J2-shape: fact-to-dims star join; dims are broadcast so the only
-    // shuffle is the final groupBy (and AQE usually folds that too).
+    // J1/J2-shape: fact-to-dims star join. nation/region carry an
+    // explicit broadcast hint (25/5 rows at EVERY scale factor); customer
+    // does NOT — it scales with SF (~15B rows at the 100 TB point, far
+    // past the 8 GB broadcast cap), so the planner decides from size:
+    // auto-broadcast at bench scale, shuffle join at warehouse scale,
+    // instead of a hint that becomes a hard job-abort.
     "q03_star_join_agg" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
       val customer = t(s, dir, "customer")
       val nation = t(s, dir, "nation")
       val region = t(s, dir, "region")
       orders
-        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .join(customer, orders("o_custkey") === customer("c_custkey"))
         .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
         .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
@@ -209,17 +213,23 @@ object CoreQueries {
     // shuffle of the fact table beyond the one hourly groupBy.
     "q86_time_spine" -> ((s, dir) => {
       val ev = t(s, dir, "events")
+      // ONE scan of the fact: bounds and the observed type dimension are
+      // exactly derivable from the hourly aggregate (min/max of its
+      // hour_epoch, distinct of its event_type), so they are computed from
+      // the checkpointed aggregate instead of two more independent
+      // subtrees that would each re-read the 100 TB fact (no exchange
+      // reuse across differing subtrees). The q126 pattern.
       val hourly = ev
         .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
           col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(dec(col("value"))).cast("double").as("sv"))
-      val bounds = ev.agg(
-        min(unix_timestamp(date_trunc("hour", col("ts")))).as("lo"),
-        max(unix_timestamp(date_trunc("hour", col("ts")))).as("hi"))
+        .localCheckpoint(true)
+      val bounds = hourly.agg(
+        min(col("hour_epoch")).as("lo"), max(col("hour_epoch")).as("hi"))
       val spine = bounds.select(
         explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour_epoch"))
-      val types = ev.select(col("event_type")).distinct()
+      val types = hourly.select(col("event_type")).distinct()
       spine.crossJoin(types)
         .join(hourly, Seq("hour_epoch", "event_type"), "left")
         .select(col("hour_epoch"), col("event_type"),
@@ -313,7 +323,7 @@ object CoreQueries {
       // formulation, totals digit-identical).
       import graft.functions.Money
       li.join(orders, li("l_orderkey") === orders("o_orderkey"))
-        .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+        .join(cust, orders("o_custkey") === cust("c_custkey")) // SF-scaling: no hint
         .groupBy(col("l_orderkey"), col("o_orderpriority"))
         .agg(Money.toMajor(sum(Money.cents(col("l_extendedprice")) *
             (lit(100L) - Money.cents(col("l_discount")))), 10000)
@@ -339,7 +349,7 @@ object CoreQueries {
       import graft.functions.Money
       val joined = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
         .join(cust, orders("o_custkey") === cust("c_custkey"))
-        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .join(supp, li("l_suppkey") === supp("s_suppkey")) // SF-scaling: no hint
         .filter(cust("c_nationkey") === supp("s_nationkey"))
         .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
         .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
@@ -372,7 +382,7 @@ object CoreQueries {
       // partials — subtotal semantics and gid unchanged, decimal combine
       // off the hot path.
       val joined = orders
-        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .join(customer, orders("o_custkey") === customer("c_custkey")) // SF-scaling: no hint
         .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
         .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       val p = graft.functions.Money.partialUnits(joined,
@@ -425,7 +435,7 @@ object CoreQueries {
     "q52_pivot" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
       val customer = t(s, dir, "customer")
-      orders.join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      orders.join(customer, orders("o_custkey") === customer("c_custkey")) // SF-scaling: no hint
         .groupBy(col("c_mktsegment"))
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .agg(count(lit(1)))

@@ -131,8 +131,11 @@ object StreamQueries {
         .parquet(tmp.toString))
       val dim = graft.core.Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
+      // No broadcast hint on the SF-scaling customer dim: the planner
+      // auto-broadcasts it by size at bench scale; at warehouse scale a
+      // 15B-row dim must not be pinned under the 8 GB broadcast cap.
       val enriched = stream
-        .join(broadcast(dim), stream("user_id") === dim("c_custkey"))
+        .join(dim, stream("user_id") === dim("c_custkey"))
         .groupBy(col("c_mktsegment"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))

@@ -66,10 +66,12 @@ object WeightedQueries {
           col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment"), col("o_custkey"),
           (col("sp") * 100).cast("decimal(38,0)").as("yc"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("c_mktsegment"))
-        .orderBy(col("yc"), col("o_custkey"))
-      spend.withColumn("i", row_number().over(w).cast("long"))
+      // Per-segment rank via Ranked.rowNumberRanged: a window partitioned
+      // by the 5 market segments put ~1/5 of ALL customers on each of 5
+      // tasks; the ranged decomposition keeps the same exact i at
+      // segments×ranges parallelism.
+      graft.operators.Ranked.rowNumberRanged(spend, Seq("c_mktsegment"),
+          Seq(col("yc"), col("o_custkey")), "i")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),
           sum(col("yc")).as("sy"),

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RankedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = {
+    val rnd = new scala.util.Random(7)
+    // 4 groups, duplicate measure values (tie runs), unique tiebreak id
+    (1 to 800).map { i =>
+      (s"g${rnd.nextInt(4)}", rnd.nextInt(50).toLong, i.toLong)
+    }.toDF("grp", "v", "id")
+  }
+
+  test("rowNumberRanged equals the plain window, grouped and global, any range count") {
+    val df = corpus
+    val wanted = df.withColumn("rn",
+        row_number().over(Window.partitionBy(col("grp"))
+          .orderBy(col("v"), col("id"))).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(2)) -> r.getLong(3)).toMap
+    for (ranges <- Seq(1, 5, 64, 2048)) { // incl. ranges >> rows (empty parts)
+      val got = Ranked.rowNumberRanged(df, Seq("grp"),
+          Seq(col("v"), col("id")), "rn", ranges)
+        .collect().map(r => (r.getString(0), r.getLong(2)) -> r.getLong(3)).toMap
+      assert(got == wanted, s"grouped diverged at ranges=$ranges")
+    }
+    // global (no partition columns), descending order direction
+    val wantedG = df.withColumn("rn",
+        row_number().over(Window.orderBy(col("v").desc, col("id").asc)).cast("long"))
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    val gotG = Ranked.rowNumberRanged(df, Nil,
+        Seq(col("v").desc, col("id").asc), "rn", 16)
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(gotG == wantedG)
+  }
+
+  test("prefixSumRanged equals the running-sum window") {
+    val df = corpus
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wanted = df.withColumn("rs", sum(col("v")).over(w))
+      .collect().map(r => (r.getString(0), r.getLong(2)) -> r.getLong(3)).toMap
+    for (ranges <- Seq(1, 7, 64)) {
+      val got = Ranked.prefixSumRanged(df, Seq("grp"),
+          Seq(col("v"), col("id")), col("v"), "rs", ranges)
+        .collect().map(r => (r.getString(0), r.getLong(2)) -> r.getLong(3)).toMap
+      assert(got == wanted, s"diverged at ranges=$ranges")
+    }
+  }
+
+  test("ntileFromRowNumber reproduces ntile exactly, incl. n < buckets and n % b != 0") {
+    for (n <- Seq(3L, 10L, 11L, 97L, 800L); b <- Seq(4, 10)) {
+      val rows = (1L to n).toDF("rn")
+      val viaNtile = rows
+        .withColumn("t", ntile(b).over(Window.orderBy(col("rn"))).cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaFormula = rows
+        .withColumn("t", Ranked.ntileFromRowNumber(col("rn"), lit(n), b))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaFormula == viaNtile, s"n=$n b=$b")
+    }
+  }
+
+  test("NULL group keys rank like the plain window (null-safe carry join)") {
+    // A NULL partition value is ONE window partition; a plain equi-join on
+    // the carry keys would silently drop those rows.
+    val df = Seq((Option("a"), 1L, 1L), (Option("a"), 2L, 2L),
+      (Option.empty[String], 1L, 3L), (Option.empty[String], 2L, 4L),
+      (Option.empty[String], 2L, 5L)).toDF("grp", "v", "id")
+    val wanted = df.withColumn("rn",
+        row_number().over(Window.partitionBy(col("grp"))
+          .orderBy(col("v"), col("id"))).cast("long"))
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    val got = Ranked.rowNumberRanged(df, Seq("grp"),
+        Seq(col("v"), col("id")), "rn", 4)
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(got == wanted, s"null-group rows must rank, not vanish: $got")
+  }
+
+  test("the two arms share ONE range exchange (the boundary-consistency anchor)") {
+    // RangePartitioner samples with an instance-derived seed, so two
+    // independent executions of the range exchange could pick different
+    // boundaries and desynchronize the carry join from the local ranks —
+    // exchange/stage reuse (default on) is what makes both arms see the
+    // same boundaries. Execute THIS Dataset (AQE finalizes its
+    // queryExecution in place) and pin the reuse in the final plan.
+    val out = Ranked.rowNumberRanged(corpus, Seq("grp"),
+      Seq(col("v"), col("id")), "rn", 8)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"range exchange must be reused across the rank and carry arms:\n${plan.take(3000)}")
+  }
+}
