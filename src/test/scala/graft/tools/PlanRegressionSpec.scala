@@ -112,9 +112,16 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "decorrelated joins should broadcast")
   }
 
-  test("q59/q65: sessionization and LSH histogram need exactly one exchange") {
+  test("q59/q65: sessionize is one exchange; LSH sizes via agg, never a bucket window") {
     assert("Exchange".r.findAllIn(plan("q59_sessionize")).size == 1)
-    assert("Exchange".r.findAllIn(plan("q65_hyperplane_lsh")).size == 1)
+    // q65's bucket_size comes from a map-side-combinable aggregate joined
+    // back by broadcast — a window partitioned by the <=256 skewed LSH
+    // buckets (capping parallelism and buffering whole buckets) must not
+    // reappear.
+    val p65 = plan("q65_hyperplane_lsh")
+    assert(!p65.contains("Window"), "q65 must not window by bucket")
+    assert(p65.contains("BroadcastHashJoin"),
+      "the <=256-row bucket-size table must broadcast back")
   }
 
   test("q61: token chunking is shuffle-free (zero exchanges)") {
@@ -192,11 +199,16 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("Window") && !p.contains("SortMergeJoin"))
   }
 
-  test("q107: sweep-line is one window pass whose partitioning the agg reuses") {
+  test("q107: sweep-line runs the RANGED prefix sum, windows partitioned by (group, range)") {
+    // The running count decomposes through Ranked.prefixSumRanged: local
+    // windows keyed by (group, range-partition id) — never a window
+    // partitioned by the few event types alone, which put a whole type's
+    // sweep points on one task. The carry summary must broadcast back.
     val p = plan("q107_peak_concurrency")
-    assert("Window".r.findAllIn(p).size == 1)
-    assert("Exchange".r.findAllIn(p).size == 1,
-      "groupBy(type) must reuse the window's hash partitioning, not re-shuffle")
+    assert(p.contains("_rr_pid"),
+      "running count must go through the range-partitioned decomposition")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-(group, range) carry summary must broadcast back")
   }
 
   test("q108: blocked edit-distance join is an equi hash join, never all-pairs") {
