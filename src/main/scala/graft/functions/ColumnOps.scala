@@ -30,7 +30,12 @@ object ColumnOps {
     * the pattern form restates verbatim in any engine. */
   def isFalsy(c: Column): Column = {
     val s = trim(lower(c.cast("string")))
-    c.isNull || s === "" || s === "false" || s.rlike("^-?0+(\\.0+)?$")
+    // The exponent arm covers Spark's scientific rendering of high-scale
+    // decimal zeros: java.math.BigDecimal prints a decimal(38,7) zero as
+    // "0E-7" (and negative-scale zeros as "0E+7"), which the plain pattern
+    // missed — the documented contract is "numeric zero in ANY rendering".
+    c.isNull || s === "" || s === "false" ||
+      s.rlike("^-?0+(\\.0+)?(e[+-]?\\d+)?$")
   }
   def isTruthy(c: Column): Column = !isFalsy(c)
 

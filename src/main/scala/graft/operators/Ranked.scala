@@ -34,6 +34,33 @@ import org.apache.spark.sql.functions._
   * when |groups| already exceeds the cluster's parallelism. */
 object Ranked {
 
+  /** Internal working-column prefix; inputs carrying a column with this
+    * prefix would be silently overwritten by the withColumns below and the
+    * final select would return internal values under the user's name —
+    * corrupt output with no error. Guarded like AsOfJoin's reserved set. */
+  private def guardColumns(df: DataFrame, outName: String): Unit = {
+    val reserved = df.columns.filter(_.startsWith("_rr_"))
+    require(reserved.isEmpty,
+      s"input columns ${reserved.mkString(", ")} collide with Ranked's " +
+        "internal _rr_* working columns; rename them first")
+    require(!df.columns.contains(outName),
+      s"output column '$outName' already exists in the input; pick a " +
+        "fresh name (the final projection would otherwise be ambiguous)")
+  }
+
+  /** The decomposition is only correct when the range exchange executes
+    * ONCE (see the correctness anchor above): RangePartitioner's sample
+    * seed is RDD-instance-derived, so with `spark.sql.exchange.reuse`
+    * disabled the carry arm and the main arm could sample DIFFERENT range
+    * boundaries and silently mis-number. When a session has reuse off,
+    * materialize the ranged layout eagerly (localCheckpoint) so both arms
+    * read one pinned computation instead of re-sampling. */
+  private def pinIfNoReuse(parted: DataFrame): DataFrame = {
+    val reuseOn = parted.sparkSession.conf
+      .get("spark.sql.exchange.reuse", "true").toBoolean
+    if (reuseOn) parted else parted.localCheckpoint()
+  }
+
   /** `row_number() OVER (PARTITION BY partCols ORDER BY orderExprs)` as a
     * LONG column `rnName`, at groups×ranges parallelism. `orderExprs` may
     * carry directions (`col.desc`); make the tuple a total order for
@@ -42,9 +69,10 @@ object Ranked {
                       orderExprs: Seq[Column], rnName: String,
                       ranges: Int = 64): DataFrame = {
     require(ranges > 0, "ranges must be positive")
-    val parted = df
+    guardColumns(df, rnName)
+    val parted = pinIfNoReuse(df
       .repartitionByRange(ranges, (partCols.map(col) ++ orderExprs): _*)
-      .withColumn("_rr_pid", spark_partition_id())
+      .withColumn("_rr_pid", spark_partition_id()))
     val wLocal = Window
       .partitionBy((partCols.map(col) :+ col("_rr_pid")): _*)
       .orderBy(orderExprs: _*)
@@ -91,9 +119,10 @@ object Ranked {
                       orderExprs: Seq[Column], valueExpr: Column,
                       outName: String, ranges: Int = 64): DataFrame = {
     require(ranges > 0, "ranges must be positive")
-    val parted = df
+    guardColumns(df, outName)
+    val parted = pinIfNoReuse(df
       .repartitionByRange(ranges, (partCols.map(col) ++ orderExprs): _*)
-      .withColumn("_rr_pid", spark_partition_id())
+      .withColumn("_rr_pid", spark_partition_id()))
       .withColumn("_rr_v", valueExpr)
     val wLocal = Window
       .partitionBy((partCols.map(col) :+ col("_rr_pid")): _*)

@@ -140,12 +140,23 @@ object Streams {
     * with the protocol's commit marker holds the complete new state of its
     * buckets (finish its swap); one without is an uncommitted write over an
     * intact target (discard it). After this, the target is in a consistent
-    * state and the replayed batch merges against correct inputs. */
+    * state and the replayed batch merges against correct inputs.
+    *
+    * A committer `_SUCCESS` file is ALSO accepted as commit evidence, for
+    * one reason: a staging dir written by a pre-marker build (which used
+    * `_SUCCESS` as its commit point) that crashed mid-swap may hold the
+    * only copy of buckets whose live counterparts were already removed —
+    * discarding it on upgrade would lose them. The asymmetry is safe:
+    * `_SUCCESS` present proves the staging write job completed, and
+    * completing a swap from a COMPLETE staging dir is always correct (the
+    * replayed batch re-merges idempotently); `_SUCCESS` absent proves
+    * nothing, which is exactly why new writes commit via the marker. */
   private def recoverPendingSwaps(spark: SparkSession, targetDir: String): Unit = {
     import graft.sources.FsOps
     FsOps.list(spark, targetDir).foreach { case (name, isDir, _) =>
       if (isDir && baseName(name).startsWith(".graft_staging_")) {
-        if (FsOps.exists(spark, stagingCommitMarker(name)))
+        if (FsOps.exists(spark, stagingCommitMarker(name)) ||
+            FsOps.exists(spark, s"$name/_SUCCESS"))
           completeSwap(spark, targetDir, name)
         else { FsOps.delete(spark, name); () }
       }

@@ -269,4 +269,26 @@ class TextOpsSpec extends SparkSpec {
       .select(ColumnOps.isFalsy(col("v")).as("f")).collect().head.getBoolean(0)
     assert(nf)
   }
+
+  test("isFalsy covers scientific renderings of zero (high-scale decimals)") {
+    import spark.implicits._
+    import graft.functions.ColumnOps
+    // BigDecimal prints a decimal(38,7) zero as "0E-7" — a rendering the
+    // plain zero pattern missed, breaking the "numeric zero in any
+    // rendering" contract for scale >= 7.
+    val dec = Seq(("z", "0"), ("nz", "0.0000001"))
+      .toDF("k", "s")
+      .select(col("k"), col("s").cast("decimal(38,7)").as("v"))
+      .select(col("k"), ColumnOps.isFalsy(col("v")).as("f"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(dec("z"), "decimal(38,7) zero (rendered 0E-7) must be falsy")
+    assert(!dec("nz"), "a genuinely tiny decimal must stay truthy")
+    // string forms of the same renderings, both exponent signs
+    val got = Seq("0E-7", "0e-7", "0E+7", "-0E-10", "1E-7", "2e3")
+      .toDF("v").select(col("v"), ColumnOps.isFalsy(col("v")).as("f"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    Seq("0E-7", "0e-7", "0E+7", "-0E-10").foreach(v =>
+      assert(got(v), s"'$v' must be falsy"))
+    Seq("1E-7", "2e3").foreach(v => assert(!got(v), s"'$v' must be truthy"))
+  }
 }

@@ -95,4 +95,44 @@ class RankedSpec extends SparkSpec {
     assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
       s"range exchange must be reused across the rank and carry arms:\n${plan.take(3000)}")
   }
+
+  test("reuse disabled: the ranged layout is pinned, results stay exact") {
+    // With spark.sql.exchange.reuse off the two arms would re-sample range
+    // boundaries independently (instance-derived seed) and could silently
+    // mis-number; the entry points must pin the layout instead of relying
+    // on a config that a user session may have turned off.
+    val df = corpus
+    val expected = df.withColumn("rn",
+        row_number().over(Window.partitionBy(col("grp"))
+          .orderBy(col("v"), col("id"))).cast("long"))
+      .select("grp", "v", "id", "rn").collect().toSet
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val got = Ranked.rowNumberRanged(df, Seq("grp"),
+        Seq(col("v"), col("id")), "rn", 8)
+        .select("grp", "v", "id", "rn").collect().toSet
+      assert(got == expected)
+      val sums = Ranked.prefixSumRanged(df, Seq("grp"),
+        Seq(col("v"), col("id")), col("v"), "rs", 8)
+        .select("grp", "v", "id", "rs").collect().toSet
+      val expSums = df.withColumn("rs",
+          sum(col("v")).over(Window.partitionBy(col("grp"))
+            .orderBy(col("v"), col("id"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select("grp", "v", "id", "rs").collect().toSet
+      assert(sums == expSums)
+    } finally spark.conf.set("spark.sql.exchange.reuse", "true")
+  }
+
+  test("internal-column and output-name collisions are refused, not corrupted") {
+    val bad = corpus.withColumn("_rr_pid", lit(1))
+    val e1 = intercept[IllegalArgumentException] {
+      Ranked.rowNumberRanged(bad, Seq("grp"), Seq(col("id")), "rn")
+    }
+    assert(e1.getMessage.contains("_rr_"))
+    val e2 = intercept[IllegalArgumentException] {
+      Ranked.prefixSumRanged(corpus, Seq("grp"), Seq(col("id")), col("v"), "v")
+    }
+    assert(e2.getMessage.contains("already exists"))
+  }
 }

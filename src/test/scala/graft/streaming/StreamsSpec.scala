@@ -188,6 +188,35 @@ class StreamsSpec extends SparkSpec {
     assert(!fs.exists(spark, staging), "healed staging dir must be removed")
   }
 
+  test("upsertBatch recovery honors a legacy _SUCCESS-only commit marker") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_upsert_legacy")
+    val target = s"$base/target"
+    Streams.upsertBatch(
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "payload", "version"),
+      0L, target, Seq("id"), "version", 16)
+    // staging written by a PRE-MARKER build that crashed mid-swap: the dir
+    // carries only the committer's _SUCCESS, and holds the ONLY copy of a
+    // bucket whose live counterpart was already removed. Recovery must
+    // finish the swap, not discard the dir (which would lose the bucket).
+    val fs = graft.sources.FsOps
+    val victim = fs.list(spark, target)
+      .collect { case (n, true, _) if n.contains(s"${Streams.UpsertBucketCol}=") => n }
+      .head
+    val staging = s"$target/.graft_staging_77"
+    fs.mkdirs(spark, staging)
+    fs.putString(spark, s"$staging/_SUCCESS", "")
+    assert(fs.rename(spark, victim,
+      s"$staging/${victim.substring(victim.lastIndexOf('/') + 1)}"))
+    Streams.upsertBatch(
+      Seq((3L, "c", 1L)).toDF("id", "payload", "version"),
+      1L, target, Seq("id"), "version", 16)
+    val got = Streams.readUpsertTarget(spark, target).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("payload")).toMap
+    assert(got == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(!fs.exists(spark, staging), "healed staging dir must be removed")
+  }
+
   test("upsertBatch refuses a numBuckets change against an existing target") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_upsert_nb")
