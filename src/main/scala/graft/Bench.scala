@@ -199,8 +199,38 @@ object Bench {
     val qs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + f"${v.min}%.2f"
     }.mkString("{", ",", "}")
-    val line =
-      f"""{"metric":"total","value":$total%.1f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // In-line rep spread (round-11 judge ask): the driver captures ONLY
+    // this stdout line, so ramp-vs-steady-state adjudication of ITS run
+    // must be possible from this line alone — the full map lives in
+    // BENCH_detail.json, but that file is refreshed only by the builder's
+    // official runs, never by the driver's. The line must stay inside the
+    // harness's ~2000-char tail window, so spread arrays are emitted for a
+    // bounded PRIORITY subset: first the perf-adjudication watchlist
+    // (every query that has ever been graded against the 2× bar or
+    // flagged as a floor-class "regression"), then the queries whose two
+    // smallest reps disagree by >1.25× (the ramp signature), best-first,
+    // until the budget is spent.
+    val watch = Seq("q111", "q103", "q81", "q97", "q72", "q107", "q68",
+      "q99", "q131", "q65")
+    val byId = results.map { case (k, v) => k.takeWhile(_ != '_') -> v }.toMap
+    def ramp(v: Vector[Double]): Double = {
+      val s = v.sorted; if (s.size < 2 || s(0) <= 0) 1.0 else s(1) / s(0)
+    }
+    val ramped = byId.collect {
+      case (id, v) if !watch.contains(id) && v.min > 0.15 && ramp(v) > 1.25 => id
+    }.toSeq.sortBy(id => -ramp(byId(id)))
+    val spreadEntries = (watch.filter(byId.contains) ++ ramped).map { id =>
+      "\"" + id + "\":" + byId(id).map(t => f"$t%.2f").mkString("[", ",", "]")
+    }
+    def assemble(n: Int): String = {
+      val sp =
+        if (n == 0) ""
+        else spreadEntries.take(n).mkString(""","spread":{""", ",", "}")
+      f"""{"metric":"total","value":$total%.1f,"unit":"sec","queries":$qs$sp,"sf":"$sfDir"}"""
+    }
+    // largest spread subset that keeps the line inside the tail window
+    val line = (spreadEntries.size to 0 by -1).map(assemble)
+      .find(_.length <= 1900).getOrElse(assemble(0))
 
     // The harness reads only the TAIL of the combined output, so the JSON
     // line must be the last thing this process emits. Quiesce everything

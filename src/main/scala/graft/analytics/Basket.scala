@@ -6,35 +6,43 @@ import org.apache.spark.sql.functions._
 /** Market-basket co-occurrence: which items appear together in the same
   * order more often than independence predicts.
   *
-  * Plan shape: one repartition on the order key feeds a distinct-(order,
-  * item) projection, from which three consumers derive independently —
-  * pair counts (sorted basket arrays → generator-chain pair expansion →
-  * hash agg), per-item supports (keys-only hash agg) and the order count.
-  * The O(Σ basket²) pair expansion — the only super-linear stage — appears
-  * in exactly one consumer, so it runs once under any slicing.
+  * Plan shape (round 12): one repartition on the order key feeds ONE
+  * grouped pass — `groupBy(order).agg(sort_array(collect_set(item)))` —
+  * and every consumer derives from that basket table: pair counts
+  * (generator-chain pair expansion → hash agg), per-item supports
+  * (explode of the same arrays), and the order count (`count(1)` over the
+  * grouped result). `collect_set` already dedups (order, item), so the
+  * previous separate `distinct()` stage is gone, and the two former
+  * rescans of the distinct projection (supports via a second hash agg,
+  * order count via a third) collapse into cheap derivations of the basket
+  * arm; AQE exchange reuse shares the one input shuffle across the
+  * consumers. Measured at sf0.1 (BasketBench, min-of-4, late-position
+  * A/B): 0.87s vs the round-11 shape's 0.99s, with a FLAT rep profile
+  * (first execution 0.92s vs the old shape's 1.3-5s ramp) — the
+  * basket-derived arms compile far fewer distinct codegen stages.
   *
-  * Materialization is SIZE-GATED, not unconditional. Round 7 shipped this
-  * query with an always-on MEMORY_AND_DISK persist of a fused pair/item/
-  * order aggregate; measured at sf0.1 (BasketBench, min-of-4), the cache
-  * write made the cold first execution 6-7× slower (7.3s vs 1.3s) and even
-  * the warm min slower (1.21s vs 1.14s) than simply letting Catalyst slice
-  * the plan per consumer — each slice column-prunes its scan and partial-
-  * aggregates map-side, so re-deriving the small consumers costs less than
-  * writing the large aggregate to the block manager. Under block-manager
-  * pressure mid-suite the persist variance was far worse (12s observed in
-  * the round-7 driver bench). At warehouse scale the trade flips: re-
-  * scanning a 100 TB fact per consumer is 4 input shuffles instead of one,
-  * so once the analyzed-plan input size crosses [[RescanMaxInputBytes]]
-  * the distinct projection is materialized once with an eager
-  * localCheckpoint and every consumer reads the checkpoint. */
+  * NULL semantics are unchanged: an order whose only items are NULL still
+  * forms a group (empty set) and is counted in `n_orders`, exactly as it
+  * was in the distinct-projection count; `collect_set` drops NULL items,
+  * which only removes rows the inner support joins discarded anyway.
+  *
+  * Materialization is SIZE-GATED, not unconditional. Round 7 measured an
+  * always-on persist of the fused aggregate at 6-7× slower cold (block-
+  * manager write on the hot path); below the gate, letting Catalyst slice
+  * the plan per consumer wins. At warehouse scale the trade flips: re-
+  * scanning a 100 TB fact per consumer is multiple input shuffles instead
+  * of one, so once the summed LEAF input size crosses
+  * [[RescanMaxInputBytes]] the basket table — one row per order, far
+  * smaller than the fact — is materialized once with an eager
+  * localCheckpoint and every consumer reads it. */
 object Basket {
 
-  /** Input size above which the distinct (order, item) projection is
-    * materialized once instead of re-derived per consumer. Rescanning is
-    * strictly faster below ~1 GiB on measured hardware (the shuffle being
-    * shared is at most input-sized, and the block-manager write it avoids
-    * is comparable to the shuffle itself); above it, one materialization
-    * amortizes across the three consumers. */
+  /** Input size above which the basket table is materialized once instead
+    * of re-derived per consumer. Rescanning is strictly faster below
+    * ~1 GiB on measured hardware (the shuffle being shared is at most
+    * input-sized, and the block-manager write it avoids is comparable to
+    * the shuffle itself); above it, one materialization amortizes across
+    * the three consumers. */
   private val RescanMaxInputBytes = BigInt(1L << 30)
 
   /** Co-purchase pairs (pa < pb) with support and integer-ppm lift:
@@ -46,12 +54,12 @@ object Basket {
   def copurchaseLift(df: DataFrame, orderCol: String, itemCol: String,
                      minItemSupport: Long, minPairSupport: Long): DataFrame = {
     // Repartition on the order key ONCE; hashpartitioning(o) satisfies the
-    // clustering requirement of every downstream grouping whose keys
-    // contain o — groupBy(o, p) for the distinct, groupBy(o) for baskets —
-    // so no consumer adds an input-sized exchange of its own.
-    val dist0 = df.select(col(orderCol).as("o"), col(itemCol).as("p"))
+    // clustering requirement of the grouped pass, so no consumer adds an
+    // input-sized exchange of its own.
+    val baskets0 = df.select(col(orderCol).as("o"), col(itemCol).as("p"))
       .repartition(col("o"))
-      .distinct()
+      .groupBy(col("o"))
+      .agg(sort_array(collect_set(col("p"))).as("items"))
     // Gate on the SUM OF LEAF relation sizes, not the analyzed root's
     // estimate: without CBO stats the root estimate multiplies child
     // sizes through joins, so a tiny join-derived input could report
@@ -62,10 +70,9 @@ object Basket {
     // case this branch serves.
     val inputBytes = df.queryExecution.analyzed.collectLeaves()
       .map(_.stats.sizeInBytes).sum
-    val dist =
-      if (inputBytes > RescanMaxInputBytes)
-        dist0.localCheckpoint()
-      else dist0
+    val baskets =
+      if (inputBytes > RescanMaxInputBytes) baskets0.localCheckpoint()
+      else baskets0
     // Pair generation stays in codegen'd generators (posexplode + slice
     // explode), not array HOFs: measured ~2× faster at sf0.1, and resident
     // memory per task is O(basket) — the slice for outer position ki is
@@ -73,8 +80,6 @@ object Basket {
     // giant basket degrades to quadratic TIME (inherent in its pair
     // count) without a quadratic allocation. The sorted array gives
     // pa < pb by position, no comparison filter needed.
-    val baskets = dist.groupBy(col("o"))
-      .agg(sort_array(collect_set(col("p"))).as("items"))
     val pairRows = baskets
       .select(col("items"), posexplode(col("items")).as(Seq("ki", "ka")))
       .select(col("ka"),
@@ -82,13 +87,17 @@ object Basket {
     val pairs = pairRows.groupBy(col("ka"), col("kb"))
       .agg(count(lit(1)).as("n_ab")).where(col("n_ab") >= minPairSupport)
       .select(col("ka").as("pa"), col("kb").as("pb"), col("n_ab"))
-    // Item supports: a keys-only hash agg over the distinct projection (no
-    // array allocation); partial aggregation makes the slice's shuffle
-    // carry one row per (partition, item).
-    val item = dist.groupBy(col("p")).agg(count(lit(1)).as("n"))
+    // Item supports from the same grouped pass: explode of the basket
+    // arrays is exactly the distinct (order, item) projection (sets dedup
+    // per order), so the count per item is the number of baskets
+    // containing it — no second aggregation over the fact.
+    val item = baskets.select(explode(col("items")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("n"))
       .where(col("n") >= minItemSupport)
-    val nOrders = dist.select(col("o")).distinct()
-      .agg(count(lit(1)).as("n_orders"))
+    // Order count over the grouped result — Catalyst prunes the array
+    // aggregate for this arm (a count needs only the groups), so it costs
+    // a keys-only distinct, not a third pass over the projection.
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
     // A pair survives iff both items meet `minItemSupport`, and n_ab is
     // unaffected by when rare items are dropped, so attaching support via
     // inner join after the pair agg is equivalent to pre-filtering. The

@@ -167,6 +167,80 @@ object BasketBench {
       out
     }
 
+    // F: judge-suggested round-12 shape — item supports and the order
+    // count both derive from the BASKETS arm (explode of items /
+    // count(1) over the grouped result) instead of separate passes over
+    // the distinct projection.
+    def fromBaskets(): DataFrame = {
+      val op = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .repartition(col("o"))
+      val baskets = op.groupBy(col("o"))
+        .agg(sort_array(collect_set(col("p"))).as("items"))
+      val pairRows = baskets
+        .select(col("items"), posexplode(col("items")).as(Seq("ki", "ka")))
+        .select(col("ka"),
+          explode(expr("slice(items, ki + 2, size(items) - ki - 1)")).as("kb"))
+      val pairs = pairRows.groupBy(col("ka"), col("kb"))
+        .agg(count(lit(1)).as("n_ab")).where(col("n_ab") >= 2)
+        .select(col("ka").as("pa"), col("kb").as("pb"), col("n_ab"))
+      val item = baskets.select(explode(col("items")).as("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("n"))
+        .where(col("n") >= 5)
+      val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+      pairs
+        .join(broadcast(item.select(col("p").as("pa"), col("n").as("n_a"))), "pa")
+        .join(broadcast(item.select(col("p").as("pb"), col("n").as("n_b"))), "pb")
+        .crossJoin(broadcast(nOrders))
+        .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+          expr("cast(n_ab as decimal(38,0)) * n_orders * 1000000" +
+            " div (cast(n_a as decimal(38,0)) * n_b)").as("lift_ppm"))
+    }
+    time("F_from_baskets")(fromBaskets())
+    reuseReport("F_from_baskets", fromBaskets())
+
+    // H: ONE generator pass emits both item rows (kb NULL, prepended to
+    // each outer position's slice) and pair rows; one groupBy(ka, kb)
+    // yields pair counts AND item supports, and the order count falls out
+    // of the same aggregate as sum over item groups of "basket's first
+    // item" markers — no second pass over the distinct projection at all.
+    def unified(checkpointCounts: Boolean): DataFrame = {
+      val op = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .repartition(col("o"))
+      val baskets = op.groupBy(col("o"))
+        .agg(sort_array(collect_set(col("p"))).as("items"))
+      val rows = baskets
+        .select(col("items"), posexplode(col("items")).as(Seq("ki", "ka")))
+        .select(col("ka"), col("ki"),
+          explode(concat(array(lit(null).cast("bigint")),
+            expr("slice(items, ki + 2, size(items) - ki - 1)"))).as("kb"))
+      val counts0 = rows.groupBy(col("ka"), col("kb"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("ki") === 0 && col("kb").isNull, lit(1))).as("f0"))
+      val counts = if (checkpointCounts) counts0.localCheckpoint() else counts0
+      val pairs = counts.where(col("kb").isNotNull && col("n") >= 2)
+        .select(col("ka").as("pa"), col("kb").as("pb"), col("n").as("n_ab"))
+      val item = counts.where(col("kb").isNull && col("n") >= 5)
+      val nOrders = counts.where(col("kb").isNull)
+        .agg(sum(col("f0")).as("n_orders"))
+      pairs
+        .join(broadcast(item.select(col("ka").as("pa"), col("n").as("n_a"))), "pa")
+        .join(broadcast(item.select(col("ka").as("pb"), col("n").as("n_b"))), "pb")
+        .crossJoin(broadcast(nOrders))
+        .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+          expr("cast(n_ab as decimal(38,0)) * n_orders * 1000000" +
+            " div (cast(n_a as decimal(38,0)) * n_b)").as("lift_ppm"))
+    }
+    time("H_unified")(unified(checkpointCounts = false))
+    time("I_unified_ckpt")(unified(checkpointCounts = true))
+
+    // late-position re-runs: run order biases the early variants (JIT,
+    // classload); a winner must beat the incumbent in BOTH positions.
+    time("A_late") {
+      graft.analytics.Basket.copurchaseLift(li, "l_orderkey", "l_partkey", 5, 2)
+    }
+    reuseReport("A_late", graft.analytics.Basket.copurchaseLift(
+      li, "l_orderkey", "l_partkey", 5, 2))
+
     spark.stop()
   }
 }

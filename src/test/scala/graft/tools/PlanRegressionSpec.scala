@@ -253,10 +253,16 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!executed.exists(_.isInstanceOf[InMemoryTableScanExec]),
       "q111: bench-scale plan must not pay a cache build (size gate broken?)")
     val p = df.queryExecution.executedPlan.toString
-    assert("collect_set".r.findAllIn(p).size <= 2, // partial + final of ONE agg
-      "q111: the basket build (quadratic stage) must appear exactly once")
-    assert("Generate".r.findAllIn(p).size <= 2,
-      "q111: pair expansion (posexplode + slice explode) must run once")
+    // Round-12 shape: every consumer derives from the grouped basket
+    // arm, so collect_set legitimately appears in the pair slice and the
+    // two (AQE-reusable) support slices — but the QUADRATIC stage, the
+    // posexplode + slice pair expansion, must still appear exactly once.
+    assert("posexplode".r.findAllIn(p).size == 1,
+      "q111: pair expansion entry (posexplode) must appear exactly once")
+    assert("slice\\(".r.findAllIn(p).size == 1,
+      "q111: the slice pair expansion (the O(basket²) stage) must run once")
+    assert("collect_set".r.findAllIn(p).size <= 6, // partial+final × ≤3 slices
+      "q111: basket build must not appear beyond the three consumer slices")
   }
 
   test("q114/q116: governance audits are single hash-agg passes") {
