@@ -70,8 +70,14 @@ object Basket {
     // case this branch serves.
     val inputBytes = df.queryExecution.analyzed.collectLeaves()
       .map(_.stats.sizeInBytes).sum
+    // Session override (spark.graft.basket.rescanMaxInputBytes) beats the
+    // built-in threshold — setting it to 0 forces the at-scale
+    // materialization path (the all-twins gate's posture).
+    val gate = BigInt(df.sparkSession.conf
+      .get("spark.graft.basket.rescanMaxInputBytes",
+        RescanMaxInputBytes.toString))
     val baskets =
-      if (inputBytes > RescanMaxInputBytes) baskets0.localCheckpoint()
+      if (inputBytes > gate) baskets0.localCheckpoint()
       else baskets0
     // Pair generation stays in codegen'd generators (posexplode + slice
     // explode), not array HOFs: measured ~2× faster at sf0.1, and resident

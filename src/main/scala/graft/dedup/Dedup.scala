@@ -364,7 +364,13 @@ object Dedup {
     val integral = srcType == org.apache.spark.sql.types.LongType ||
       srcType == org.apache.spark.sql.types.IntegerType ||
       srcType == org.apache.spark.sql.types.ShortType
-    if (integral && nEdges <= driverEdgeLimit) {
+    // Session override (spark.graft.dedup.driverEdgeLimit) beats the call
+    // parameter: lets a whole suite force the distributed path (the
+    // all-twins gate) without threading a knob through every caller.
+    val effectiveLimit = pairs.sparkSession.conf
+      .get("spark.graft.dedup.driverEdgeLimit", driverEdgeLimit.toString)
+      .toLong
+    if (integral && nEdges <= effectiveLimit) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val es = p0.select(col("src").cast("long"), col("dst").cast("long"))

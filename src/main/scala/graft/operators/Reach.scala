@@ -44,22 +44,28 @@ object Reach {
                    maxHops: Int,
                    driverEdgeLimit: Int = DefaultDriverEdgeLimit): DataFrame = {
     val edges = s.table(edgesView)
+    // Session override (spark.graft.reach.driverEdgeLimit) beats the call
+    // parameter — same posture as Dedup's guard; how the all-twins gate
+    // forces the recursive distributed path suite-wide.
+    val limit = s.conf
+      .get("spark.graft.reach.driverEdgeLimit", driverEdgeLimit.toString)
+      .toInt
     // Probe with a COUNT over limit(n+1): the count aggregates on the
     // executors, so deciding "too big" ships one long to the driver — not
-    // driverEdgeLimit+1 rows — and one row past the limit proves "too big"
+    // limit+1 rows — and one row past the limit proves "too big"
     // without counting the full list. Only a winning guard then collects
     // (a second tiny job; the view is already materialized, so both jobs
     // read cached/local data).
-    val probeCount = edges.limit(driverEdgeLimit + 1).count()
-    if (probeCount <= driverEdgeLimit) {
+    val probeCount = edges.limit(limit + 1).count()
+    if (probeCount <= limit) {
       // limit(n+1) on the winning-guard collect too: the count above bounds
       // what the FIRST evaluation held; a view whose re-evaluation is not
       // deterministic (lazy re-registration, non-deterministic derivation)
       // could return more rows the second time, and the limit keeps that
       // from shipping an unbounded result to the driver. More than n rows
       // here would silently truncate the BFS, so it falls back instead.
-      val adj0 = edges.limit(driverEdgeLimit + 1).collect()
-      if (adj0.length > driverEdgeLimit)
+      val adj0 = edges.limit(limit + 1).collect()
+      if (adj0.length > limit)
         return shortestHopsRecursive(s, edgesView, source, maxHops)
       val adj = adj0
         .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
