@@ -10,10 +10,35 @@ import java.io.File
   */
 object Scratch {
 
+  /** Local-mode scratch root, fastest first: tmpfs (/dev/shm) when present
+    * and writable, else java.io.tmpdir. Streaming fixtures — checkpoint
+    * dirs, staged inputs, upsert targets — are latency-bound on many tiny
+    * file ops (state-store deltas, commit markers, partition renames), and
+    * on this harness /tmp is ext4 while /dev/shm is tmpfs: measured at
+    * sf0.1, moving q63's scratch to tmpfs alone cut ~0.3-0.5s/run. On a
+    * real cluster these paths are HDFS/S3 locations chosen by the
+    * deployment, not this helper — this is single-box bench hygiene, the
+    * same class of choice as pointing spark.local.dir at fast disk. */
+  private lazy val root: java.nio.file.Path = {
+    val shm = new File("/dev/shm")
+    val base =
+      if (shm.isDirectory && shm.canWrite) shm
+      else new File(System.getProperty("java.io.tmpdir"))
+    base.toPath
+  }
+
+  /** Create a fresh scratch dir under the fast root. Prefix is forced into
+    * the `graft` namespace so [[cleanStale]] can reclaim it. */
+  def tempDir(prefix: String): java.nio.file.Path = {
+    val p = if (prefix.startsWith("graft")) prefix else s"graft_$prefix"
+    java.nio.file.Files.createTempDirectory(root, p)
+  }
+
   def cleanStale(maxAgeMs: Long = 60L * 60 * 1000): Int = {
-    val tmp = new File(System.getProperty("java.io.tmpdir"))
     val cutoff = System.currentTimeMillis() - maxAgeMs
-    val stale = Option(tmp.listFiles()).getOrElse(Array.empty)
+    val roots = Seq(new File(System.getProperty("java.io.tmpdir")),
+      new File("/dev/shm")).filter(_.isDirectory).distinct
+    val stale = roots.flatMap(r => Option(r.listFiles()).getOrElse(Array.empty))
       .filter(f => f.isDirectory && f.getName.startsWith("graft") &&
         f.lastModified() < cutoff)
     stale.foreach(deleteRecursively)
