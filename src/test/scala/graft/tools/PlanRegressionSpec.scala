@@ -211,6 +211,43 @@ class PlanRegressionSpec extends AnyFunSuite {
       "the per-(group, range) carry summary must broadcast back")
   }
 
+  test("Ranked consumers: no fact-buffering window shape can silently return") {
+    // q72/q94/q99/q107/q131 route their rank / running-sum through the
+    // range-partitioned Ranked primitives. The shape that must NEVER come
+    // back is a WindowExec that buffers a fact-sized, non-aggregated
+    // child on |groups| tasks (|groups| is 1 for q94's global rank, ~4
+    // event types for q72/q107 — the single-task cliffs removed in round
+    // 11). Legal windows in these plans are exactly: the local window
+    // keyed by (..., _rr_pid) — parallelism = groups × ranges — and the
+    // carry window over the tiny aggregated per-(group, range) summary.
+    // Assert every WindowExec is one of those two, structurally.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec,
+      ObjectHashAggregateExec, SortAggregateExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children ++ p.subqueries).flatMap(nodes)
+    def aggregated(p: SparkPlan): Boolean = nodes(p).exists {
+      case _: HashAggregateExec | _: ObjectHashAggregateExec
+           | _: SortAggregateExec => true
+      case _ => false
+    }
+    Seq("q72_histogram", "q94_spend_deciles", "q99_percent_rank",
+      "q107_peak_concurrency", "q131_gini_spend").foreach { q =>
+      val exec = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+      val windows = nodes(exec).collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"$q: expected the Ranked window arms")
+      windows.foreach { w =>
+        val ranged = w.partitionSpec.exists(_.references.exists(
+          _.name == "_rr_pid"))
+        assert(ranged || aggregated(w.child),
+          s"$q: a WindowExec buffers a non-aggregated child without the " +
+            s"range id in its partitioning — the single-task/few-task " +
+            s"window cliff Ranked exists to remove:\n$w")
+      }
+    }
+  }
+
   test("q108: blocked edit-distance join is an equi hash join, never all-pairs") {
     val p = plan("q108_name_edit_pairs")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
