@@ -21,8 +21,12 @@ object Scratch {
     * same class of choice as pointing spark.local.dir at fast disk. */
   private lazy val root: java.nio.file.Path = {
     val shm = new File("/dev/shm")
+    // Capacity gate: container runtimes commonly mount /dev/shm at 64 MB,
+    // and RAM-backed scratch competes with the JVM heap — only prefer
+    // tmpfs when it has real headroom for the streaming fixtures.
     val base =
-      if (shm.isDirectory && shm.canWrite) shm
+      if (shm.isDirectory && shm.canWrite &&
+          shm.getUsableSpace > 8L * 1024 * 1024 * 1024) shm
       else new File(System.getProperty("java.io.tmpdir"))
     base.toPath
   }
@@ -32,6 +36,21 @@ object Scratch {
   def tempDir(prefix: String): java.nio.file.Path = {
     val p = if (prefix.startsWith("graft")) prefix else s"graft_$prefix"
     java.nio.file.Files.createTempDirectory(root, p)
+  }
+
+  /** ONE process-wide streaming-checkpoint base: queries point
+    * `spark.sql.streaming.checkpointLocation` here and Spark appends the
+    * (UUID-unique) query name, so per-call dirs don't accrete a new root
+    * each run — accumulation is bounded to this single dir, whose mtime
+    * refreshes on every subdir creation (POSIX), keeping a concurrent
+    * process's [[cleanStale]] from reclaiming it while it's live. */
+  lazy val checkpointBase: String = tempDir("chkbase").toString
+
+  /** Refresh a scratch path's mtime so the 1h [[cleanStale]] horizon never
+    * fires on a dir a live process is still reading (memoized fixtures). */
+  def touch(path: String): Unit = {
+    new File(path).setLastModified(System.currentTimeMillis())
+    ()
   }
 
   def cleanStale(maxAgeMs: Long = 60L * 60 * 1000): Int = {

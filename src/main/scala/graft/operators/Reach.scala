@@ -47,9 +47,12 @@ object Reach {
     // Session override (spark.graft.reach.driverEdgeLimit) beats the call
     // parameter — same posture as Dedup's guard; how the all-twins gate
     // forces the recursive distributed path suite-wide.
-    val limit = s.conf
+    // Clamped below Int.MaxValue: the probes use limit + 1, and a session
+    // forcing the driver path with limit=Int.MaxValue would otherwise wrap
+    // negative and make Dataset.limit throw.
+    val limit = math.min(s.conf
       .get("spark.graft.reach.driverEdgeLimit", driverEdgeLimit.toString)
-      .toInt
+      .toLong, (Int.MaxValue - 1).toLong).toInt
     // Probe with a COUNT over limit(n+1): the count aggregates on the
     // executors, so deciding "too big" ships one long to the driver — not
     // limit+1 rows — and one row past the limit proves "too big"

@@ -29,9 +29,13 @@ object StreamQueries {
   private val upsertInputs =
     scala.collection.mutable.Map.empty[String, String]
 
-  private def stagedUpsertInput(s: SparkSession, dir: String,
+  private def stagedUpsertInput(dir: String,
                                 events: DataFrame): String = synchronized {
+    // touch on every reuse: a concurrent process's Scratch.cleanStale
+    // sweeps graft_* dirs idle for 1h, and this one is live as long as
+    // reps keep arriving.
     upsertInputs.get(dir).filter(p => new java.io.File(p).isDirectory)
+      .map { p => graft.core.Scratch.touch(p); p }
       .getOrElse {
         val p = graft.core.Scratch.tempDir("q63src")
         (0 until 3).foreach { i =>
@@ -55,7 +59,7 @@ object StreamQueries {
       // fast local root: state commits are many tiny file ops (see
       // Scratch.tempDir scaladoc).
       s.conf.set("spark.sql.streaming.checkpointLocation",
-        graft.core.Scratch.tempDir("q42chk").toString)
+        graft.core.Scratch.checkpointBase)
       val tmp = graft.core.Scratch.tempDir("q42")
       Files.copy(Paths.get(s"$dir/events.parquet"), tmp.resolve("events.parquet"))
       // Streaming needs an explicit schema; infer it from the SOURCE file's
@@ -96,7 +100,7 @@ object StreamQueries {
       val s = outer.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "4")
       s.conf.set("spark.sql.streaming.checkpointLocation",
-        graft.core.Scratch.tempDir("q62chk").toString)
+        graft.core.Scratch.checkpointBase)
       val tmp = graft.core.Scratch.tempDir("q62")
       Files.copy(Paths.get(s"$dir/events.parquet"), tmp.resolve("events.parquet"))
       val srcSchema = graft.core.Tables.fileSchema(s, s"$dir/events.parquet")
@@ -133,7 +137,7 @@ object StreamQueries {
       // fixture staging is setup, not the streaming protocol under test.
       // Target and checkpoint stay fresh per run (a reused checkpoint
       // would make replays no-ops and time nothing).
-      val src = stagedUpsertInput(s, dir, events)
+      val src = stagedUpsertInput(dir, events)
       val stream = s.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
       val q = Streams.upsertSink(stream, tgt.toString,
@@ -155,7 +159,7 @@ object StreamQueries {
       val s = outer.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "8")
       s.conf.set("spark.sql.streaming.checkpointLocation",
-        graft.core.Scratch.tempDir("q77chk").toString)
+        graft.core.Scratch.checkpointBase)
       val tmp = graft.core.Scratch.tempDir("q77")
       Files.copy(Paths.get(s"$dir/events.parquet"), tmp.resolve("events.parquet"))
       // Normalized like q42/q62/q117 even though ts is unused here: the ts
@@ -189,7 +193,7 @@ object StreamQueries {
       val s = outer.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "8")
       s.conf.set("spark.sql.streaming.checkpointLocation",
-        graft.core.Scratch.tempDir("q117chk").toString)
+        graft.core.Scratch.checkpointBase)
       val tmp = graft.core.Scratch.tempDir("q117")
       Files.copy(Paths.get(s"$dir/events.parquet"), tmp.resolve("events.parquet"))
       val events = graft.core.Tables.normalizeEventTs(s.readStream

@@ -64,23 +64,16 @@ object StreamProbe2 {
       val s = outer.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "8")
       val events = graft.core.Tables.load(s, dir, "events")
-      val src =
-        if (reuseSrc) stagedSrc.getOrElseUpdate(root, {
-          val p = scratch(root, "graft_p63src")
-          (0 until 3).foreach { i =>
-            events.filter(col("event_id") % 3 === i)
-              .coalesce(1).write.mode("append").parquet(p.toString)
-          }
-          p.toString
-        })
-        else {
-          val p = scratch(root, "graft_p63src")
-          (0 until 3).foreach { i =>
-            events.filter(col("event_id") % 3 === i)
-              .coalesce(1).write.mode("append").parquet(p.toString)
-          }
-          p.toString
+      def stage(): String = {
+        val p = scratch(root, "graft_p63src")
+        (0 until 3).foreach { i =>
+          events.filter(col("event_id") % 3 === i)
+            .coalesce(1).write.mode("append").parquet(p.toString)
         }
+        p.toString
+      }
+      val src =
+        if (reuseSrc) stagedSrc.getOrElseUpdate(root, stage()) else stage()
       val base = scratch(root, "graft_p63")
       val tgt = base.resolve("tgt")
       t(label) {

@@ -227,9 +227,16 @@ class PlanRegressionSpec extends AnyFunSuite {
       ObjectHashAggregateExec, SortAggregateExec}
     def nodes(p: SparkPlan): Seq[SparkPlan] =
       p +: (p.children ++ p.subqueries).flatMap(nodes)
-    def aggregated(p: SparkPlan): Boolean = nodes(p).exists {
+    // The window's DIRECT input chain (through unary nodes only) must end
+    // at an aggregate — "an aggregate exists somewhere in the subtree"
+    // would also accept a fact-sized window sitting above a join whose
+    // small side happens to be aggregated, which is exactly the cliff
+    // shape this pin exists to refuse.
+    @annotation.tailrec
+    def summarySized(p: SparkPlan): Boolean = p match {
       case _: HashAggregateExec | _: ObjectHashAggregateExec
            | _: SortAggregateExec => true
+      case u if u.children.size == 1 => summarySized(u.children.head)
       case _ => false
     }
     Seq("q72_histogram", "q94_spend_deciles", "q99_percent_rank",
@@ -240,8 +247,8 @@ class PlanRegressionSpec extends AnyFunSuite {
       windows.foreach { w =>
         val ranged = w.partitionSpec.exists(_.references.exists(
           _.name == "_rr_pid"))
-        assert(ranged || aggregated(w.child),
-          s"$q: a WindowExec buffers a non-aggregated child without the " +
+        assert(ranged || summarySized(w.child),
+          s"$q: a WindowExec buffers a non-summary child without the " +
             s"range id in its partitioning — the single-task/few-task " +
             s"window cliff Ranked exists to remove:\n$w")
       }
