@@ -64,11 +64,18 @@ object Pareto {
     * shuffle is reused by the summary arm), a partitioned window, and the
     * same join back — no single-task stage anywhere. */
   def skyline2dRanged(df: DataFrame, xName: String, yName: String,
-                      ranges: Int = 64): DataFrame = {
-    require(ranges > 0, "ranges must be positive")
+                      ranges: Int = 0): DataFrame = {
+    require(ranges >= 0, "ranges must be non-negative (0 = auto)")
+    // 0 = the session's shuffle-partition width, same auto policy (and
+    // rationale) as Ranked.resolveRanges: parallelism that scales with the
+    // deployment instead of a hard-coded constant.
+    val nRanges =
+      if (ranges > 0) ranges
+      else df.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "200").toInt
     val defined = df.where(col(xName).isNotNull && col(yName).isNotNull)
     val perX = defined.groupBy(col(xName)).agg(min(col(yName)).as("_sky_y"))
-      .repartitionByRange(ranges, col(xName))
+      .repartitionByRange(nRanges, col(xName))
       .withColumn("_sky_pid", spark_partition_id())
     // within-range strict-prefix min (parallel: window is partitioned)
     val wIn = Window.partitionBy(col("_sky_pid")).orderBy(col(xName))

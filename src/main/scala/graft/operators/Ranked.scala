@@ -48,6 +48,18 @@ object Ranked {
         "fresh name (the final projection would otherwise be ambiguous)")
   }
 
+  /** Resolve the range count: 0 (the default) means "the session's
+    * shuffle-partition width" — the knob deployments already size to their
+    * cluster, so the decomposition's parallelism (groups × ranges) scales
+    * with the deployment instead of a hard-coded constant. The previous
+    * fixed 64 over-sharded local runs (64 ranges × ~4 groups = 256 window
+    * tasks for a sub-second query: measured at sf0.1, q72's ranked core
+    * ran 0.97s at 64 ranges vs 0.76s at 32 — pure per-task scheduling
+    * overhead) while under-sharding a 1000-executor cluster. */
+  private def resolveRanges(df: DataFrame, ranges: Int): Int =
+    if (ranges > 0) ranges
+    else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+
   /** The decomposition is only correct when the range exchange executes
     * ONCE (see the correctness anchor above): RangePartitioner's sample
     * seed is RDD-instance-derived, so with `spark.sql.exchange.reuse`
@@ -67,11 +79,12 @@ object Ranked {
     * deterministic numbering (same requirement as the plain window). */
   def rowNumberRanged(df: DataFrame, partCols: Seq[String],
                       orderExprs: Seq[Column], rnName: String,
-                      ranges: Int = 64): DataFrame = {
-    require(ranges > 0, "ranges must be positive")
+                      ranges: Int = 0): DataFrame = {
+    require(ranges >= 0, "ranges must be non-negative (0 = auto)")
     guardColumns(df, rnName)
     val parted = pinIfNoReuse(df
-      .repartitionByRange(ranges, (partCols.map(col) ++ orderExprs): _*)
+      .repartitionByRange(resolveRanges(df, ranges),
+        (partCols.map(col) ++ orderExprs): _*)
       .withColumn("_rr_pid", spark_partition_id()))
     val wLocal = Window
       .partitionBy((partCols.map(col) :+ col("_rr_pid")): _*)
@@ -117,11 +130,12 @@ object Ranked {
     * decimals — the engine's integer-arithmetic discipline). */
   def prefixSumRanged(df: DataFrame, partCols: Seq[String],
                       orderExprs: Seq[Column], valueExpr: Column,
-                      outName: String, ranges: Int = 64): DataFrame = {
-    require(ranges > 0, "ranges must be positive")
+                      outName: String, ranges: Int = 0): DataFrame = {
+    require(ranges >= 0, "ranges must be non-negative (0 = auto)")
     guardColumns(df, outName)
     val parted = pinIfNoReuse(df
-      .repartitionByRange(ranges, (partCols.map(col) ++ orderExprs): _*)
+      .repartitionByRange(resolveRanges(df, ranges),
+        (partCols.map(col) ++ orderExprs): _*)
       .withColumn("_rr_pid", spark_partition_id()))
       .withColumn("_rr_v", valueExpr)
     val wLocal = Window
