@@ -22,11 +22,7 @@ object Verify {
     // every guard declines at once (the 100 TB posture, where corpora
     // never fit a driver collect).
     if (sys.env.get("SPARK_GRAFT_FORCE_TWINS").contains("1")) {
-      Seq("spark.graft.dedup.kernelMaxCorpusRows",
-        "spark.graft.dedup.driverEdgeLimit",
-        "spark.graft.reach.driverEdgeLimit",
-        "spark.graft.basket.rescanMaxInputBytes")
-        .foreach(k => spark.conf.set(k, "0"))
+      graft.core.Gates.All.foreach(k => spark.conf.set(k, "0"))
       System.err.println("[verify] FORCE_TWINS: all driver-shortcut " +
         "guards set to 0 — declarative fallbacks are primary")
     }

@@ -73,9 +73,9 @@ object Basket {
     // Session override (spark.graft.basket.rescanMaxInputBytes) beats the
     // built-in threshold — setting it to 0 forces the at-scale
     // materialization path (the all-twins gate's posture).
-    val gate = BigInt(df.sparkSession.conf
-      .get("spark.graft.basket.rescanMaxInputBytes",
-        RescanMaxInputBytes.toString))
+    val gate = BigInt(graft.core.Gates.effectiveLimit(df.sparkSession,
+      graft.core.Gates.BasketRescanMaxInputBytes,
+      RescanMaxInputBytes.toLong))
     val baskets =
       if (inputBytes > gate) baskets0.localCheckpoint()
       else baskets0

@@ -1,0 +1,39 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** The session-conf keys behind every kernel/driver-shortcut guard, in ONE
+  * place referenced by both the operators that read them and the
+  * all-twins Verify mode that zeroes them. The keys were previously
+  * string literals duplicated across files; a rename on either side would
+  * have silently desynchronized them — the operators would keep their
+  * fast paths while `SPARK_GRAFT_FORCE_TWINS=1` set a dead key, and the
+  * "all twins, 134/134" gate would pass vacuously, certifying fallbacks
+  * that never ran. A shared constant makes that drift a compile error.
+  */
+object Gates {
+
+  /** Broadcast pair-kernel corpus-row guard (Dedup q39/q134 family). */
+  val DedupKernelMaxCorpusRows = "spark.graft.dedup.kernelMaxCorpusRows"
+
+  /** Driver union-find edge guard (Dedup.dupClusters). */
+  val DedupDriverEdgeLimit = "spark.graft.dedup.driverEdgeLimit"
+
+  /** Driver BFS edge guard (Reach.shortestHops). */
+  val ReachDriverEdgeLimit = "spark.graft.reach.driverEdgeLimit"
+
+  /** Basket rescan-vs-materialize input-size gate. */
+  val BasketRescanMaxInputBytes = "spark.graft.basket.rescanMaxInputBytes"
+
+  /** Every guard the all-twins mode must force to 0 — extend this list
+    * when a new driver shortcut gains a guard, and the suite gate follows
+    * automatically. */
+  val All: Seq[String] = Seq(DedupKernelMaxCorpusRows, DedupDriverEdgeLimit,
+    ReachDriverEdgeLimit, BasketRescanMaxInputBytes)
+
+  /** Effective guard value: the session conf wins over the call-site
+    * default, so a whole suite can repoint every guard without threading
+    * knobs through callers. */
+  def effectiveLimit(spark: SparkSession, key: String, default: Long): Long =
+    spark.conf.get(key, default.toString).toLong
+}

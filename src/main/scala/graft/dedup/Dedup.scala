@@ -367,9 +367,9 @@ object Dedup {
     // Session override (spark.graft.dedup.driverEdgeLimit) beats the call
     // parameter: lets a whole suite force the distributed path (the
     // all-twins gate) without threading a knob through every caller.
-    val effectiveLimit = pairs.sparkSession.conf
-      .get("spark.graft.dedup.driverEdgeLimit", driverEdgeLimit.toString)
-      .toLong
+    val effectiveLimit = graft.core.Gates.effectiveLimit(
+      pairs.sparkSession, graft.core.Gates.DedupDriverEdgeLimit,
+      driverEdgeLimit)
     if (integral && nEdges <= effectiveLimit) {
       val spark = pairs.sparkSession
       import spark.implicits._
@@ -478,8 +478,8 @@ object Dedup {
   val KernelMaxCorpusRows = 500000
 
   private def kernelMaxCorpusRows(df: DataFrame): Int =
-    df.sparkSession.conf
-      .get("spark.graft.dedup.kernelMaxCorpusRows", KernelMaxCorpusRows.toString)
+    graft.core.Gates.effectiveLimit(df.sparkSession,
+      graft.core.Gates.DedupKernelMaxCorpusRows, KernelMaxCorpusRows.toLong)
       .toInt
 
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,

@@ -50,9 +50,9 @@ object Reach {
     // Clamped below Int.MaxValue: the probes use limit + 1, and a session
     // forcing the driver path with limit=Int.MaxValue would otherwise wrap
     // negative and make Dataset.limit throw.
-    val limit = math.min(s.conf
-      .get("spark.graft.reach.driverEdgeLimit", driverEdgeLimit.toString)
-      .toLong, (Int.MaxValue - 1).toLong).toInt
+    val limit = math.min(graft.core.Gates.effectiveLimit(s,
+      graft.core.Gates.ReachDriverEdgeLimit, driverEdgeLimit.toLong),
+      (Int.MaxValue - 1).toLong).toInt
     // Probe with a COUNT over limit(n+1): the count aggregates on the
     // executors, so deciding "too big" ships one long to the driver — not
     // limit+1 rows — and one row past the limit proves "too big"

@@ -58,9 +58,9 @@ object FallbackProbe {
         ("/tmp/sf1x", "20k", 2),
         ("/tmp/emb30x", "60k", 1))) {
       qs.foreach(time(s"kernel  $vecs vecs", _, dir, reps))
-      spark.conf.set("spark.graft.dedup.kernelMaxCorpusRows", "1000")
+      spark.conf.set(graft.core.Gates.DedupKernelMaxCorpusRows, "1000")
       qs.foreach(time(s"twin    $vecs vecs", _, dir, reps))
-      spark.conf.unset("spark.graft.dedup.kernelMaxCorpusRows")
+      spark.conf.unset(graft.core.Gates.DedupKernelMaxCorpusRows)
     }
     spark.stop()
   }
