@@ -116,7 +116,14 @@ object Graph {
     for (_ <- 1 to iters) {
       val contrib = e.join(broadcast(pr.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node"),
-          expr("(850 * pr * w) div (1000 * outw)").as("c"))
+          // decimal(38,0) products: 850 * pr(ppm) * w overflows LONG for
+          // micro-unit edge weights past ~2.5e10 (silent wrap non-ANSI, a
+          // job abort under ANSI); the decimal product divs exactly and
+          // the quotient is back under the ppm unit. A node whose weights
+          // sum to 0 divs to NULL and its outflow leaks like a dangling
+          // node (documented teleport-mass behavior).
+          expr("(cast(850 as decimal(38,0)) * pr * w)" +
+            " div (cast(1000 as decimal(38,0)) * outw)").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
       // Materialize each iteration's rank vector: broadcast builds execute
       // their input plan, so an unchecked lineage re-runs iteration k's

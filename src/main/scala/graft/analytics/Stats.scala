@@ -132,9 +132,12 @@ object Stats {
                    orderCols: Seq[Column]): DataFrame = {
     import graft.operators.Ranked
     val ranked = Ranked.rowNumberRanged(entities, Nil, orderCols, "_nt_rn")
-    // entity count: one tiny aggregate over the same grouped input (its
-    // exchange is reused), broadcast into every row
-    val n = entities.agg(count(lit(1)).as("_nt_n"))
+    // entity count = max row number OVER THE RANKED ARM: an
+    // entities.agg(count) arm would share no exchange with the ranged
+    // arm (plain partial-count vs RangePartitioning), re-deriving a
+    // possibly-expensive `entities` plan from scratch; the max-rn arm's
+    // subtree contains the ranged arm's exchanges, so AQE reuses them.
+    val n = ranked.agg(max(col("_nt_rn")).as("_nt_n"))
     ranked.crossJoin(broadcast(n))
       .withColumn("bucket",
         Ranked.ntileFromRowNumber(col("_nt_rn"), col("_nt_n"), buckets))

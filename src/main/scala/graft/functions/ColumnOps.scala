@@ -35,7 +35,7 @@ object ColumnOps {
     // "0E-7" (and negative-scale zeros as "0E+7"), which the plain pattern
     // missed — the documented contract is "numeric zero in ANY rendering".
     c.isNull || s === "" || s === "false" ||
-      s.rlike("^-?0+(\\.0+)?(e[+-]?\\d+)?$")
+      s.rlike("^[+-]?0+(\\.0+)?(e[+-]?\\d+)?$")
   }
   def isTruthy(c: Column): Column = !isFalsy(c)
 

@@ -132,10 +132,14 @@ object IsoDuration {
     */
   object AvgDuration extends Aggregator[java.lang.Long, (Long, Long), String] {
     override def zero: (Long, Long) = (0L, 0L)
+    // addExact: ~1.1e8 day-scale durations overflow a long micros sum —
+    // reachable at the design target (the q99/Money lesson) — and a plain
+    // `+` inside an Aggregator wraps SILENTLY even under ANSI. Loud
+    // beats garbage; callers needing bigger sums stage through decimal.
     override def reduce(b: (Long, Long), a: java.lang.Long): (Long, Long) =
-      if (a == null) b else (b._1 + a.longValue(), b._2 + 1)
+      if (a == null) b else (Math.addExact(b._1, a.longValue()), b._2 + 1)
     override def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
-      (a._1 + b._1, a._2 + b._2)
+      (Math.addExact(a._1, b._1), a._2 + b._2)
     override def finish(r: (Long, Long)): String =
       if (r._2 == 0) null
       else format(JBigDecimal.valueOf(r._1)

@@ -51,6 +51,11 @@ object ZOrder {
     * task → per-file min/max on BOTH source columns stay narrow. */
   def clusterByZ(df: DataFrame, x: Column, y: Column, bits: Int,
                  numPartitions: Int): DataFrame = {
+    // A pre-existing __z would be overwritten by the Morton key and then
+    // REMOVED by the trailing drop — the output would silently lose one
+    // of the input's columns.
+    require(!df.columns.contains("__z"),
+      "__z is reserved by clusterByZ; rename the input column")
     val z = interleave2(x, y, bits).as("__z")
     df.withColumn("__z", z)
       .repartitionByRange(numPartitions, col("__z"))

@@ -66,17 +66,17 @@ object Pareto {
   def skyline2dRanged(df: DataFrame, xName: String, yName: String,
                       ranges: Int = 0): DataFrame = {
     require(ranges >= 0, "ranges must be non-negative (0 = auto)")
-    // 0 = the session's shuffle-partition width, same auto policy (and
-    // rationale) as Ranked.resolveRanges: parallelism that scales with the
-    // deployment instead of a hard-coded constant.
-    val nRanges =
-      if (ranges > 0) ranges
-      else df.sparkSession.conf
-        .get("spark.sql.shuffle.partitions", "200").toInt
     val defined = df.where(col(xName).isNotNull && col(yName).isNotNull)
-    val perX = defined.groupBy(col(xName)).agg(min(col(yName)).as("_sky_y"))
-      .repartitionByRange(nRanges, col(xName))
-      .withColumn("_sky_pid", spark_partition_id())
+    // Shared auto-range policy AND the shared reuse-off pin (both from
+    // Ranked): this is the same two-arm range decomposition, with the
+    // same boundary-consistency requirement — without the pin, a session
+    // with spark.sql.exchange.reuse=false would sample DIFFERENT range
+    // boundaries for the carry arm and the main arm and silently emit a
+    // wrong skyline.
+    val perX = Ranked.pinIfNoReuse(
+      defined.groupBy(col(xName)).agg(min(col(yName)).as("_sky_y"))
+        .repartitionByRange(Ranked.resolveRanges(df, ranges), col(xName))
+        .withColumn("_sky_pid", spark_partition_id()))
     // within-range strict-prefix min (parallel: window is partitioned)
     val wIn = Window.partitionBy(col("_sky_pid")).orderBy(col(xName))
       .rowsBetween(Window.unboundedPreceding, -1)

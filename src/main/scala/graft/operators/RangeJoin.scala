@@ -32,6 +32,17 @@ object RangeJoin {
                       intervalCols: Seq[String],
                       bucketMicros: Long = 3600L * 1000000L): DataFrame = {
     require(pointKeys.length == intervalKeys.length, "key arity mismatch")
+    // Same reserved-column posture as AsOfJoin/Ranked: an input that
+    // already carries __bucket would be silently overwritten and the
+    // final projection would emit internal bucket ids under the user's
+    // column — corrupt output with no error.
+    require(!points.columns.contains("__bucket") &&
+        !intervals.columns.contains("__bucket"),
+      "__bucket is reserved by pointInInterval; rename the input column")
+    val dupOut = intervalCols.filter(points.columns.contains)
+    require(dupOut.isEmpty,
+      s"intervalCols ${dupOut.mkString(", ")} collide with point columns; " +
+        "the joined output would carry ambiguous duplicate names")
     // Bucket ids via INTEGER division (`div`), not double `floor(x / b)`:
     // long/long widens to double, and past ~2^53 µs the quotient's
     // rounding error exceeds the bucket spacing, so a boundary point

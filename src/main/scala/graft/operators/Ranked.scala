@@ -56,7 +56,7 @@ object Ranked {
     * tasks for a sub-second query: measured at sf0.1, q72's ranked core
     * ran 0.97s at 64 ranges vs 0.76s at 32 — pure per-task scheduling
     * overhead) while under-sharding a 1000-executor cluster. */
-  private def resolveRanges(df: DataFrame, ranges: Int): Int =
+  private[operators] def resolveRanges(df: DataFrame, ranges: Int): Int =
     if (ranges > 0) ranges
     else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
 
@@ -67,7 +67,7 @@ object Ranked {
     * boundaries and silently mis-number. When a session has reuse off,
     * materialize the ranged layout eagerly (localCheckpoint) so both arms
     * read one pinned computation instead of re-sampling. */
-  private def pinIfNoReuse(parted: DataFrame): DataFrame = {
+  private[operators] def pinIfNoReuse(parted: DataFrame): DataFrame = {
     val reuseOn = parted.sparkSession.conf
       .get("spark.sql.exchange.reuse", "true").toBoolean
     if (reuseOn) parted else parted.localCheckpoint()
@@ -102,7 +102,7 @@ object Ranked {
     val carry = perRange
       .withColumn("_rr_carry", coalesce(sum(col("_rr_cnt")).over(wCarry), lit(0L)))
       .select((partCols.map(col) :+ col("_rr_pid") :+ col("_rr_carry")): _*)
-    joinCarry(withLocal, carry, partCols, df.columns)
+    joinCarry(withLocal, carry, partCols)
       .withColumn(rnName, col("_rr_carry") + col("_rr_local"))
       .select((df.columns.map(col) :+ col(rnName)): _*)
   }
@@ -112,8 +112,7 @@ object Ranked {
     * equi-join (null != null) silently DROPPED null-group rows. The carry
     * side's keys are renamed and matched with `<=>`. */
   private def joinCarry(rows: DataFrame, carry: DataFrame,
-                        partCols: Seq[String],
-                        originalCols: Seq[String]): DataFrame = {
+                        partCols: Seq[String]): DataFrame = {
     val renamed = carry.select(
       (partCols.zipWithIndex.map { case (c, i) => col(c).as(s"_rr_k$i") } :+
         col("_rr_pid").as("_rr_pid2") :+ col("_rr_carry")): _*)
@@ -153,7 +152,7 @@ object Ranked {
     val carry = perRange
       .withColumn("_rr_carry", sum(col("_rr_tot")).over(wCarry))
       .select((partCols.map(col) :+ col("_rr_pid") :+ col("_rr_carry")): _*)
-    joinCarry(withLocal, carry, partCols, df.columns)
+    joinCarry(withLocal, carry, partCols)
       .withColumn(outName,
         col("_rr_local") + coalesce(col("_rr_carry"), lit(0)))
       .select((df.columns.map(col) :+ col(outName)): _*)

@@ -70,7 +70,12 @@ object Reach {
       val adj0 = edges.limit(limit + 1).collect()
       if (adj0.length > limit)
         return shortestHopsRecursive(s, edgesView, source, maxHops)
+      // Drop NULL-keyed edges BEFORE dereferencing: the recursive twin's
+      // join never matches NULL, so filtering here keeps the two paths
+      // semantically identical — without it the driver path NPEd on the
+      // same row the declarative path tolerated.
       val adj = adj0
+        .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
         .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
         .groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
       val dist = scala.collection.mutable.LinkedHashMap(source -> 0)
@@ -107,7 +112,8 @@ object Reach {
         SELECT CAST($source AS BIGINT), 0
         UNION ALL
         SELECT DISTINCT h.dst, w.dist + 1 FROM walk w
-        JOIN $edgesView h ON h.src = w.node WHERE w.dist < $maxHops)
+        JOIN $edgesView h ON h.src = w.node
+        WHERE w.dist < $maxHops AND h.dst IS NOT NULL)
       SELECT CAST(node AS BIGINT) AS node, CAST(MIN(dist) AS INT) AS hops
       FROM walk GROUP BY node""")
 }

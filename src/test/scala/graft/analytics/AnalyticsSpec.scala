@@ -154,6 +154,39 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("skyline2dRanged stays exact with exchange reuse disabled (pinned layout)") {
+    // Same boundary-consistency hazard as Ranked: with reuse off the two
+    // arms would re-sample range boundaries independently; the shared
+    // pinIfNoReuse must keep the skyline exact.
+    val rows = (1 to 300).map(i => (i.toLong, (i % 37).toDouble, i % 11))
+      .toDF("id", "price", "size")
+    val base = Pareto.skyline2d(rows, "price", "size")
+      .select("id").as[Long].collect().sorted.toSeq
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val ranged = Pareto.skyline2dRanged(rows, "price", "size", 8)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(ranged == base)
+    } finally spark.conf.set("spark.sql.exchange.reuse", "true")
+  }
+
+  test("Reach: a NULL-keyed edge is ignored by BOTH paths, not an NPE") {
+    // The recursive twin's join never matches NULL; the driver path must
+    // drop the same rows instead of dereferencing them.
+    Seq((Some(0L), Some(1L)), (Some(1L), None), (None, Some(2L)),
+      (Some(1L), Some(2L)))
+      .toDF("src", "dst").createOrReplaceTempView("reach_null_edges")
+    val bfs = graft.operators.Reach
+      .shortestHops(spark, "reach_null_edges", source = 0L, maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val rec = graft.operators.Reach
+      .shortestHops(spark, "reach_null_edges", source = 0L, maxHops = 3,
+        driverEdgeLimit = 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(bfs == Seq((0L, 0), (1L, 1), (2L, 2)))
+    assert(rec == bfs)
+  }
+
   test("bm25 ranks rarer terms above saturated common ones") {
     val docs = Seq(
       (1L, "rare common common common common"),

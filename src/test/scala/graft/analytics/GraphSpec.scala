@@ -46,6 +46,21 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("pagerank is weight-scale-invariant, incl. micro-unit weights past long range") {
+    // (850·pr·cw) div (1000·c·outw) = (850·pr·w) div (1000·outw) exactly
+    // (integer division is invariant under a common positive factor), so
+    // scaling every weight by 2e10 must reproduce the small-weight ranks
+    // bit-for-bit. Pre-fix, 850·pr·w wrapped long at micro-unit weights
+    // (~2.5e10) and the heavy edges got silently garbage contributions.
+    val small = Seq((1, 2, 5L), (2, 3, 5L), (3, 1, 5L), (1, 3, 1L))
+      .toDF("src", "dst", "w")
+    val big = small.withColumn("w", col("w") * lit(20000000000L))
+    val a = Graph.pagerank(small, 3).as[(Int, Long)].collect().toMap
+    val b = Graph.pagerank(big, 3).as[(Int, Long)].collect().toMap
+    assert(a == b)
+    assert(a.values.forall(_ >= 0L), "wrapped ranks would go negative")
+  }
+
   test("copurchaseLift prunes by support and computes integer lift") {
     // orders: (1: A,B) (2: A,B) (3: A,C) (4: B) — with minItemSupport=2
     // C (n=1) is pruned; pair (A,B) n_ab=2, n_a=3, n_b=3, N=4 →

@@ -56,6 +56,19 @@ class IsoDurationSpec extends SparkSpec {
     assert(rows(df).head.getString(0) == "PT2M20S")
   }
 
+  test("avgDuration sum overflow is LOUD, never a wrapped garbage mean") {
+    // ~1.1e8 day-scale durations exceed a long micros sum — reachable at
+    // the design target; a plain + inside an Aggregator wraps silently
+    // even under ANSI. addExact turns that into an ArithmeticException.
+    val near = Long.MaxValue - 5L
+    intercept[ArithmeticException] {
+      IsoDuration.AvgDuration.reduce((near, 1L), java.lang.Long.valueOf(10L))
+    }
+    intercept[ArithmeticException] {
+      IsoDuration.AvgDuration.merge((near, 1L), (10L, 1L))
+    }
+  }
+
   test("catalyst expressions: parse is null-safe, strict throws") {
     import spark.implicits._
     val df = Seq("PT1M", "junk", null).toDF("iso")
@@ -290,5 +303,11 @@ class TextOpsSpec extends SparkSpec {
     Seq("0E-7", "0e-7", "0E+7", "-0E-10").foreach(v =>
       assert(got(v), s"'$v' must be falsy"))
     Seq("1E-7", "2e3").foreach(v => assert(!got(v), s"'$v' must be truthy"))
+    // plus-signed zeros (a %+d formatter / signed-CSV rendering)
+    val plus = Seq("+0", "+0.0", "+0E-7", "+1")
+      .toDF("v").select(col("v"), ColumnOps.isFalsy(col("v")).as("f"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    Seq("+0", "+0.0", "+0E-7").foreach(v => assert(plus(v), s"'$v' must be falsy"))
+    assert(!plus("+1"))
   }
 }

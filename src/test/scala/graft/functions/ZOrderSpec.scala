@@ -47,6 +47,15 @@ class ZOrderSpec extends SparkSpec {
     assert(zs.toSet.size == 64)
   }
 
+  test("clusterByZ refuses a pre-existing __z column instead of dropping it") {
+    import spark.implicits._
+    val df = Seq((1L, 2L, "user-data")).toDF("x", "y", "__z")
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.clusterByZ(df, col("x"), col("y"), bits = 8, numPartitions = 2)
+    }
+    assert(e.getMessage.contains("__z"))
+  }
+
   test("interleave2Sql renders the same formula as text") {
     val sql = ZOrder.interleave2Sql("a", "b", 2)
     assert(sql.contains("((CAST(a AS BIGINT) >> 0) & 1) << 0"))

@@ -8,6 +8,26 @@ class RangeJoinSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("pointInInterval refuses reserved/ambiguous column collisions") {
+    import spark.implicits._
+    val pts = Seq((1L, ts("2024-01-01 00:30:00"), "x"))
+      .toDF("k", "t", "__bucket")
+    val ivs = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00"), "A"))
+      .toDF("ik", "s", "e", "label")
+    val e1 = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts, ivs, Seq("k"), Seq("ik"),
+        "t", "s", "e", Seq("label"))
+    }
+    assert(e1.getMessage.contains("__bucket"))
+    val pts2 = Seq((1L, ts("2024-01-01 00:30:00"), "mine"))
+      .toDF("k", "t", "label")
+    val e2 = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts2, ivs, Seq("k"), Seq("ik"),
+        "t", "s", "e", Seq("label"))
+    }
+    assert(e2.getMessage.contains("label"))
+  }
+
   test("pointInInterval matches across bucket boundaries, excludes end") {
     import spark.implicits._
     val points = Seq(
