@@ -36,10 +36,25 @@ object Flattener {
     case _ => false
   }
 
-  /** Deterministic child-column naming: plain sub-name unless it collides
-    * with an inherited key or sibling, else `<field>_<sub>`. */
-  private def childName(sub: String, field: String, taken: Set[String]): String =
-    if (taken.contains(sub)) s"${field}_$sub" else sub
+  /** Deterministic child-column naming: plain sub-names unless one
+    * collides with an inherited key, the child's surrogate id, or an
+    * earlier sibling, else `<field>_<sub>` — and LOUD when even the
+    * prefixed name collides (a sibling literally named `<field>_<sub>`),
+    * which previously produced a duplicate column that blew up only at
+    * the caller's next ambiguous reference. */
+  private def assignNames(subs: Seq[String], field: String,
+                          taken0: Set[String]): Seq[String] = {
+    var taken = taken0
+    subs.map { sub =>
+      val n = if (taken.contains(sub)) s"${field}_$sub" else sub
+      require(!taken.contains(n),
+        s"flatten: child column '$n' (from field '$field.$sub') collides " +
+          "with an inherited key or sibling even after prefixing; rename " +
+          "the source field")
+      taken += n
+      n
+    }
+  }
 
   /** Flatten `df` into views named `<root>`, `<root>_<field>`, ... Each view
     * holds: inherited cascade keys, the parent's surrogate id, its own
@@ -52,8 +67,21 @@ object Flattener {
     val views = mutable.LinkedHashMap.empty[String, DataFrame]
     val xpaths = mutable.ArrayBuffer.empty[String]
 
-    // Root: surrogate id + cascade key aliases.
-    val rootKeys = cascadeKeys.map { case (path, alias) => col(path).as(alias) }
+    // Root: surrogate id + cascade key aliases. An alias naming an
+    // EXISTING top-level column is only legal when it IS that column
+    // (the natural `("id", "id")` cascade) — then the column rides along
+    // under col("*") and adding the alias again would create an
+    // ambiguous duplicate; an alias shadowing a DIFFERENT column is
+    // refused loudly.
+    cascadeKeys.foreach { case (path, alias) =>
+      require(path == alias || !df.columns.contains(alias),
+        s"flatten: cascade alias '$alias' (for path '$path') collides " +
+          "with an existing root column; pick a different alias")
+    }
+    val rootKeys = cascadeKeys
+      .filterNot { case (path, alias) =>
+        path == alias && df.columns.contains(alias) }
+      .map { case (path, alias) => col(path).as(alias) }
     val root = df.select((col("*") +: rootKeys) :+
       monotonically_increasing_id().as(s"surrogate_id_$rootName"): _*)
 
@@ -61,18 +89,27 @@ object Flattener {
                 inheritedKeys: Seq[String]): Unit = {
       xpaths += path
       val complex = cur.schema.fields.filter(f => isComplex(f.dataType))
+      // `_`-joined view names are not injective (struct `a` field `b` and
+      // a sibling column literally named `a_b` both map to `<root>_a_b`);
+      // a silent overwrite here LOST the earlier child table while xpaths
+      // still listed both paths.
+      require(!views.contains(name),
+        s"flatten: two distinct paths map to the view name '$name' " +
+          "(`_`-joined names collide); rename one of the source fields")
       // This level's flat view: everything except complex columns.
       views(name) = cur.drop(complex.map(_.name): _*)
 
       complex.foreach { f =>
         val childViewName = s"${name}_${f.name}"
         val keyCols = inheritedKeys.map(col)
-        val sid = monotonically_increasing_id().as(s"surrogate_id_$childViewName")
-        val taken = inheritedKeys.toSet
+        val sidName = s"surrogate_id_$childViewName"
+        val sid = monotonically_increasing_id().as(sidName)
+        val taken = inheritedKeys.toSet + sidName
         val child: DataFrame = f.dataType match {
           case st: StructType =>
-            val subs = st.fields.map(sf =>
-              col(s"${f.name}.${sf.name}").as(childName(sf.name, f.name, taken)))
+            val names = assignNames(st.fields.map(_.name).toSeq, f.name, taken)
+            val subs = st.fields.zip(names).map { case (sf, n) =>
+              col(s"${f.name}.${sf.name}").as(n) }
             cur.select(keyCols ++ subs :+ sid: _*)
           case ArrayType(st: StructType, _) =>
             // The reference's LATERAL VIEW INLINE, expressed as explode to a
@@ -80,16 +117,17 @@ object Flattener {
             // (ExtractGenerator + ColumnPruning), but immune to name clashes
             // between struct fields and inherited keys.
             val exploded = cur.select(keyCols :+ explode(col(f.name)).as("__elem"): _*)
-            val renames = st.fields.map(sf =>
-              col(s"__elem.${sf.name}").as(childName(sf.name, f.name, taken)))
+            val names = assignNames(st.fields.map(_.name).toSeq, f.name, taken)
+            val renames = st.fields.zip(names).map { case (sf, n) =>
+              col(s"__elem.${sf.name}").as(n) }
             exploded.select(keyCols ++ renames :+ sid: _*)
           case ArrayType(_, _) =>
             cur.select(keyCols :+ explode(col(f.name)).as(
-              childName("value", f.name, taken)) :+ sid: _*)
+              assignNames(Seq("value"), f.name, taken).head) :+ sid: _*)
           case _: MapType =>
             cur.select(keyCols ++ Seq(
-              explode(col(f.name)).as(Seq(
-                childName("key", f.name, taken), childName("value", f.name, taken)))) :+ sid: _*)
+              explode(col(f.name)).as(
+                assignNames(Seq("key", "value"), f.name, taken))) :+ sid: _*)
           case other =>
             throw new IllegalStateException(s"Unexpected complex type $other")
         }

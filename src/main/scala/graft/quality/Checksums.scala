@@ -41,10 +41,14 @@ object Checksums {
     * limb sum — two orders of magnitude past the 100 TB design target's
     * largest group. A/B at sf0.1: the decimal-typed sum was half of
     * q103's runtime (0.79s → 0.41s with long sums, identical digits). */
+  // coalesce: sum() over ZERO rows is NULL, making an empty table's
+  // checksum NULL — and NULL = NULL is not true, so two identical empty
+  // tables reconciled as a MISMATCH. The empty checksum is the stable
+  // string "0" instead.
   private def limbSums: Seq[Column] = Seq(
-    sum(shiftright(col("_h48"), 32)).as("_s2"),
-    sum(shiftright(col("_h48"), 16).bitwiseAND(lit(0xffffL))).as("_s1"),
-    sum(col("_h48").bitwiseAND(lit(0xffffL))).as("_s0"))
+    coalesce(sum(shiftright(col("_h48"), 32)), lit(0L)).as("_s2"),
+    coalesce(sum(shiftright(col("_h48"), 16).bitwiseAND(lit(0xffffL))), lit(0L)).as("_s1"),
+    coalesce(sum(col("_h48").bitwiseAND(lit(0xffffL))), lit(0L)).as("_s0"))
 
   private def limbChecksum: Column =
     (col("_s2").cast("decimal(38,0)") * lit(4294967296L) +

@@ -132,8 +132,12 @@ object DataQuality {
         (count(lit(1)) - count_distinct(struct(r.columns.map(col): _*)))
           .as(s"excess_${r.id}")) ++
       notNulls.map(r =>
-        sum(when(r.columns.map(c => ColumnOps.isNullOrBlank(col(c))).reduce(_ || _), 1L)
-          .otherwise(0L)).as(s"nullblank_${r.id}"))
+        // coalesce: sum() over ZERO rows is NULL, and an empty input must
+        // report 0 violations (vacuously true), not a NULL that fails a
+        // `violations == 0` check or NPEs a getLong
+        coalesce(sum(when(r.columns.map(c => ColumnOps.isNullOrBlank(col(c)))
+            .reduce(_ || _), 1L)
+          .otherwise(0L)), lit(0L)).as(s"nullblank_${r.id}"))
     df.agg(aggs.head, aggs.tail: _*)
   }
 
@@ -189,8 +193,8 @@ object DataQuality {
       .replace("<", "&lt;").replace(">", "&gt;").replace("\"", "&quot;")
     def table(title: String, rows: Seq[RuleResult]): String =
       if (rows.isEmpty) ""
-      else s"""<h2>$title</h2><table border="1"><tr><th>rule</th><th>name</th><th>type</th><th>violations</th></tr>""" +
-        rows.map(r => s"<tr><td>${esc(r.ruleId)}</td><td>${esc(r.ruleName)}</td><td>${esc(r.ruleType)}</td><td>${r.violations}</td></tr>").mkString +
+      else s"""<h2>$title</h2><table border="1"><tr><th>rule</th><th>name</th><th>type</th><th>violations</th><th>error</th></tr>""" +
+        rows.map(r => s"<tr><td>${esc(r.ruleId)}</td><td>${esc(r.ruleName)}</td><td>${esc(r.ruleType)}</td><td>${r.violations}</td><td>${esc(r.error.getOrElse(""))}</td></tr>").mkString +
         "</table>"
     val (pass, fail) = report.results.partition(_.passed)
     s"""<html><body><h1>Data quality report: ${esc(report.dqId)} — ${if (report.overallPassed) "PASSED" else "FAILED"}</h1>

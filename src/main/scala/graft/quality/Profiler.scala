@@ -43,14 +43,31 @@ object Profiler {
     * throw — the name now appears only as an escaped string literal. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    // Unorderable types (any MapType, incl. nested): count_distinct and
+    // min/max reject them with an AnalysisException, which killed the
+    // WHOLE single-agg profile — the profiler's entire job is staying
+    // total on first-contact data. Such columns profile as
+    // (n_nonnull, NULL, NULL, NULL) instead of aborting every column.
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
     val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: cols.zipWithIndex.flatMap {
       case (name, i) =>
         val c = col(name)
         val dt = df.schema(name).dataType
-        Seq(count(c).as(s"nn__$i"),
-          count_distinct(c).as(s"nd__$i"),
-          canon(min(c), dt).as(s"mn__$i"),
-          canon(max(c), dt).as(s"mx__$i"))
+        if (hasMap(dt))
+          Seq(count(c).as(s"nn__$i"),
+            first(lit(null).cast("long")).as(s"nd__$i"),
+            first(lit(null).cast("string")).as(s"mn__$i"),
+            first(lit(null).cast("string")).as(s"mx__$i"))
+        else
+          Seq(count(c).as(s"nn__$i"),
+            count_distinct(c).as(s"nd__$i"),
+            canon(min(c), dt).as(s"mn__$i"),
+            canon(max(c), dt).as(s"mx__$i"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     // The stack emits the column INDEX (an int literal — nothing to

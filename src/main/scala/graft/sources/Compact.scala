@@ -28,8 +28,14 @@ object Compact {
     * before/after accounting. Parquet compresses ~2-4× vs in-memory, so
     * `targetBytes` refers to on-disk (listed) size — the conventional
     * 128 MiB default aligns file and HDFS-block/scan-split size. */
-  def compactParquet(spark: SparkSession, dir: String,
+  def compactParquet(spark: SparkSession, dir0: String,
                      targetBytes: Long = 128L * 1024 * 1024): CompactStats = {
+    // Normalize a trailing slash FIRST: with "foo/", tmp/old would become
+    // "foo/.__compact_tmp" — children of the source itself — and the
+    // move-aside rename of foo into its own child fails after the whole
+    // rewrite was already paid, leaving the hidden tmp dir inside the
+    // table.
+    val dir = dir0.replaceAll("/+$", "")
     val before = FsOps.list(spark, dir).filter { case (n, d, _) =>
       !d && n.endsWith(".parquet") }
     require(before.nonEmpty, s"no parquet files under $dir")

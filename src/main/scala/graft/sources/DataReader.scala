@@ -70,11 +70,20 @@ object DataReader {
       case FileType.Orc =>
         withSchema(spark.read.options(options)).orc(location)
       case FileType.Text =>
+        require(schema.isEmpty,
+          "the text reader emits a fixed single `line` column and does " +
+            "not honor a supplied schema; drop the schema argument")
         // single `line` column, as the reference names it (HdfsImport.py:36-37)
         spark.read.options(options).text(location).toDF("line")
       case FileType.Table =>
+        require(schema.isEmpty,
+          "a catalog table's schema comes from the catalog; a supplied " +
+            "schema would be silently ignored — drop the schema argument")
         spark.read.table(location)
       case FileType.Binary =>
+        require(schema.isEmpty,
+          "the binaryFile source has a fixed schema (path, modificationTime, " +
+            "length, content) and does not honor a supplied one")
         spark.read.options(options).format("binaryFile").load(location)
     }
   }

@@ -140,8 +140,13 @@ object Cdc {
     val cond = pks.map(c => col(c) === col(s"o_$c")).reduce(_ && _)
     val classified = newDf.join(o, cond, "full_outer")
       .withColumn("change_type",
-        when(col(s"o_${pks.head}").isNull, "I")
-          .when(col(pks.head).isNull, "D")
+        // Presence is tested on the HASHCODE columns, which are non-null
+        // by construction on every real row — testing the PK head
+        // misclassified an old-side row whose leading key value is
+        // legitimately NULL as an insert (and vice versa), re-inserting
+        // deleted rows downstream.
+        when(col("old_hashcode").isNull, "I")
+          .when(col("hashcode").isNull, "D")
           .when(col("hashcode") =!= col("old_hashcode"), "U")
           .otherwise("N"))
     pks.foldLeft(classified) { (df, c) =>

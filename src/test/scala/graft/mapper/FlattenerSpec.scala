@@ -73,6 +73,57 @@ class FlattenerSpec extends SparkSpec {
       Seq((1L, "acme"), (1L, "beta")))
   }
 
+  test("flatten refuses colliding view names instead of silently losing a table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // struct `a` holding STRUCT field `b` yields view root_a_b, and the
+    // sibling struct literally named `a_b` yields root_a_b too; the old
+    // LinkedHashMap overwrite silently dropped one child table.
+    val df = Seq((1L, 2L, 3L)).toDF("x", "y", "z")
+      .select(col("x"),
+        struct(struct(col("y").as("yy")).as("b")).as("a"),
+        struct(col("z").as("c")).as("a_b"))
+    val e = intercept[IllegalArgumentException] {
+      Flattener.flatten(df, "root")
+    }
+    assert(e.getMessage.contains("root_a_b"))
+  }
+
+  test("flatten: the natural same-name cascade rides along; shadowing is refused") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "x")).toDF("id", "v")
+      .select(col("id"), col("v"), struct(col("v").as("w")).as("s"))
+    // ("id","id"): alias == existing column == path — legal, no duplicate
+    val res = Flattener.flatten(df, "root", Seq(("id", "id")))
+    val child = res.views("root_s")
+    assert(child.columns.count(_ == "id") == 1)
+    assert(child.select("id").collect().head.getLong(0) == 1L)
+    // alias shadowing a DIFFERENT column is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      Flattener.flatten(df, "root", Seq(("s.w", "v")))
+    }
+    assert(e.getMessage.contains("cascade alias"))
+  }
+
+  test("flatten refuses a post-prefix sibling collision loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the literal sibling `s_x` claims its name first; the inherited key
+    // `x` then forces struct field `x` to prefix to `s_x` — a collision
+    // that was previously a silent duplicate column exploding later as
+    // AMBIGUOUS_REFERENCE. (In the other field order the resolver
+    // double-prefixes the literal to `s_s_x` and proceeds — only a true
+    // dead end is refused.)
+    val df = Seq((1L, 2L, 3L)).toDF("x", "a", "b")
+      .select(struct(col("b").as("s_x"), col("a").as("x")).as("s"))
+      .withColumn("x", lit(9L))
+    val e = intercept[IllegalArgumentException] {
+      Flattener.flatten(df, "root", Seq(("x", "x")))
+    }
+    assert(e.getMessage.contains("collides"))
+  }
+
   test("withZipIndexKey prepends dense deterministic keys") {
     val df = graft.core.Tables.load(spark, sf, "region")
     val keyed = Flattener.withZipIndexKey(df, "sk", offset = 100)

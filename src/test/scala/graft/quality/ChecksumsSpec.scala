@@ -31,6 +31,16 @@ class ChecksumsSpec extends SparkSpec {
     assert(sum(dropDup)._2 != sum(base)._2)
   }
 
+  test("an empty table checksums to the stable string \"0\", never NULL") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "v")
+    val r = Checksums.table(empty, Seq("id", "v")).collect().head
+    assert(r.getAs[Long]("n_rows") == 0L)
+    // NULL here made two identical EMPTY tables reconcile as a mismatch
+    // (NULL = NULL is not true)
+    assert(r.getAs[String]("checksum") == "0")
+  }
+
   test("Md5Prefix48 kernel == portable conv/substring/md5 formulation") {
     import org.apache.spark.sql.functions._
     // Unicode (multi-byte UTF-8), empty, whitespace, long strings, and a

@@ -36,6 +36,22 @@ class ProfilerSpec extends SparkSpec {
     assert(got.getAs[String]("max_val") == "9.999999999999999E22")
   }
 
+  test("profile stays total on unorderable (map) columns") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // count_distinct/min/max reject MapType; the profiler must profile
+    // what it can (n_nonnull) and NULL the rest — not abort every column.
+    val df = Seq((1L, Map("a" -> 1)), (2L, Map("b" -> 2)))
+      .toDF("id", "m")
+    val got = Profiler.profile(df, Seq("id", "m")).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(got("id").getAs[Long]("n_distinct") == 2L)
+    val m = got("m")
+    assert(m.getAs[Long]("n_nonnull") == 2L)
+    assert(m.isNullAt(m.fieldIndex("n_distinct")) &&
+      m.isNullAt(m.fieldIndex("min_val")) && m.isNullAt(m.fieldIndex("max_val")))
+  }
+
   test("profile is a single-scan plan (no per-column unions)") {
     import spark.implicits._
     val df = Seq((1L, "x"), (2L, "y")).toDF("a", "b")

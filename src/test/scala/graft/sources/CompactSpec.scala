@@ -29,6 +29,20 @@ class CompactSpec extends SparkSpec {
     assert(!parent.exists(_.contains("__compact")))
   }
 
+  test("compactParquet tolerates a trailing slash on the directory") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_slash")
+    val dir = s"$base/t"
+    (1 to 4).foreach(i => Seq((i.toLong, s"v$i")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(dir))
+    // with "t/", tmp/old used to become CHILDREN of the table and the
+    // move-aside rename failed after the full rewrite was already paid
+    val stats = Compact.compactParquet(spark, dir + "/",
+      targetBytes = Long.MaxValue)
+    assert(stats.filesAfter < stats.filesBefore)
+    assert(spark.read.parquet(dir).count() == 4L)
+  }
+
   test("leafPartitions finds each partition dir of a partitioned table") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_compact_part").resolve("t").toString

@@ -80,6 +80,33 @@ class CdcSpec extends SparkSpec {
     assert(got.toMap == Map(Some(4L) -> "I", Some(3L) -> "U",
       Some(2L) -> "N", Some(1L) -> "D"))
   }
+
+  test("mergeClassify: a legitimately-NULL leading key is not misread as presence") {
+    import spark.implicits._
+    // Presence must be decided on the never-null hashcode columns: an
+    // old-side-only row whose pk.head VALUE is NULL used to classify as
+    // 'I' (insert) instead of 'D' (delete), re-inserting deleted rows in
+    // any change_type-splitting writer. NULL keys never join (SQL
+    // equality), so each side's NULL-key row is unmatched by design.
+    val old = Cdc.snapshot(Cdc.addContentHash(
+      Seq((Option.empty[Long], "gone", 1L), (Some(7L), "keep", 1L))
+        .toDF("id", "v", "ts"), Seq("id", "v")), Seq("id"), Seq("ts"))
+    val nw = Cdc.snapshot(Cdc.addContentHash(
+      Seq((Some(7L), "keep", 2L), (Option.empty[Long], "fresh", 2L))
+        .toDF("id", "v", "ts"), Seq("id", "v")), Seq("id"), Seq("ts"))
+    val got = rows(Cdc.mergeClassify(old, nw, Seq("id")))
+      .map(r => (Option(r.getAs[Any]("v")), r.getAs[String]("change_type")))
+    // The D row's non-key columns are null BY CONTRACT (there is no new
+    // row), so it appears as (None, "D") — what matters is that the
+    // old-side NULL-key row classifies as a delete at all (pre-fix it
+    // read as an insert) and the new-side one as an insert.
+    assert(got.count(_._2 == "D") == 1,
+      "old NULL-key row must classify as D, not I")
+    assert(got.contains((Some("fresh"), "I")),
+      "new NULL-key row must classify as I")
+    assert(got.contains((Some("keep"), "N")))
+    assert(got.size == 3)
+  }
 }
 
 class DataQualitySpec extends SparkSpec {
