@@ -33,13 +33,23 @@ object Observed {
       qe.observedMetrics.foreach { case (k, v) => metrics.put(k, v) }
     override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
     def latest(name: String): Option[Row] = Option(metrics.get(name))
-    /** Poll until the named observation lands (listener delivery is async). */
+    /** Poll until the named observation lands (listener delivery is
+      * async), then CONSUME it: awaiting removes the entry, so a loop
+      * that reuses one observation name gets each action's OWN row —
+      * a presence-only check returned run k's stale metrics while run
+      * k+1's callback was still in flight. (Await each action before
+      * triggering the next; an un-awaited earlier action's row is
+      * indistinguishable by design — observations carry no run id.) */
     def await(name: String, timeoutMs: Long = 10000): Row = {
       val deadline = System.currentTimeMillis() + timeoutMs
-      while (latest(name).isEmpty && System.currentTimeMillis() < deadline)
+      var row = metrics.remove(name)
+      while (row == null && System.currentTimeMillis() < deadline) {
         Thread.sleep(20)
-      latest(name).getOrElse(
-        throw new IllegalStateException(s"observation '$name' never arrived"))
+        row = metrics.remove(name)
+      }
+      if (row == null)
+        throw new IllegalStateException(s"observation '$name' never arrived")
+      row
     }
   }
 

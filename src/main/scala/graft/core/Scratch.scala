@@ -57,11 +57,25 @@ object Scratch {
     val cutoff = System.currentTimeMillis() - maxAgeMs
     val roots = Seq(new File(System.getProperty("java.io.tmpdir")),
       new File("/dev/shm")).filter(_.isDirectory).distinct
+    // Staleness is the NEWEST mtime anywhere in the tree, not the top
+    // dir's: a live checkpoint tree keeps writing state files nested
+    // inside existing query subdirs, which never touches the root's
+    // mtime — a top-level-only check deleted a >1h-old LIVE process's
+    // checkpoint base out from under it. Scratch trees are small, so the
+    // walk is cheap.
     val stale = roots.flatMap(r => Option(r.listFiles()).getOrElse(Array.empty))
       .filter(f => f.isDirectory && f.getName.startsWith("graft") &&
-        f.lastModified() < cutoff)
+        newestMtime(f) < cutoff)
     stale.foreach(deleteRecursively)
     stale.length
+  }
+
+  private def newestMtime(f: File): Long = {
+    val own = f.lastModified()
+    if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
+      (own +: Option(f.listFiles()).getOrElse(Array.empty)
+        .map(newestMtime).toSeq).max
+    else own
   }
 
   private def deleteRecursively(f: File): Unit = {

@@ -86,6 +86,10 @@ object Model {
       case ch => sb.append(ch)
     }
     out += sb.toString
+    require(!inQ,
+      s"unbalanced quote in argument list '$args' — a missing closing " +
+        "quote would swallow every later ';' separator into one token " +
+        "and silently mis-filter")
     out.toSeq
   }
 
@@ -97,6 +101,7 @@ object Model {
   def parsePredicate(c: Column, spec: String): Column = spec match {
     case PredRe(op, args) =>
       val vals = splitArgs(args).map(lex)
+      require(vals.nonEmpty, s"predicate '$spec' has no arguments")
       op.toLowerCase match {
         case "eq" => c === lit(vals.head)
         case "ne" => c =!= lit(vals.head)
@@ -107,7 +112,10 @@ object Model {
         case "in" => c.isin(vals: _*)
         case "notin" => !c.isin(vals: _*)
         case "like" => c.like(vals.head.toString)
-        case "between" => c.between(lit(vals.head), lit(vals(1)))
+        case "between" =>
+          require(vals.length == 2,
+            s"between() needs exactly 2 arguments, got ${vals.length} in '$spec'")
+          c.between(lit(vals.head), lit(vals(1)))
       }
     case other =>
       throw new IllegalArgumentException(s"Unparseable predicate: '$other'")
@@ -163,17 +171,41 @@ object Model {
     * `purchase.productid` references `product.id`, joined LEFT. */
   def loadDataModel(spark: SparkSession, path: String): Map[String, TableNode] = {
     val rows = spark.read.option("header", "true").csv(path).collect().toSeq
-    val pks: Map[String, Seq[String]] = rows.map { r =>
-      r.getAs[String]("table").trim ->
-        Option(r.getAs[String]("pk")).map(_.trim.split("\\|").toSeq).getOrElse(Nil)
-    }.toMap
+    // One pk per table, declared once: toMap's later-wins let a duplicate
+    // table row with a BLANK pk silently erase the declared key for every
+    // edge of that parent (the join synthesis then built an empty
+    // condition). Blank rows defer to a declared pk; two DIFFERENT
+    // declared pks are a metadata bug, reported with the table name.
+    val pks: Map[String, Seq[String]] = rows
+      .map { r =>
+        r.getAs[String]("table").trim ->
+          Option(r.getAs[String]("pk")).map(_.trim).filter(_.nonEmpty)
+            .map(_.split("\\|").toSeq).getOrElse(Nil)
+      }
+      .groupBy(_._1)
+      .map { case (t, declared) =>
+        val distinct = declared.map(_._2).filter(_.nonEmpty).distinct
+        require(distinct.size <= 1,
+          s"datamodel: table '$t' declares conflicting primary keys " +
+            s"${distinct.map(_.mkString("|")).mkString(" vs ")}")
+        t -> distinct.headOption.getOrElse(Nil)
+      }
     val edges: Seq[(String, String, FkEdge)] = rows.flatMap { r =>
       val parent = r.getAs[String]("table").trim
       for {
         child <- opt(r.getAs[String]("fk_table"))
         fkCols <- opt(r.getAs[String]("fk_col")).map(_.split(";").map(_.trim).toSeq)
-      } yield (child, parent, FkEdge(fkCols, pks(parent),
-        opt(r.getAs[String]("fk_table_jointype")).getOrElse("LEFT").toLowerCase))
+      } yield {
+        // zip would silently DROP the unmatched key columns of a
+        // composite-key mismatch, under-constraining the join (fan-out
+        // duplicates with no error) — refuse at load with the row.
+        require(fkCols.length == pks(parent).length && pks(parent).nonEmpty,
+          s"datamodel: fk '$child'(${fkCols.mkString(";")}) references " +
+            s"'$parent' pk (${pks(parent).mkString("|")}) with mismatched " +
+            "column count — the join condition would be silently truncated")
+        (child, parent, FkEdge(fkCols, pks(parent),
+          opt(r.getAs[String]("fk_table_jointype")).getOrElse("LEFT").toLowerCase))
+      }
     }
     // Nodes for EVERY table the csv mentions — including tables that only
     // appear as fk_table (a pure fact table with no standalone pk row).

@@ -32,8 +32,13 @@ object Planner {
     "isnullorempty" -> ((c, _) => ColumnOps.nullIfBlank(c)),
     "datetimetogmt" -> ((c, args) =>
       ColumnOps.datetimeToGmt(c, args.headOption.getOrElse("yyyy-MM-dd HH:mm:ss"))),
-    "zonedatetimetogmt" -> ((c, args) =>
-      ColumnOps.datetimeToGmt(c, args.head, args(1))),
+    "zonedatetimetogmt" -> ((c, args) => {
+      require(args.length >= 2,
+        s"zonedatetimetogmt needs (format, zone) arguments, got " +
+          s"${args.length} (${args.mkString(";")}) — check udfarguments " +
+          "in meta.csv")
+      ColumnOps.datetimeToGmt(c, args.head, args(1))
+    }),
     "squared" -> ((c, _) => pow(c, 2)),
     "upper" -> ((c, _) => upper(c)),
     "lower" -> ((c, _) => lower(c)),
@@ -186,6 +191,14 @@ object Planner {
                    modelCsv: String): Map[String, DataFrame] = {
     val catalog = Catalog(loadMeta(spark, metaCsv), loadDataModel(spark, modelCsv))
     val sources = catalog.meta.groupBy(_.srcTable).map { case (t, rows) =>
+      // Every row of a source table must agree on WHERE it comes from:
+      // binding rows.head silently read target B's data from target A's
+      // declared path/filetype when the metadata conflicted.
+      val bindings = rows.map(m => (m.srcFilePath, m.srcFiletype)).distinct
+      require(bindings.size == 1,
+        s"meta.csv: src_table '$t' is declared with conflicting " +
+          s"source bindings ${bindings.mkString(" vs ")} — one path and " +
+          "filetype per source table")
       t -> bindSource(spark, rows.head)
     }
     catalog.targetTables.map(t => t -> transform(sources, catalog, t)).toMap

@@ -136,7 +136,12 @@ object Multimodal {
     import records.sparkSession.implicits._
     records.mapPartitions(_.map { r =>
       val bytes = payload(r)
-      AudioFrames(r.media_id, 16000, (bytes.length + stride - 1) / stride,
+      // ceil-div in LONG: bytes.length + stride - 1 wraps negative for
+      // payloads within stride-1 bytes of Int.MaxValue (a ~2.1 GB binary
+      // is a legal JVM array), making nFrames negative while the offsets
+      // array is correct.
+      AudioFrames(r.media_id, 16000,
+        ((bytes.length.toLong + stride - 1) / stride).toInt,
         Decoders.sampleFrames(bytes, stride))
     })
   }

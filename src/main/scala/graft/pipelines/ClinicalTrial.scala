@@ -70,8 +70,13 @@ object ClinicalTrial {
     // as empty, making every run re-ingest the full landing area as "new"
     // and append duplicates. Spark's own readers use the same convention:
     // files starting with "_" or "." are metadata, everything else is data.
+    // The filter must test the BASE name: FsOps.list returns full URIs
+    // ("file:/tmp/stg/_SUCCESS"), on which startsWith("_") never matched
+    // and the metadata-file convention silently degenerated to "any
+    // nonempty file counts as data".
     val hasData = FsOps.list(spark, p.stagingDir)
-      .exists { case (name, isDir, size) =>
+      .exists { case (path, isDir, size) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
         !isDir && size > 0 &&
           !name.startsWith("_") && !name.startsWith(".") }
     if (!hasData)
@@ -91,7 +96,7 @@ object ClinicalTrial {
     val delta =
       if (old.isEmpty) parsed
       else {
-        val oldSnap = Cdc.snapshot(old, p.pks, Seq("ingest_run"))
+        val oldSnap = Cdc.snapshot(old, p.pks, Seq("ingest_run", "xml_file_name"))
         Cdc.identifyNewRecords(oldSnap, parsed, p.pks)
       }
     delta.write.mode(SaveMode.Append).json(p.stagingDir)
@@ -100,7 +105,14 @@ object ClinicalTrial {
 
   /** Latest-per-key snapshot of the full staging area (reference W1). */
   def snapshot(spark: SparkSession, p: Params, like: DataFrame): DataFrame =
-    Cdc.snapshot(readStaging(spark, p, like), p.pks, Seq("ingest_run"))
+    // Tiebreak WITHIN a run by the (unique) archive!member name: two
+    // versions of the same PK ingested in one run share ingest_run, and
+    // ordering by the run sequence alone left the survivor to shuffle
+    // order — exactly the nondeterminism the sequence was introduced to
+    // remove. The member-name order is arbitrary but STABLE, which is
+    // the contract.
+    Cdc.snapshot(readStaging(spark, p, like), p.pks,
+      Seq("ingest_run", "xml_file_name"))
 
   /** Flatten the snapshot and register every generated view (plus the root
     * snapshot as `xmltable`, the reference's view name,

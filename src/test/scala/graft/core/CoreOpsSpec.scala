@@ -63,6 +63,24 @@ class ObservedSpec extends SparkSpec {
       assert(m.getAs[Long]("big") > 0 && m.getAs[Long]("big") < total)
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("await consumes its observation: a reused name yields each run's OWN row") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val listener = Observed.attach(spark)
+    try {
+      def run(n: Int): Long = {
+        val df = Observed.withMetrics(
+          spark.range(n).toDF("id"), "loop_obs", count(lit(1)).as("rows"))
+        df.count()
+        listener.await("loop_obs").getAs[Long]("rows")
+      }
+      // a presence-only await returned run 1's stale row for run 2
+      assert(run(3) == 3L)
+      assert(run(7) == 7L)
+      assert(listener.latest("loop_obs").isEmpty, "await must consume")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
 
 class JobContextSpec extends SparkSpec {
@@ -91,5 +109,35 @@ class JobContextSpec extends SparkSpec {
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("never_registered")))
+  }
+}
+
+class ScratchSpec extends graft.SparkSpec {
+
+  test("cleanStale spares a tree with RECENT nested writes, reclaims truly idle ones") {
+    import java.io.File
+    val old = System.currentTimeMillis() - 3 * 60 * 60 * 1000
+    // live: top dir old, but a nested state file written recently — the
+    // streaming-checkpoint shape whose base mtime never refreshes
+    val live = graft.core.Scratch.tempDir("spec_live").toFile
+    val nested = new File(live, "q1/state"); nested.mkdirs()
+    val fresh = new File(nested, "1.delta")
+    java.nio.file.Files.writeString(fresh.toPath, "x")
+    live.setLastModified(old); new File(live, "q1").setLastModified(old)
+    nested.setLastModified(old) // only the FILE is fresh
+    // idle: everything old
+    val idle = graft.core.Scratch.tempDir("spec_idle").toFile
+    val idleF = new File(idle, "f"); java.nio.file.Files.writeString(idleF.toPath, "y")
+    idleF.setLastModified(old); idle.setLastModified(old)
+    graft.core.Scratch.cleanStale()
+    assert(live.isDirectory && fresh.isFile,
+      "a tree with recent nested activity must survive")
+    assert(!idle.exists, "a truly idle tree must be reclaimed")
+    // targeted cleanup of THIS test's fixture only — cleanStale(0) would
+    // reclaim the live process's own checkpoint base and staged fixtures
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+    }
+    rm(live)
   }
 }

@@ -124,6 +124,69 @@ class MetaPlannerSpec extends SparkSpec {
     assert(invoice.head.getAs[String]("product_name") == "Apple")
   }
 
+  test("datamodel metadata bugs are refused loudly, never silently truncated") {
+    def write(body: String): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft-meta-bad").toString
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$d/datamodel.csv"),
+        "table,pk,fk_table,fk_col,fk_table_jointype\n" + body)
+      s"$d/datamodel.csv"
+    }
+    // composite pk vs single fk col: zip would DROP the unmatched key and
+    // under-constrain the join (silent fan-out duplicates)
+    val e1 = intercept[IllegalArgumentException] {
+      Model.loadDataModel(spark,
+        write("orders,o_orderkey|o_custkey,lineitem,l_orderkey,LEFT\n"))
+    }
+    assert(e1.getMessage.contains("mismatched"))
+    // a duplicate table row with a BLANK pk must not erase the declared
+    // key (toMap later-wins did); the blank row defers
+    val ok = Model.loadDataModel(spark,
+      write("product,id,purchase,productid,LEFT\nproduct,,returns,productid,LEFT\n"))
+    assert(ok("purchase").parents("product").parentPk == Seq("id"))
+    assert(ok("returns").parents("product").parentPk == Seq("id"))
+    // two DIFFERENT declared pks are a metadata bug, named by table
+    val e2 = intercept[IllegalArgumentException] {
+      Model.loadDataModel(spark,
+        write("product,id,purchase,productid,LEFT\nproduct,code,returns,productid,LEFT\n"))
+    }
+    assert(e2.getMessage.contains("conflicting"))
+  }
+
+  test("predicate parser refuses unbalanced quotes and wrong arity loudly") {
+    import spark.implicits._
+    val c = col("v")
+    // missing closing quote swallowed every later ';' into one token and
+    // the IN matched nothing — silent row loss
+    val e1 = intercept[IllegalArgumentException] {
+      Model.parsePredicate(c, "in('a;'b')")
+    }
+    assert(e1.getMessage.contains("unbalanced"))
+    val e2 = intercept[IllegalArgumentException] {
+      Model.parsePredicate(c, "between(5)")
+    }
+    assert(e2.getMessage.contains("2 arguments"))
+  }
+
+  test("conflicting source bindings for one src_table are refused") {
+    // same src_table declared with two different paths: binding rows.head
+    // silently read target B's data from target A's path
+    val d = java.nio.file.Files.createTempDirectory("graft-meta-conflict").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$d/meta.csv"),
+      """src_table,src_filetype,src_file_path,src_col,src_col_datatype,target_table,target_col
+        |sales,csv,/data/2024,qty,int,t1,qty
+        |sales,csv,/data/2025,qty,int,t2,qty
+        |""".stripMargin)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$d/datamodel.csv"),
+      "table,pk,fk_table,fk_col,fk_table_jointype\n")
+    val e = intercept[IllegalArgumentException] {
+      Planner.transformAll(spark, s"$d/meta.csv", s"$d/datamodel.csv")
+    }
+    assert(e.getMessage.contains("conflicting"))
+  }
+
   test("an unmapped model ancestor neither crashes the fold nor demands its fk column") {
     // category is a declared parent of product, but no target maps it and
     // product.csv carries no categoryid column. Pre-fix, joinAll folded
