@@ -347,7 +347,13 @@ object Dedup {
     // Checkpoint the DIRECTED pairs first, then mirror: a union of two
     // selects over the raw `pairs` plan would execute the (expensive)
     // pair-generation twice to materialize it.
+    // NULL ids cannot cluster: the distributed propagation's equi-joins
+    // never match them, while the driver path's typed collect CRASHED on
+    // them (non-nullable encoder field) — same input, path-dependent
+    // crash. Dropping NULL-keyed edges up front gives both paths one
+    // semantic.
     val p0 = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint()
     val edges0 = p0.unionByName(
       p0.select(col("dst").as("src"), col("src").as("dst")))
@@ -478,9 +484,14 @@ object Dedup {
   val KernelMaxCorpusRows = 500000
 
   private def kernelMaxCorpusRows(df: DataFrame): Int =
-    graft.core.Gates.effectiveLimit(df.sparkSession,
-      graft.core.Gates.DedupKernelMaxCorpusRows, KernelMaxCorpusRows.toLong)
-      .toInt
+    // clamped below Int.MaxValue: the probes use limit(max + 1), and a
+    // session RAISING the guard to Int.MaxValue (the scaladoc's "size it
+    // to the driver heap" advice) would otherwise wrap negative and make
+    // Dataset.limit throw — a guard meant to be raised must not crash
+    // when raised
+    math.min(graft.core.Gates.effectiveLimit(df.sparkSession,
+        graft.core.Gates.DedupKernelMaxCorpusRows, KernelMaxCorpusRows.toLong),
+      (Int.MaxValue - 1).toLong).toInt
 
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double): DataFrame = {
@@ -952,6 +963,15 @@ object Dedup {
     * (bit test via `h mod 2e >= e`, which both engines evaluate identically —
     * no shift builtins needed inside lambdas). Near-dup pairs are then
     * `bit_count(xor) <= d` within LSH-style bucket joins on simhash bytes.
+    *
+    * EDGE: token-less text (empty/whitespace-only) — and NULL text, which
+    * flows through the size() comparisons as 0 votes per bit — yields
+    * signature 0, NOT NULL. Do not band this column directly on a dirty
+    * corpus: every such document would pair as a hamming-0 "duplicate" of
+    * the others (the mega-bucket failure mode). [[simhashSignatures]] is
+    * the banding-safe form — it drops token-less docs (NULL signature)
+    * before any bucket join; this HOF form exists as the oracle's
+    * restatement and keeps its exact totality.
     */
   def simhash31(text: Column): Column = {
     // Token hashes bound once (single-element-array trick) — referencing the
@@ -999,25 +1019,34 @@ object Dedup {
     * C(g,2) self-pairs are exactly the junk output a boilerplate template
     * generates), with the dropped-group count logged — same explicit
     * recall trade as [[minhashCandidatePairs]]'s bucket cap. */
+  /** Identical-signature mega-group cap shared by the simhash pair and
+    * component formulations — ONE implementation so the logged-drop
+    * discipline cannot drift between them (the two inline copies' warn
+    * texts already had). Input must already be materialized (both
+    * callers localCheckpoint the signature table). */
+  private def capSigGroups(sigs0: DataFrame, maxBucketSize: Int,
+                           what: String, consequence: String): DataFrame =
+    if (maxBucketSize == Int.MaxValue) sigs0
+    else {
+      val sizes = sigs0.groupBy(col("simhash")).agg(count(lit(1)).as("g"))
+      val dropped = sizes.filter(col("g") > maxBucketSize).count()
+      if (dropped > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"$what: dropped $dropped identical-signature group(s) " +
+            s"larger than $maxBucketSize docs (boilerplate skew guard; " +
+            s"$consequence)")
+      sigs0.join(sizes.filter(col("g") <= maxBucketSize)
+        .select(col("simhash")), "simhash")
+    }
+
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int,
                           maxBucketSize: Int = Int.MaxValue): DataFrame = {
     // signatures are referenced by both stages and the distinct —
     // materialize once (the explode+31-agg derivation is the dominant cost)
     val sigs0 = simhashSignatures(df, idCol, textCol).localCheckpoint(true)
-    val sigs =
-      if (maxBucketSize == Int.MaxValue) sigs0
-      else {
-        val sizes = sigs0.groupBy(col("simhash")).agg(count(lit(1)).as("g"))
-        val dropped = sizes.filter(col("g") > maxBucketSize).count()
-        if (dropped > 0)
-          org.slf4j.LoggerFactory.getLogger(getClass)
-            .warn(s"simhashNearDupPairs: dropped $dropped identical-signature " +
-              s"group(s) larger than $maxBucketSize docs (boilerplate skew " +
-              "guard; pairs involving a dropped group are not generated)")
-        sigs0.join(sizes.filter(col("g") <= maxBucketSize)
-          .select(col("simhash")), "simhash")
-      }
+    val sigs = capSigGroups(sigs0, maxBucketSize, "simhashNearDupPairs",
+      "pairs involving a dropped group are not generated")
     val within = sigs.as("a")
       .join(sigs.as("b"),
         col("a.simhash") === col("b.simhash") && col("a.id") < col("b.id"))
@@ -1083,24 +1112,8 @@ object Dedup {
                         maxHamming: Int,
                         maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val sigs0 = simhashSignatures(df, idCol, textCol).localCheckpoint(true)
-    val sigs =
-      if (maxBucketSize == Int.MaxValue) sigs0
-      else {
-        val sizes = sigs0.groupBy(col("simhash")).agg(count(lit(1)).as("g"))
-        // Same logged-drop discipline as simhashNearDupPairs/capBuckets:
-        // excluding whole signature groups is a recall trade that must be
-        // VISIBLE — this block used to cap silently while its siblings
-        // warned, so a PretrainCorpus run left no evidence that doc
-        // groups vanished from the output.
-        val dropped = sizes.filter(col("g") > maxBucketSize).count()
-        if (dropped > 0)
-          org.slf4j.LoggerFactory.getLogger(getClass)
-            .warn(s"simhashComponents: dropped $dropped identical-signature " +
-              s"group(s) larger than $maxBucketSize docs (boilerplate skew " +
-              "guard; their docs neither cluster nor appear in the output)")
-        sigs0.join(sizes.filter(col("g") <= maxBucketSize)
-          .select(col("simhash")), "simhash")
-      }
+    val sigs = capSigGroups(sigs0, maxBucketSize, "simhashComponents",
+      "their docs neither cluster nor appear in the output")
     val dsig = sigs.select(col("simhash")).distinct()
     val sigComp = dupClusters(
       sigPairs(dsig, dsig, maxHamming, ordered = true)
@@ -1144,9 +1157,17 @@ object Dedup {
     // checkpointed → the count is a cheap scan; broadcast keeps the two
     // expansion joins shuffle-free on the corpus side when the near-dup
     // sig structure is small (it almost always is — it is bounded by the
-    // corpus's true near-dup pair structure, not its size)
-    if (sp.count() <= 5000000L) broadcast(sp) else sp
+    // corpus's true near-dup pair structure, not its size). The gate is
+    // a BYTE budget like the file's other broadcast gates (~50 B/row as
+    // a HashedRelation), not a raw row count — 5M rows was ~250-500 MB
+    // shipped to every executor, far past the sibling 64 MB discipline.
+    val maxRows = SigPairsBroadcastMaxBytes / 50L
+    if (sp.count() <= maxRows) broadcast(sp) else sp
   }
+
+  /** Broadcast budget for the near-dup signature-pair table (the two
+    * expansion joins' build side), in estimated HashedRelation bytes. */
+  private val SigPairsBroadcastMaxBytes = 64L * 1024 * 1024
 
   /** `numBands` contiguous bit slices of the 31-bit signature as join-key
     * strings, wider slices first (31 = base·n + extra). */

@@ -128,14 +128,22 @@ object Similarity {
     * nested loop — no shuffle of the corpus; the window partitions by
     * query id so the rank shuffle is |queries|-wide, tiny.
     */
+  /** `excludeSelf` drops pairs with equal ids — correct when the queries
+    * ARE corpus rows (the default self-search shape). Pass false when the
+    * queries come from a SEPARATE table: there an id collision is
+    * coincidental, and excluding it silently dropped a true (possibly
+    * top-1) neighbor. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("qv"))
     // fanOut(0): the corpus is the BNLJ stream side — |queries|·|corpus|
     // dot products run at the SCAN's parallelism unless spread
     val c = graft.core.Parallelize.fanOut(corpus, 0L)
       .select(col(idCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("cv"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    val pairCond =
+      if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true)
+    val scored = c.join(broadcast(q), pairCond)
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
@@ -200,6 +208,12 @@ object Similarity {
     try {
       val seedRows = vecs.orderBy(xxhash64(col("id")), col("id")).limit(k).collect()
       require(seedRows.nonEmpty, "empty training sample")
+      if (seedRows.length < k)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"trainCentroids: the training sample has only ${seedRows.length} " +
+            s"rows for k=$k — returning ${seedRows.length} centroids; " +
+            "downstream IVF runs with fewer clusters than sized for " +
+            "(raise sampleFraction or lower k)")
       var centroids: Array[(Long, Array[Double])] =
         seedRows.zipWithIndex.map { case (r, i) =>
           (i.toLong, r.getSeq[Double](r.fieldIndex("v")).toArray) }
@@ -294,10 +308,19 @@ object Similarity {
     * Random hyperplane LSH (Charikar, STOC'02): P[bit match] =
     * 1 − θ/π, so high-cosine vectors collide in all K bits. Per-row,
     * shuffle-free, sequential-fold dots — deterministic across engines. */
-  def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+  def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    // 1L << i wraps at 64 (shift count mod 64), silently ALIASING plane
+    // 64's bit onto plane 0's — distinct sign patterns would share
+    // buckets and the within-bucket quadratic join would explode with
+    // low-cosine junk. 64 planes fill the long exactly; band multiple
+    // plane sets for more bits.
+    require(planes.length <= 64,
+      s"hyperplaneBucket supports at most 64 planes per bucket (got " +
+        s"${planes.length}); band multiple plane sets instead")
     planes.zipWithIndex.map { case (p, i) =>
       when(dot(vec, typedLit(p)) >= 0d, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** LSH-bucketed candidate pairs: only vectors sharing the full K-bit
     * bucket are scored — the shuffle is by bucket (corpus-linear), and the

@@ -34,8 +34,14 @@ object Corpus {
     // would silently collapse every document into one chunk_id=NULL
     // group per stream — well-formed wrong data for a mis-unit budget.
     require(budget > 0, s"packChunks needs a positive token budget, got $budget")
+    // Order by (id, n_tok): a ROWS cumsum over tied ids is otherwise
+    // shuffle-order-dependent — duplicate (stream, id) rows with different
+    // token counts got nondeterministic chunk assignments, violating the
+    // reproducibility contract. With n_tok in the order, remaining ties
+    // are content-identical rows, which are interchangeable (any order
+    // yields the same chunk stats).
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(streamCol)).orderBy(col("id"))
+      .partitionBy(col(streamCol)).orderBy(col("id"), col("n_tok"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     docs.select(col(streamCol), col(idCol).as("id"),
         size(TextOps.tokens(col(textCol))).cast("long").as("n_tok"))
@@ -54,8 +60,11 @@ object Corpus {
       .groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
 
-  /** (id, term, tf, df, tfidf): tfidf = tf * ln((N + 1) / (df + 1)) with the
-    * +1 smoothing that keeps corpus-wide terms at a small positive weight.
+  /** (id, term, tf, df, tfidf): tfidf = tf * ln((N + 1) / (df + 1)). The
+    * +1 smoothing bounds the weight away from negative values; a term
+    * present in EVERY document (df = N) gets weight exactly 0.0 — present
+    * rows with zero weight are still emitted, distinguishing "everywhere,
+    * uninformative" (row, 0.0) from "absent" (no row).
     * N = number of documents (all rows of `docs`), carried as a broadcast
     * scalar so the plan stays a chain of hash-aggs + one broadcast join. */
   def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

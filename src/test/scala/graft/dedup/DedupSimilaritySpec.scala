@@ -92,6 +92,34 @@ class DedupSpec extends SparkSpec {
     assert(got.forall { case (a, b, _) => Set(1L, 3L)(a) && Set(10L, 11L)(b) })
   }
 
+  test("dupClusters: NULL-keyed pairs are dropped by BOTH paths, never an NPE") {
+    import spark.implicits._
+    val pairs = Seq((Some(1L), Some(2L)), (Some(2L), None), (None, Some(5L)))
+      .toDF("id_a", "id_b")
+    // driver path (tiny edge set): the typed collect used to crash on the
+    // non-nullable encoder field
+    val fast = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toSet
+    assert(fast == Set((1L, 1L), (2L, 1L)))
+    // distributed path: same semantic
+    val twin = Dedup.dupClusters(pairs, driverEdgeLimit = 0L)
+      .select(col("id").cast("long"), col("cluster_id").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(twin == fast)
+  }
+
+  test("a RAISED kernel guard (Int.MaxValue) must not wrap the probe limit") {
+    import spark.implicits._
+    spark.conf.set(graft.core.Gates.DedupKernelMaxCorpusRows,
+      Int.MaxValue.toString)
+    try {
+      val vecs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)),
+        (3L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
+      val got = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", 0.9)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 2L)))
+    } finally spark.conf.unset(graft.core.Gates.DedupKernelMaxCorpusRows)
+  }
+
   test("dupClusters resolves pairs into min-id connected components") {
     import spark.implicits._
     // chain 1-2-3 (via two pairs), isolated pair 7-9, transitive 4-5-6
@@ -544,6 +572,40 @@ class SimilaritySpec extends SparkSpec {
       Similarity.cosine(Similarity.toDoubleVec(col("a")), Similarity.toDoubleVec(col("b"))).as("self"),
       Similarity.cosine(Similarity.toDoubleVec(col("a")), Similarity.toDoubleVec(col("c"))).as("orth"))).head
     assert(got.getDouble(0) == 1.0 && got.getDouble(1) == 0.0)
+  }
+
+  test("bruteForceTopK: separate query table keeps coincidental id matches") {
+    import spark.implicits._
+    val corpus = Seq((7L, Seq(1.0, 0.0)), (8L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((7L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    // default self-search semantics exclude the equal-id pair...
+    val self = graft.similarity.Similarity
+      .bruteForceTopK(queries, corpus, 1).select("neighbor_id")
+      .as[Long].collect().toSeq
+    assert(self == Seq(8L))
+    // ...but a DISTINCT query table must keep corpus row 7 — its id
+    // collision is coincidental and it is the true top-1
+    val cross = graft.similarity.Similarity
+      .bruteForceTopK(queries, corpus, 1, excludeSelf = false)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(cross == Seq(7L))
+  }
+
+  test("hyperplaneBucket refuses more planes than a long has bits") {
+    val planes = (0 until 65).map(i => Seq(i.toDouble, 1.0))
+    val e = intercept[IllegalArgumentException] {
+      graft.similarity.Similarity.hyperplaneBucket(col("v"), planes)
+    }
+    assert(e.getMessage.contains("64"))
+  }
+
+  test("trainCentroids returns the sample size when it is under k, loudly not wrongly") {
+    import spark.implicits._
+    val df = (1 to 5).map(i => (i.toLong, Seq(i.toDouble, 1.0)))
+      .toDF("vec_id", "embedding")
+    val cs = graft.similarity.Similarity.trainCentroids(df, k = 16, iters = 1)
+    assert(cs.length == 5)
   }
 
   test("cosine zero-norm rule holds in the ANN paths: NULL, ranked last, never a throw") {

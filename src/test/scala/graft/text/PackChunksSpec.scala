@@ -25,6 +25,28 @@ class PackChunksSpec extends SparkSpec {
     assert(e.getMessage.contains("positive token budget"))
   }
 
+  test("packChunks is deterministic under duplicate (stream, id) rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two docs share id 10 with different token counts: the cumsum order
+    // is pinned by (id, n_tok), so the chunk stats are reproducible
+    // (pre-fix they depended on shuffle order)
+    val docs = Seq(
+      (1, 10, "a b c"),            // 3 tokens
+      (1, 10, "a b c d e f g"),    // 7 tokens — ordered AFTER the 3-token twin
+      (1, 11, "x y z")             // starts at 10, lands in chunk 1
+    ).toDF("src", "id", "text")
+    val expected = (0 until 5).map { i =>
+      graft.text.Corpus.packChunks(docs.repartition(i + 2), "src", "id", "text",
+          budget = 8L)
+        .orderBy("chunk_id")
+        .select(col("chunk_id"), col("n_docs"), col("n_tokens"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    assert(expected.distinct.size == 1, s"nondeterministic chunks: $expected")
+    assert(expected.head == Seq((0L, 2L, 10L), (1L, 1L, 3L)))
+  }
+
   test("packChunks streams are independent (per-source chunk ids)") {
     val docs = Seq(("a", 1L, "x y z"), ("b", 2L, "x y z"))
       .toDF("src", "id", "text")
