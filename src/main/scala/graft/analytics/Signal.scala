@@ -120,7 +120,13 @@ object Signal {
     val hi = element_at(col("_rm_arr"), (s / lit(2)).cast("int") + lit(1))
     withArr
       .withColumn(medCol,
-        when(s % 2 === 1, mid.cast("double"))
+        // collect_list SKIPS nulls, so a frame of only-null y values is
+        // an EMPTY array: the even branch would evaluate element_at(arr,
+        // 0) and throw INVALID_INDEX_OF_ZERO (ANSI and non-ANSI alike) —
+        // one null measure killed the whole job. No observations → NULL
+        // median.
+        when(s === 0, lit(null).cast("double"))
+          .when(s % 2 === 1, mid.cast("double"))
           .otherwise((lo + hi).cast("double") / lit(2.0)))
       .drop("_rm_arr")
   }
@@ -139,6 +145,10 @@ object Signal {
   def cusum(df: DataFrame, groupCol: String, orderCols: Seq[Column],
             yq: Column, slackDiv: Long, threshold: Long,
             keepCols: Seq[String]): DataFrame = {
+    // slackDiv is spliced into SQL: 0 would DIVIDE_BY_ZERO under ANSI (or
+    // NULL-poison every cusum under ansi=false — an empty result with no
+    // error), and a negative value silently flips the slack's sign.
+    require(slackDiv > 0, s"cusum needs a positive slackDiv, got $slackDiv")
     val q = df.select(
       (groupCol +: keepCols).map(col) ++ orderCols :+
         yq.cast("long").as("y"): _*)

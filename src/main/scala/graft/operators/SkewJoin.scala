@@ -35,6 +35,12 @@ object SkewJoin {
     require(safe.contains(joinType.toLowerCase.replace(" ", "")),
       s"saltedJoin cannot preserve '$joinType' semantics: the replicated " +
         "side would emit unmatched rows once per salt bucket")
+    // Reserved-column guard (AsOfJoin/Ranked posture): a pre-existing
+    // __salt on either input would be silently replaced and then dropped
+    // after the join — the caller's column vanishes with no error.
+    require(!skewed.columns.contains("__salt") &&
+        !other.columns.contains("__salt"),
+      "__salt is reserved by saltedJoin; rename the input column")
     val salted = skewed.withColumn("__salt",
       floor(rand(seed = 42) * buckets).cast("int"))
     val replicated = other.withColumn("__salt",

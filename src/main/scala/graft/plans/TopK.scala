@@ -143,6 +143,12 @@ object TopK {
     * session (injects [[TopKStrategy]]). */
   def perKey(df: DataFrame, keys: Seq[String],
              orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+    // Empty keys would reach Spark's own ClusteredDistribution(Nil)
+    // require — an internals message far from this call site. Global
+    // top-k is TakeOrderedAndProject (orderBy + limit), not this node.
+    require(keys.nonEmpty,
+      "TopK.perKey needs at least one key column; for GLOBAL top-k use " +
+        "orderBy(...).limit(k) (TakeOrderedAndProject)")
     val plan = df.queryExecution.analyzed
     def attr(n: String): Attribute = plan.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(

@@ -77,7 +77,7 @@ object StreamQueries {
         .select(unix_timestamp(col("window.start")).as("window_epoch"),
           col("event_type"), col("n_events"), col("sum_value"))
       val name = "q42_mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      Streams.runToMemory(s, agg, name, OutputMode.Complete())
+      Streams.runToMemory(agg, name, OutputMode.Complete())
     }),
 
     // §2.10: stream-stream interval join under the driver gate — views
@@ -118,7 +118,7 @@ object StreamQueries {
         .select(col("v_user").as("user_id"), col("view_id"), col("buy_id"),
           (unix_micros(col("b_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
       val name = "q62_mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      Streams.runToMemory(s, joined, name, OutputMode.Append())
+      Streams.runToMemory(joined, name, OutputMode.Append())
     }),
 
     // §2.10: foreachBatch CDC upsert driven end-to-end — the events table
@@ -180,7 +180,7 @@ object StreamQueries {
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       val name = "q77_mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      Streams.runToMemory(s, enriched, name, OutputMode.Complete())
+      Streams.runToMemory(enriched, name, OutputMode.Complete())
     }),
 
     // §2.10: streaming dedup under the driver gate. Only the dedup KEY is
@@ -203,7 +203,7 @@ object StreamQueries {
           Seq("user_id", "event_type"), watermark = "2 hours")
         .select(col("user_id"), col("event_type"))
       val name = "q117_mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      Streams.runToMemory(s, deduped, name, OutputMode.Append())
+      Streams.runToMemory(deduped, name, OutputMode.Append())
     }),
 
     // Multimodal decode plumbing: documents' text bytes stand in for media

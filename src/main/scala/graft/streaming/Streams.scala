@@ -196,6 +196,13 @@ object Streams {
                   pks: Seq[String], orderCol: String, numBuckets: Int): Unit = {
     import graft.sources.FsOps
     val spark = batch0.sparkSession
+    // Reserved-column guard (AsOfJoin/Ranked posture): a stream whose rows
+    // legitimately carry a `_kb` column would otherwise have its values
+    // silently replaced by the key-hash bucket and dropped by
+    // readUpsertTarget — user data lost with no error.
+    require(!batch0.columns.contains(UpsertBucketCol),
+      s"column '$UpsertBucketCol' is reserved by the upsert sink's bucket " +
+        "layout; rename it before upserting")
     recoverPendingSwaps(spark, targetDir)
     if (FsOps.exists(spark, bucketMarker(targetDir))) {
       val prev = FsOps.readString(spark, bucketMarker(targetDir)).trim
@@ -313,7 +320,35 @@ object Streams {
           } else {
             val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
             var cur = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
-            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            // Deep-late events — accepted by the watermark but predating
+            // the OPEN session by more than the gap (possible whenever
+            // watermarkDelay > gap) — belong to an earlier session and
+            // must NOT merge into the open one (the forward-only split
+            // below would silently absorb them, inflating the session
+            // past its own gap bound). They sessionize among themselves
+            // and close immediately: their own gap horizon is already in
+            // the past, so nothing later can legally join them.
+            val (late, current) = {
+              val sorted = rows.toSeq.sortBy(_.ts.getTime)
+              if (cur.nEvents == 0) (Seq.empty[Event], sorted)
+              else sorted.partition(_.ts.getTime <= cur.lastTs - gapMs)
+            }
+            if (late.nonEmpty) {
+              var prior = SessionState(0L, 0.0, 0L)
+              late.foreach { e =>
+                val t = e.ts.getTime
+                if (prior.nEvents > 0 && t > prior.lastTs + gapMs) {
+                  closed += SessionOut(userId, prior.nEvents, prior.sumValue,
+                    prior.lastTs + gapMs)
+                  prior = SessionState(0L, 0.0, 0L)
+                }
+                prior = SessionState(prior.nEvents + 1, prior.sumValue + e.value,
+                  math.max(prior.lastTs, t))
+              }
+              closed += SessionOut(userId, prior.nEvents, prior.sumValue,
+                prior.lastTs + gapMs)
+            }
+            current.foreach { e =>
               val t = e.ts.getTime
               if (cur.nEvents > 0 && t > cur.lastTs + gapMs) {
                 closed += SessionOut(userId, cur.nEvents, cur.sumValue,
@@ -333,8 +368,14 @@ object Streams {
   /** Run a streaming plan to completion against a memory sink and return the
     * collected result — the standard harness for asserting streaming
     * semantics in tests without a long-running query. */
-  def runToMemory(spark: SparkSession, plan: DataFrame, name: String,
+  def runToMemory(plan: DataFrame, name: String,
                   outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
+    // The memory sink registers its temp view in the PLAN's session (often
+    // a clone); a separately-passed session was a footgun — reading the
+    // table through the wrong one threw TABLE_OR_VIEW_NOT_FOUND after the
+    // query had already run, and the orphaned sink table leaked in the
+    // clone.
+    val spark = plan.sparkSession
     val q = plan.writeStream.format("memory").queryName(name)
       .outputMode(outputMode).trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

@@ -52,8 +52,7 @@ object RunPipelines {
             .coalesce(1).write.mode("overwrite").parquet(d)
           d
         }
-        val mem = Streams.runToMemory(spark,
-          Streams.tumblingStats(Streams.readEventStream(spark, dir)), "cli_tumbling")
+        val mem = Streams.runToMemory(Streams.tumblingStats(Streams.readEventStream(spark, dir)), "cli_tumbling")
         println(s"streaming tumbling windows rows=${mem.count()}")
         mem.orderBy("window").show(5, truncate = false)
       case other =>

@@ -48,6 +48,27 @@ class SignalSpec extends SparkSpec {
       ("a", 4L, 30.0), ("b", 1L, 7.0)))
   }
 
+  test("rollingMedian: a frame of only NULL measures yields NULL, not a crash") {
+    // collect_list skips nulls: a group's first row with null y used to
+    // evaluate element_at(arr, 0) and throw INVALID_INDEX_OF_ZERO.
+    val df = Seq((1L, 1L, Option.empty[Double]), (1L, 2L, Some(4.0)),
+      (1L, 3L, Some(6.0))).toDF("g", "t", "y")
+    val got = Signal.rollingMedian(df, "g", Seq(col("t")), col("y"),
+        width = 2, medCol = "med")
+      .orderBy("t").select("med").collect()
+      .map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq
+    assert(got == Seq(null, 4.0, 5.0))
+  }
+
+  test("cusum refuses a non-positive slackDiv loudly") {
+    val df = Seq((1L, 1L, 10L)).toDF("g", "t", "y")
+    val e = intercept[IllegalArgumentException] {
+      Signal.cusum(df, "g", Seq(col("t")), col("y"), slackDiv = 0,
+        threshold = 1L, keepCols = Seq("t"))
+    }
+    assert(e.getMessage.contains("slackDiv"))
+  }
+
   test("cusum equals the sequential recursion on a hand-traced series") {
     // y: 10,10,40,40,10 target = 22 (110 div 5), slack = 22 div 20 = 1 →
     // d = y-23: -13,-13,17,17,-13; S: -13,-26,-9,8,-5; minS: -13,-26,-26,-26,-26

@@ -21,8 +21,7 @@ class StreamsSpec extends SparkSpec {
 
   test("streaming tumbling window equals the batch q18 plan") {
     val stream = Streams.readEventStream(spark, streamDir)
-    val got = Streams.runToMemory(spark,
-      Streams.tumblingStats(stream), "tumbling_test")
+    val got = Streams.runToMemory(Streams.tumblingStats(stream), "tumbling_test")
       .select(unix_timestamp(col("window.start")).as("w"), col("event_type"),
         col("n_events"), col("sum_value"))
     val want = graft.core.Tables.load(spark, sf, "events")
@@ -36,8 +35,7 @@ class StreamsSpec extends SparkSpec {
 
   test("dedupWithinWatermark keeps one row per key") {
     val stream = Streams.readEventStream(spark, streamDir)
-    val got = Streams.runToMemory(spark,
-      Streams.dedupWithinWatermark(stream, Seq("user_id")), "dedup_test",
+    val got = Streams.runToMemory(Streams.dedupWithinWatermark(stream, Seq("user_id")), "dedup_test",
       OutputMode.Append())
     val users = graft.core.Tables.load(spark, sf, "events")
       .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
@@ -255,7 +253,7 @@ class StreamsSpec extends SparkSpec {
     val recorder = StreamMetrics.attach(spark)
     try {
       val stream = Streams.readEventStream(spark, streamDir)
-      Streams.runToMemory(spark, Streams.tumblingStats(stream), "metrics_probe")
+      Streams.runToMemory(Streams.tumblingStats(stream), "metrics_probe")
       // listener bus is async — wait for the progress event to fold in
       val deadline = System.currentTimeMillis() + 20000
       var stats = recorder.snapshot.get("metrics_probe")
@@ -373,6 +371,46 @@ class StreamsSpec extends SparkSpec {
         .map(r => r.getAs[Long]("user_id") -> (r.getAs[Long]("nEvents"), r.getAs[Double]("sumValue")))
       assert(got.contains(100L -> (2L, 4.0)))
     } finally q.stop()
+  }
+
+  test("sessionize: a deep-late accepted event forms its own session, not a merge") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Streams.Event]
+    val base = 1700000000000L
+    def ev(id: Long, user: Long, v: Double, tsMs: Long) =
+      Streams.Event(id, new java.sql.Timestamp(tsMs), user, "t", v)
+    // watermarkDelay (2h) >> gap (1 min): an event 90 min older than the
+    // open session is ACCEPTED by the watermark but predates the session
+    // by more than the gap — pre-fix the forward-only split silently
+    // absorbed it into the open session (one "session" spanning 1.5h).
+    val q = Streams.sessionize(ms.toDS(), gapMs = 60000,
+        watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("sess_late_test")
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(1, 100L, 1.0, base))
+      q.processAllAvailable() // session open at `base`
+      ms.addData(ev(2, 100L, 5.0, base - 5400000)) // 90 min earlier
+      q.processAllAvailable()
+      val got = rows(spark.table("sess_late_test"))
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("nEvents"),
+          r.getAs[Double]("sumValue"), r.getAs[Long]("closedAtMs")))
+      assert(got.contains((100L, 1L, 5.0, base - 5400000 + 60000)),
+        s"deep-late event must close as its OWN session, got $got")
+    } finally q.stop()
+  }
+
+  test("upsertBatch refuses a reserved _kb column loudly") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_upsert_kb")
+    val bad = Seq((1L, "a", 1L, 9)).toDF("id", "payload", "version",
+      Streams.UpsertBucketCol)
+    val e = intercept[IllegalArgumentException] {
+      Streams.upsertBatch(bad, 0L, s"$base/target", Seq("id"), "version", 16)
+    }
+    assert(e.getMessage.contains(Streams.UpsertBucketCol))
   }
 
   test("dedupWithinWatermark refuses empty keys with a clear message") {
