@@ -48,20 +48,38 @@ object CorpusQueries {
 
     // Source-overlap matrix: pairwise shingle Jaccard BETWEEN sources —
     // which feeds duplicate each other before any doc-level dedup runs.
-    // The self-join key is the shingle; each shingle contributes at most
-    // C(|sources|, 2) pairs, so cost is |shingles|·sources², never docs².
+    // r12 optimization (guide §2.3/§2.4, probed in tools/OverlapProbe —
+    // shipped 1.12s vs 0.74s, identical 190 rows): ONE
+    // groupBy(shingle).agg(collect_set(source)) pass replaces the old
+    // distinct → localCheckpoint → shingle self-join. collect_set dedups
+    // (the distinct disappears into the aggregate's map side), pair
+    // expansion happens per shingle on the sorted ≤|sources| set
+    // (sources² per shingle, never postings²), per-source counts explode
+    // the same grouped table — the self-join and its posting-sized build
+    // exchange are gone. The tokenize+explode map side fans out
+    // (minBytes=0): the corpus is one parquet split at bench scale, so
+    // the whole regex-shingling otherwise ran on ONE task (q75/q108
+    // rationale); at warehouse scale fanOut passes through untouched.
     "q124_source_overlap" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      // referenced three ways (two self-join sides + per-source counts):
-      // materialize the distinct once (MEMORY: spark-materialize-before-reuse)
-      val sh = docs.select(col("source"),
+      val docs = graft.core.Parallelize.fanOut(t(s, dir, "documents"), 0L)
+      // referenced twice (pair expansion + per-source counts):
+      // materialize the grouped pass once (MEMORY: spark-materialize-before-reuse)
+      val bySh = docs.select(col("source"),
           explode(graft.functions.TextOps.wordShingles(col("text"), 3)).as("sh"))
-        .distinct().localCheckpoint(true)
-      val counts = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      val inter = sh.join(
-          sh.select(col("source").as("source_b"), col("sh")), "sh")
-        .where(col("source") < col("source_b"))
-        .groupBy(col("source"), col("source_b"))
+        .groupBy(col("sh"))
+        .agg(sort_array(collect_set(col("source"))).as("srcs"))
+        .select(col("srcs"))
+        .localCheckpoint(true)
+      val counts = bySh.select(explode(col("srcs")).as("source"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      // ordered pairs (a < b) straight off the sorted set — exactly the
+      // rows the old `a.sh = b.sh AND a.source < b.source` self-join made
+      val inter = bySh
+        .select(explode(expr(
+          """flatten(transform(srcs, (x, i) ->
+            |  transform(slice(srcs, i + 2, size(srcs)),
+            |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("source"), col("p.b").as("source_b"))
         .agg(count(lit(1)).as("n_common"))
       inter
         .join(broadcast(counts.select(col("source"), col("n").as("n_a"))),
