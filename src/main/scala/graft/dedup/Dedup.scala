@@ -278,9 +278,25 @@ object Dedup {
     // + intersection-array build: O(n log n) once per doc buys zero
     // allocation per candidate pair, where the pair volume dwarfs the doc
     // count on every near-dup corpus.
-    val sets0 = kept.groupBy(col("id"))
-      .agg(first(col("n_sh")).as("n_sh"),
-        sort_array(collect_list(col("h"))).as("sh"))
+    // Uncapped mode: the per-doc verification set is exactly the (distinct)
+    // shingle array `base` already carries, hashed — derive it MAP-SIDE
+    // (transform + sort_array, no exchange) instead of re-aggregating the
+    // exploded postings (exchange by id + object-agg collect_list: the
+    // single most expensive marginal stage in the r12 NeardupProbe
+    // decomposition, ~1.0s of the kernel's 2.7s at sf0.1; the map-side
+    // derivation re-runs tokenize+shingle for this arm, but that is a
+    // parallel map stage sharing fanOut's reused exchange — full kernel
+    // 2.62→2.27s same-session, identical 256 pairs). Capped mode keeps the
+    // grouped build: its sets must drop the df-capped shingles, which only
+    // the posting-level df join knows.
+    val sets0 =
+      if (maxDocFreq == Int.MaxValue)
+        base.select(col("id"), size(col("shingles")).as("n_sh"),
+          sort_array(transform(col("shingles"),
+            s => ColumnOps.stable64(s))).as("sh"))
+      else kept.groupBy(col("id"))
+        .agg(first(col("n_sh")).as("n_sh"),
+          sort_array(collect_list(col("h"))).as("sh"))
     // The broadcast table is postings × 8 B (one hashed long per word
     // shingle). Shingle count ≤ word count, and a whitespace-separated
     // word occupies ≥5 input bytes on real text, so the derived sets are
