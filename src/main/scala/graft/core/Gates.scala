@@ -25,11 +25,17 @@ object Gates {
   /** Basket rescan-vs-materialize input-size gate. */
   val BasketRescanMaxInputBytes = "spark.graft.basket.rescanMaxInputBytes"
 
+  /** Ranked plain-window small-input gate (operators.Ranked): at or below
+    * this many estimated input bytes the plain partitioned window runs
+    * instead of the range-partitioned decomposition. 0 = ranged always
+    * (the 100 TB shape), which is what the all-twins mode wants primary. */
+  val RankedSmallInputMaxBytes = "spark.graft.ranked.smallInputMaxBytes"
+
   /** Every guard the all-twins mode must force to 0 — extend this list
     * when a new driver shortcut gains a guard, and the suite gate follows
     * automatically. */
   val All: Seq[String] = Seq(DedupKernelMaxCorpusRows, DedupDriverEdgeLimit,
-    ReachDriverEdgeLimit, BasketRescanMaxInputBytes)
+    ReachDriverEdgeLimit, BasketRescanMaxInputBytes, RankedSmallInputMaxBytes)
 
   /** Effective guard value: the session conf wins over the call-site
     * default, so a whole suite can repoint every guard without threading

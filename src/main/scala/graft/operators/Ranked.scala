@@ -48,6 +48,29 @@ object Ranked {
         "fresh name (the final projection would otherwise be ambiguous)")
   }
 
+  /** Small-input gate (r12, guide §2.4 "remove shuffles outright" applied
+    * in reverse to insurance machinery): at or below this many ESTIMATED
+    * input bytes the plain partitioned window is strictly cheaper than the
+    * decomposition — one exchange + one sort versus a range-sampling pass
+    * over the input lineage, a range exchange, a hash exchange, and the
+    * carry join (RangedProbe, sf0.1 events: plain 0.39s vs ranged-32
+    * 1.61s, identical output by definition). 64 MiB is far below what one
+    * task sorts comfortably, so the |groups|-task window the decomposition
+    * exists to remove is not a cliff below the gate; above it — any real
+    * fact table — the ranged path engages unchanged. Estimated from the
+    * analyzed plan's stats (same source as [[graft.core.Parallelize]];
+    * join/explode estimates only ever err UPWARD, toward the scale path).
+    * Session-overridable via [[graft.core.Gates.RankedSmallInputMaxBytes]];
+    * the all-twins suite gate forces 0 so the ranged path runs primary
+    * end-to-end, and RankedSpec/PlanRegressionSpec pin both shapes. */
+  val SmallInputMaxBytesDefault: Long = 64L << 20
+
+  private[operators] def useRanged(df: DataFrame): Boolean = {
+    val limit = graft.core.Gates.effectiveLimit(df.sparkSession,
+      graft.core.Gates.RankedSmallInputMaxBytes, SmallInputMaxBytesDefault)
+    df.queryExecution.analyzed.stats.sizeInBytes > BigInt(limit)
+  }
+
   /** Resolve the range count: 0 (the default) means "the session's
     * shuffle-partition width" — the knob deployments already size to their
     * cluster, so the decomposition's parallelism (groups × ranges) scales
@@ -82,6 +105,10 @@ object Ranked {
                       ranges: Int = 0): DataFrame = {
     require(ranges >= 0, "ranges must be non-negative (0 = auto)")
     guardColumns(df, rnName)
+    if (!useRanged(df)) {
+      val w = Window.partitionBy(partCols.map(col): _*).orderBy(orderExprs: _*)
+      return df.withColumn(rnName, row_number().over(w).cast("long"))
+    }
     val parted = pinIfNoReuse(df
       .repartitionByRange(resolveRanges(df, ranges),
         (partCols.map(col) ++ orderExprs): _*)
@@ -132,6 +159,17 @@ object Ranked {
                       outName: String, ranges: Int = 0): DataFrame = {
     require(ranges >= 0, "ranges must be non-negative (0 = auto)")
     guardColumns(df, outName)
+    // The decomposition's local-sum + carry-sum addition widens decimal
+    // types past what the plain window's single sum produces; both paths
+    // must emit ONE type, so the ranged result is cast back to the plain
+    // sum's type (a value the plain window could represent by definition —
+    // the two compute the same number).
+    val sumType = df.select(sum(valueExpr)).schema.head.dataType
+    if (!useRanged(df)) {
+      val w = Window.partitionBy(partCols.map(col): _*).orderBy(orderExprs: _*)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      return df.withColumn(outName, sum(valueExpr).over(w).cast(sumType))
+    }
     val parted = pinIfNoReuse(df
       .repartitionByRange(resolveRanges(df, ranges),
         (partCols.map(col) ++ orderExprs): _*)
@@ -154,7 +192,7 @@ object Ranked {
       .select((partCols.map(col) :+ col("_rr_pid") :+ col("_rr_carry")): _*)
     joinCarry(withLocal, carry, partCols)
       .withColumn(outName,
-        col("_rr_local") + coalesce(col("_rr_carry"), lit(0)))
+        (col("_rr_local") + coalesce(col("_rr_carry"), lit(0))).cast(sumType))
       .select((df.columns.map(col) :+ col(outName)): _*)
   }
 

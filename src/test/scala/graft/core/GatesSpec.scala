@@ -81,4 +81,21 @@ class GatesSpec extends SparkSpec {
           (r.getString(0), r.getString(1), r.getLong(2))))
     }
   }
+
+  test("Ranked: zeroing the small-input gate forces the ranged decomposition") {
+    val df = Seq(("a", 2L, 1L), ("a", 1L, 2L), ("b", 5L, 3L))
+      .toDF("grp", "v", "id")
+    val fast = graft.operators.Ranked.rowNumberRanged(df, Seq("grp"),
+      Seq(col("v"), col("id")), "rn")
+    assert(!fast.queryExecution.executedPlan.toString.contains("_rr_pid"),
+      "tiny input must take the plain window by default")
+    withConf(Gates.RankedSmallInputMaxBytes, "0") {
+      val twin = graft.operators.Ranked.rowNumberRanged(df, Seq("grp"),
+        Seq(col("v"), col("id")), "rn")
+      assert(twin.queryExecution.executedPlan.toString.contains("_rr_pid"),
+        "gate=0 must force the range-partitioned decomposition")
+      assert(twin.select("id", "rn").collect().toSet ==
+        fast.select("id", "rn").collect().toSet)
+    }
+  }
 }

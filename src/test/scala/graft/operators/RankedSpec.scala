@@ -16,7 +16,17 @@ class RankedSpec extends SparkSpec {
     }.toDF("grp", "v", "id")
   }
 
-  test("rowNumberRanged equals the plain window, grouped and global, any range count") {
+  /** The spec corpora are tiny, so the r12 small-input gate would route
+    * every call through the plain window and leave the ranged machinery
+    * untested — force the ranged path for the tests that exist to pin it
+    * (the same conf the all-twins suite gate sets). */
+  private def forceRanged[T](body: => T): T = {
+    spark.conf.set(graft.core.Gates.RankedSmallInputMaxBytes, "0")
+    try body
+    finally spark.conf.unset(graft.core.Gates.RankedSmallInputMaxBytes)
+  }
+
+  test("rowNumberRanged equals the plain window, grouped and global, any range count") { forceRanged {
     val df = corpus
     val wanted = df.withColumn("rn",
         row_number().over(Window.partitionBy(col("grp"))
@@ -36,9 +46,9 @@ class RankedSpec extends SparkSpec {
         Seq(col("v").desc, col("id").asc), "rn", 16)
       .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
     assert(gotG == wantedG)
-  }
+  }}
 
-  test("prefixSumRanged equals the running-sum window") {
+  test("prefixSumRanged equals the running-sum window") { forceRanged {
     val df = corpus
     val w = Window.partitionBy(col("grp")).orderBy(col("v"), col("id"))
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -50,7 +60,7 @@ class RankedSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getLong(2)) -> r.getLong(3)).toMap
       assert(got == wanted, s"diverged at ranges=$ranges")
     }
-  }
+  }}
 
   test("ntileFromRowNumber reproduces ntile exactly, incl. n < buckets and n % b != 0") {
     for (n <- Seq(3L, 10L, 11L, 97L, 800L); b <- Seq(4, 10)) {
@@ -65,7 +75,7 @@ class RankedSpec extends SparkSpec {
     }
   }
 
-  test("NULL group keys rank like the plain window (null-safe carry join)") {
+  test("NULL group keys rank like the plain window (null-safe carry join)") { forceRanged {
     // A NULL partition value is ONE window partition; a plain equi-join on
     // the carry keys would silently drop those rows.
     val df = Seq((Option("a"), 1L, 1L), (Option("a"), 2L, 2L),
@@ -79,9 +89,9 @@ class RankedSpec extends SparkSpec {
         Seq(col("v"), col("id")), "rn", 4)
       .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
     assert(got == wanted, s"null-group rows must rank, not vanish: $got")
-  }
+  }}
 
-  test("the two arms share ONE range exchange (the boundary-consistency anchor)") {
+  test("the two arms share ONE range exchange (the boundary-consistency anchor)") { forceRanged {
     // RangePartitioner samples with an instance-derived seed, so two
     // independent executions of the range exchange could pick different
     // boundaries and desynchronize the carry join from the local ranks —
@@ -94,9 +104,9 @@ class RankedSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
       s"range exchange must be reused across the rank and carry arms:\n${plan.take(3000)}")
-  }
+  }}
 
-  test("reuse disabled: the ranged layout is pinned, results stay exact") {
+  test("reuse disabled: the ranged layout is pinned, results stay exact") { forceRanged {
     // With spark.sql.exchange.reuse off the two arms would re-sample range
     // boundaries independently (instance-derived seed) and could silently
     // mis-number; the entry points must pin the layout instead of relying
@@ -122,7 +132,7 @@ class RankedSpec extends SparkSpec {
         .select("grp", "v", "id", "rs").collect().toSet
       assert(sums == expSums)
     } finally spark.conf.set("spark.sql.exchange.reuse", "true")
-  }
+  }}
 
   test("internal-column and output-name collisions are refused, not corrupted") {
     val bad = corpus.withColumn("_rr_pid", lit(1))
@@ -134,5 +144,34 @@ class RankedSpec extends SparkSpec {
       Ranked.prefixSumRanged(corpus, Seq("grp"), Seq(col("id")), col("v"), "v")
     }
     assert(e2.getMessage.contains("already exists"))
+  }
+
+  test("small inputs take the plain window; gate=0 restores the decomposition") {
+    // r12 gate: below Gates.RankedSmallInputMaxBytes the plain partitioned
+    // window runs (one exchange, no sampling pass); the ranged shape must
+    // be reachable via the conf (the all-twins suite sets it to 0), and the
+    // two paths must agree exactly.
+    val df = corpus
+    val plainOut = Ranked.rowNumberRanged(df, Seq("grp"),
+      Seq(col("v"), col("id")), "rn")
+    plainOut.collect()
+    val plainPlan = plainOut.queryExecution.executedPlan.toString
+    assert(!plainPlan.contains("_rr_pid") && !plainPlan.contains("rangepartitioning"),
+      s"tiny input must take the plain window:\n${plainPlan.take(2000)}")
+    val (ranked, sums) = forceRanged {
+      (Ranked.rowNumberRanged(df, Seq("grp"), Seq(col("v"), col("id")), "rn"),
+       Ranked.prefixSumRanged(df, Seq("grp"), Seq(col("v"), col("id")),
+         col("v"), "rs"))
+    }
+    assert(ranked.queryExecution.executedPlan.toString.contains("_rr_pid"),
+      "gate=0 must force the range-partitioned decomposition")
+    assert(ranked.select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      plainOut.select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val plainSums = Ranked.prefixSumRanged(df, Seq("grp"),
+      Seq(col("v"), col("id")), col("v"), "rs")
+    assert(plainSums.schema("rs").dataType == sums.schema("rs").dataType,
+      "both paths must emit one output type")
+    assert(sums.select("id", "rs").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      plainSums.select("id", "rs").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 }

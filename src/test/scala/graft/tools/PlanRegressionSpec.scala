@@ -199,16 +199,31 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("Window") && !p.contains("SortMergeJoin"))
   }
 
+  /** Pin the at-scale Ranked shape: the r12 small-input gate routes tiny
+    * inputs through the plain window, so shape pins force the gate off —
+    * exactly what any real fact table (or the all-twins suite conf) does. */
+  private def forceRanged[T](body: => T): T = {
+    spark.conf.set(graft.core.Gates.RankedSmallInputMaxBytes, "0")
+    try body
+    finally spark.conf.unset(graft.core.Gates.RankedSmallInputMaxBytes)
+  }
+
   test("q107: sweep-line runs the RANGED prefix sum, windows partitioned by (group, range)") {
     // The running count decomposes through Ranked.prefixSumRanged: local
     // windows keyed by (group, range-partition id) — never a window
     // partitioned by the few event types alone, which put a whole type's
     // sweep points on one task. The carry summary must broadcast back.
-    val p = plan("q107_peak_concurrency")
+    // (Above the small-input gate; at test sf the gate would take the
+    // plain window, pinned separately below.)
+    val p = forceRanged { plan("q107_peak_concurrency") }
     assert(p.contains("_rr_pid"),
       "running count must go through the range-partitioned decomposition")
     assert(p.contains("BroadcastHashJoin"),
       "the per-(group, range) carry summary must broadcast back")
+    // and below the gate, the plain-window fast path — no sampling pass
+    val small = plan("q107_peak_concurrency")
+    assert(!small.contains("_rr_pid") && !small.contains("rangepartitioning"),
+      "small inputs must take the single-exchange plain window")
   }
 
   test("Ranked consumers: no fact-buffering window shape can silently return") {
@@ -241,7 +256,9 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
     Seq("q72_histogram", "q94_spend_deciles", "q99_percent_rank",
       "q107_peak_concurrency", "q131_gini_spend").foreach { q =>
-      val exec = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+      val exec = forceRanged {
+        SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+      }
       val windows = nodes(exec).collect { case w: WindowExec => w }
       assert(windows.nonEmpty, s"$q: expected the Ranked window arms")
       windows.foreach { w =>
