@@ -52,9 +52,22 @@ object Corpus {
         min(col("id")).as("first_doc"), max(col("id")).as("last_doc"))
   }
 
-  /** (id, term, tf) — term frequency per document, whitespace tokens. */
+  /** (id, term, tf) — term frequency per document, whitespace tokens.
+    *
+    * r12 exchange placement (guide §2.3/§2.4): the documents are
+    * hash-repartitioned BY ID before the explode, so ONE exchange carrying
+    * each document's text once serves the whole per-doc chain —
+    * hash(id) satisfies the (id, term) clustering of the tf agg, and every
+    * downstream per-doc aggregate / top-k window (topTerms, bm25's dl,
+    * surprisal's per-doc mean) reuses the same layout instead of paying a
+    * second exchange of posting-level rows. The repartition also subsumes
+    * the old fanOut (the explode runs post-exchange at cluster
+    * parallelism even when the corpus is one parquet split). Same-session
+    * A/B in tools/CorpusProbe: q60 0.88→0.82s at sf0.1, identical rows —
+    * small here, but the exchange this removes is posting-sized at any
+    * scale. */
   def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    graft.core.Parallelize.fanOut(docs)
+    docs.repartition(col(idCol))
       .select(col(idCol).as("id"),
         explode(TextOps.tokens(col(textCol))).as("term"))
       .groupBy(col("id"), col("term"))
