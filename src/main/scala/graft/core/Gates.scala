@@ -25,6 +25,9 @@ object Gates {
   /** Basket rescan-vs-materialize input-size gate. */
   val BasketRescanMaxInputBytes = "spark.graft.basket.rescanMaxInputBytes"
 
+  /** Driver power-iteration edge guard (analytics.Graph.pagerank). */
+  val GraphDriverEdgeLimit = "spark.graft.graph.driverEdgeLimit"
+
   /** Ranked plain-window small-input gate (operators.Ranked): at or below
     * this many estimated input bytes the plain partitioned window runs
     * instead of the range-partitioned decomposition. 0 = ranged always
@@ -35,7 +38,8 @@ object Gates {
     * when a new driver shortcut gains a guard, and the suite gate follows
     * automatically. */
   val All: Seq[String] = Seq(DedupKernelMaxCorpusRows, DedupDriverEdgeLimit,
-    ReachDriverEdgeLimit, BasketRescanMaxInputBytes, RankedSmallInputMaxBytes)
+    ReachDriverEdgeLimit, BasketRescanMaxInputBytes, RankedSmallInputMaxBytes,
+    GraphDriverEdgeLimit)
 
   /** Effective guard value: the session conf wins over the call-site
     * default, so a whole suite can repoint every guard without threading

@@ -61,6 +61,45 @@ class GraphSpec extends SparkSpec {
     assert(a.values.forall(_ >= 0L), "wrapped ranks would go negative")
   }
 
+  test("pagerank: driver kernel and distributed loop agree bit-for-bit") {
+    // r12 driver shortcut: same graphs the suite pins elsewhere — a cycle,
+    // a sink (dangling-mass leak), micro-unit weights past long range, and
+    // a graph with an isolated-sink fan-in. gate=0 forces the distributed
+    // loop; default takes the kernel; outputs must be identical maps.
+    val graphs = Seq(
+      Seq((1, 2, 10L), (2, 1, 10L)),
+      Seq((1, 2, 1L)),
+      Seq((1, 2, 5L), (2, 3, 5L), (3, 1, 5L), (1, 3, 1L)),
+      Seq((1, 2, 20000000000L), (2, 3, 20000000000L), (3, 1, 20000000000L)))
+    graphs.foreach { g =>
+      val edges = g.toDF("src", "dst", "w")
+      val fast = Graph.pagerank(edges, 4)
+      assert(fast.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+        "tiny graph must take the driver kernel by default")
+      val a = fast.as[(Int, Long)].collect().toMap
+      spark.conf.set(graft.core.Gates.GraphDriverEdgeLimit, "0")
+      try {
+        val slow = Graph.pagerank(edges, 4)
+        assert(!slow.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+          "guard=0 must force the distributed loop")
+        assert(slow.as[(Int, Long)].collect().toMap == a, s"diverged on $g")
+      } finally spark.conf.unset(graft.core.Gates.GraphDriverEdgeLimit)
+    }
+  }
+
+  test("pagerank driver kernel refuses NULL keys/weights to the distributed loop") {
+    // A NULL src/dst/weight has join/agg semantics the kernel does not
+    // reimplement — the collected buffer must bounce such graphs to the
+    // distributed path, not approximate them.
+    val edges = Seq((Option(1), Option(2), Option(1L)),
+        (Option(2), Option.empty[Int], Option(1L)))
+      .toDF("src", "dst", "w")
+    val out = Graph.pagerank(edges, 2)
+    assert(!out.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "null-carrying graphs must run the distributed semantics")
+    out.collect() // and execute green
+  }
+
   test("copurchaseLift prunes by support and computes integer lift") {
     // orders: (1: A,B) (2: A,B) (3: A,C) (4: B) — with minItemSupport=2
     // C (n=1) is pruned; pair (A,B) n_ab=2, n_a=3, n_b=3, N=4 →

@@ -82,6 +82,20 @@ class GatesSpec extends SparkSpec {
     }
   }
 
+  test("pagerank: zeroing the edge guard forces the distributed loop") {
+    val edges = Seq((1, 2, 3L), (2, 1, 1L)).toDF("src", "dst", "w")
+    val fast = graft.analytics.Graph.pagerank(edges, 2)
+    assert(fast.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "tiny graph must take the driver kernel by default")
+    withConf(Gates.GraphDriverEdgeLimit, "0") {
+      val twin = graft.analytics.Graph.pagerank(edges, 2)
+      assert(!twin.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+        "guard=0 must force the distributed power iteration")
+      assert(twin.as[(Int, Long)].collect().toSet ==
+        fast.as[(Int, Long)].collect().toSet)
+    }
+  }
+
   test("Ranked: zeroing the small-input gate forces the ranged decomposition") {
     val df = Seq(("a", 2L, 1L), ("a", 1L, 2L), ("b", 5L, 3L))
       .toDF("grp", "v", "id")
