@@ -191,8 +191,20 @@ object Ranked {
       .withColumn("_rr_carry", sum(col("_rr_tot")).over(wCarry))
       .select((partCols.map(col) :+ col("_rr_pid") :+ col("_rr_carry")): _*)
     joinCarry(withLocal, carry, partCols)
+      // NULL-measure parity with the plain window (r12): sum() skips
+      // nulls, so a row whose value is NULL still carries the running sum
+      // of earlier non-null values — the plain window yields NULL only
+      // when NO non-null value precedes it. `_rr_local` is NULL for a
+      // null-valued row at its range's start even when EARLIER RANGES
+      // carried values, so a bare local+carry addition null-poisoned
+      // exactly those rows; emit NULL only when both arms are NULL
+      // (= no non-null predecessor anywhere), else treat each NULL arm
+      // as 0. Spec-pinned against the plain window in RankedSpec.
       .withColumn(outName,
-        (col("_rr_local") + coalesce(col("_rr_carry"), lit(0))).cast(sumType))
+        when(col("_rr_local").isNotNull || col("_rr_carry").isNotNull,
+          coalesce(col("_rr_local"), lit(0)) +
+            coalesce(col("_rr_carry"), lit(0)))
+          .otherwise(lit(null)).cast(sumType))
       .select((df.columns.map(col) :+ col(outName)): _*)
   }
 

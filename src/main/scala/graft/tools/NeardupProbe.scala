@@ -99,9 +99,86 @@ object NeardupProbe {
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .distinct()
     }
-    noop(pairsB) // warm
+    // variant: candidate generation via groupBy(h) + in-bucket pair
+    // expansion (the q124 shape) instead of the prefix self-join — one
+    // exchange + object agg vs two join exchanges; filters move into the
+    // expansion lambda
+    def joinedG = {
+      val tauL = tau
+      prefix.groupBy(col("h"))
+        .agg(sort_array(collect_list(struct(col("id"), col("n_sh"),
+          col("rn")))).as("ps"))
+        .filter(size(col("ps")) > 1)
+        .select(explode(expr(
+          s"""flatten(transform(ps, (x, i) ->
+             |  filter(transform(slice(ps, i + 2, size(ps)),
+             |      y -> struct(x.id AS id_a, y.id AS id_b,
+             |                  x.n_sh AS na, y.n_sh AS nb,
+             |                  x.rn AS ra, y.rn AS rb)),
+             |    p -> least(p.na, p.nb) >= greatest(p.na, p.nb) * $tauL
+             |      AND (least(p.na - p.ra, p.nb - p.rb) + 1) * ${1.0 + tauL}
+             |          >= (p.na + p.nb) * $tauL)))""".stripMargin)).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    }
+    def pairsG = {
+      val threshold = 0.5
+      joinedG
+        .join(broadcast(setsB.select(col("id").as("id_a"), col("n_sh").as("n_a"),
+          col("sh").as("sh_a"))), "id_a")
+        .join(broadcast(setsB.select(col("id").as("id_b"), col("n_sh").as("n_b"),
+          col("sh").as("sh_b"))), "id_b")
+        .withColumn("inter",
+          graft.functions.Intersect.sortedCount(col("sh_a"), col("sh_b")))
+        .withColumn("jaccard", round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .distinct()
+    }
+    // variant: df via a window count over h (one exchange, no agg+join-back)
+    def withDfW = postings.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h"))))
+    def prefixW = {
+      val byRarity = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("df").asc, col("h").asc)
+      withDfW.withColumn("rn", row_number().over(byRarity))
+        .where(col("rn") <=
+          floor(col("n_sh") * lit(1.0 - tau)).cast("int") + lit(1))
+        .select(col("id"), col("n_sh"), col("rn"), col("h"))
+    }
+    def joinedW = prefixW.as("a")
+      .join(prefixW.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          least(col("a.n_sh"), col("b.n_sh")).cast("double") >=
+            greatest(col("a.n_sh"), col("b.n_sh")) * lit(tau) &&
+          (least(col("a.n_sh") - col("a.rn"), col("b.n_sh") - col("b.rn"))
+            + lit(1)).cast("double") * lit(1.0 + tau) >=
+            (col("a.n_sh") + col("b.n_sh")).cast("double") * lit(tau))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    def pairsW = {
+      val threshold = 0.5
+      joinedW
+        .join(broadcast(setsB.select(col("id").as("id_a"), col("n_sh").as("n_a"),
+          col("sh").as("sh_a"))), "id_a")
+        .join(broadcast(setsB.select(col("id").as("id_b"), col("n_sh").as("n_b"),
+          col("sh").as("sh_b"))), "id_b")
+        .withColumn("inter",
+          graft.functions.Intersect.sortedCount(col("sh_a"), col("sh_b")))
+        .withColumn("jaccard", round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .distinct()
+    }
+    noop(pairsB); noop(pairsG); noop(pairsW) // warm
     time("g_jaccardPairs", noop(pairs))
     time("i_pairs_setsFromBase", noop(pairsB))
+    time("j_pairs_groupExpand", noop(pairsG))
+    time("k_pairs_windowDf", noop(pairsW))
+    val pg = pairsG.collect().map(_.toSeq).toSet
+    println(s"groupExpand parity vs shipped: ${pg == pairs.collect().map(_.toSeq).toSet}")
+    println(s"windowDf parity vs shipped: ${pairsW.collect().map(_.toSeq).toSet == pairs.collect().map(_.toSeq).toSet}")
     time("h_dupClusters", noop(graft.dedup.Dedup.dupClusters(pairs)))
     val pa = pairs.collect().map(_.toSeq).toSet
     val pb = pairsB.collect().map(_.toSeq).toSet

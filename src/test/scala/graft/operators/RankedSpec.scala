@@ -146,6 +146,36 @@ class RankedSpec extends SparkSpec {
     assert(e2.getMessage.contains("already exists"))
   }
 
+  test("prefixSumRanged matches the plain window on NULL measures, any range count") {
+    // sum() skips nulls: a null-valued row still carries the running sum
+    // of earlier non-null values, and is NULL only when nothing non-null
+    // precedes it. The ranged arm used to null-poison a null-valued row
+    // sitting at a range start whose carry was non-null — and with the
+    // r12 small-input gate, that would have made the OUTPUT depend on
+    // which path ran. Leading nulls (expect NULL), interior nulls (expect
+    // the running sum), one group entirely null.
+    val df = Seq(
+      ("a", Option.empty[Long], 1L), ("a", Option(2L), 2L),
+      ("a", Option.empty[Long], 3L), ("a", Option(5L), 4L),
+      ("b", Option.empty[Long], 5L), ("b", Option.empty[Long], 6L))
+      .toDF("grp", "v", "id")
+    val w = Window.partitionBy(col("grp")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wanted = df.withColumn("rs", sum(col("v")).over(w))
+      .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    for (ranges <- Seq(1, 3, 64)) {
+      val got = forceRanged {
+        Ranked.prefixSumRanged(df, Seq("grp"), Seq(col("id")), col("v"),
+          "rs", ranges)
+      }.collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+      assert(got == wanted, s"null-measure parity broke at ranges=$ranges")
+    }
+    val plain = Ranked.prefixSumRanged(df, Seq("grp"), Seq(col("id")),
+      col("v"), "rs")
+      .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    assert(plain == wanted)
+  }
+
   test("small inputs take the plain window; gate=0 restores the decomposition") {
     // r12 gate: below Gates.RankedSmallInputMaxBytes the plain partitioned
     // window runs (one exchange, no sampling pass); the ranged shape must
