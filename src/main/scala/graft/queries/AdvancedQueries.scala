@@ -242,8 +242,15 @@ object AdvancedQueries {
       val empty = s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], historySchema)
       val history = (0 until 3).foldLeft(empty) { (h, i) =>
+        // LAZY checkpoint (r12): still truncates the per-batch lineage and
+        // still caches on first materialization (scd2Merge reads `h` twice
+        // — both filters hit the cached blocks), but the materialization
+        // happens inside the one final action instead of three extra
+        // eager jobs. Same non-replicated-block recovery semantics as
+        // eager. Same-session A/B (tools/Scd2AB): 1.04 → 0.85s,
+        // identical 4500 rows.
         Cdc.scd2Merge(h, batchSnapshot(i), Seq("user_id"), asOf = i.toLong)
-          .localCheckpoint() // truncate the per-batch lineage (iterative fold)
+          .localCheckpoint(false)
       }
       history.select(col("user_id"), col("event_type"), col("value"),
         col("effective_from"), col("effective_to"), col("is_current"))
