@@ -307,10 +307,25 @@ object Dedup {
     // target workload) compresses 5-10×, so a 60 MB file could gate a
     // ~1 GB set table into a broadcast. The extra action scans text only
     // (no tokenization) — noise next to the self-join it sizes.
-    val inputBytes = BigInt(
-      df.agg(sum(octet_length(col(textCol)).cast("long"))).head
-        .getAs[java.lang.Long](0) match { case null => 0L; case v => v.longValue }
-    ) * 2
+    // r12: skip the sizing scan when the decision is already determined.
+    // The octet pass exists because the analyzed-plan estimate is the
+    // parquet scan's COMPRESSED size and near-dup text compresses 5-10× —
+    // but that uncertainty only matters NEAR the threshold. Compression
+    // never inflates text, so raw ≥ compressed: once 2×compressed already
+    // exceeds the gate, 2×raw does too and the shuffle path is decided
+    // without reading a byte — at warehouse scale this removes one full
+    // corpus pass from every call, which is exactly the case that can
+    // least afford it. The opposite shortcut (broadcast without the scan)
+    // is NOT taken: it would rest on an upper bound for the text ratio,
+    // and a wrong guess there is an executor-memory hazard, not a lost
+    // scan. Small corpora keep the exact octet measurement.
+    val statsBytes = df.queryExecution.analyzed.stats.sizeInBytes
+    val inputBytes =
+      if (statsBytes * 2 >= SetsBroadcastMaxInputBytes) statsBytes * 2
+      else BigInt(
+        df.agg(sum(octet_length(col(textCol)).cast("long"))).head
+          .getAs[java.lang.Long](0) match { case null => 0L; case v => v.longValue }
+      ) * 2
     def verify(pairs: DataFrame, sets: DataFrame): DataFrame = pairs
       .join(sets.select(col("id").as("id_a"), col("n_sh").as("n_a"),
         col("sh").as("sh_a")), "id_a")

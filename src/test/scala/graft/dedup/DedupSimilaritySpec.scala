@@ -42,6 +42,23 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("jaccardPairs: statless input skips the sizing scan, shuffle path agrees") {
+    // r12: when 2x the analyzed size estimate already exceeds the
+    // broadcast gate, the octet sizing scan is skipped and the shuffle
+    // verification path runs. A localCheckpoint'd input has no stats
+    // (LogicalRDD defaults to a huge sizeInBytes), so it exercises
+    // exactly that branch — output must match the scanned broadcast path
+    // bit-for-bit.
+    val viaBroadcast = rows(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5))
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val statless = docs.localCheckpoint(true)
+    val viaShuffle = rows(Dedup.jaccardPairs(statless, "doc_id", "text", 3, 0.5))
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(viaShuffle == viaBroadcast)
+  }
+
   test("simhashNearDupPairs surfaces exact and near dups via band join") {
     val got = rows(Dedup.simhashNearDupPairs(docs, "doc_id", "text", 3))
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("hamming")))
