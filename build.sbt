@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver tail-parses the bench's one-line JSON from the combined
+// sbt output; sbt's "[success] Total time..." banner printed AFTER the
+// forked JVM's last line broke that parse in rounds 11 and 12
+// (BENCH_rNN.json "parsed": null). Suppressing the banner makes
+// graft.Bench's JSON line the literal last line of output. Failures still
+// print normally ([error] + non-zero exit).
+Global / showSuccess := false
+// Pass the forked JVM's stdout/stderr through verbatim instead of routing
+// them via sbt's logger: the logger prefixes every stdout line with
+// "[info] " (and stderr with "[error] "), which corrupts the bench's
+// parse-me JSON line whenever sbt logs to a non-terminal.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -232,6 +232,16 @@ object Bench {
     val line = (spreadEntries.size to 0 by -1).map(assemble)
       .find(_.length <= 1900).getOrElse(assemble(0))
 
+    // Fixed-file copy of the exact printed line (round-12 judge ask): the
+    // driver's tail-scrape parse failed in rounds 11 and 12, so the line is
+    // also written where a harness can read it without scraping. Mirrors
+    // stdout exactly — same content every run, including filtered ones.
+    try {
+      val w = new java.io.PrintWriter("BENCH_line.json")
+      w.println(line)
+      w.close()
+    } catch { case _: Throwable => () }
+
     // The harness reads only the TAIL of the combined output, so the JSON
     // line must be the last thing this process emits. Quiesce everything
     // that could log after it (streaming state-store maintenance races
@@ -239,6 +249,10 @@ object Bench {
     // and exit immediately so no lingering thread writes another byte.
     spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
     quiesce(gc = false)
+    // Silence ALL further logging (incl. Spark's shutdown hooks, which fire
+    // after sys.exit and would otherwise write INFO lines to stderr AFTER
+    // the JSON line in a combined stdout+stderr capture).
+    try spark.sparkContext.setLogLevel("OFF") catch { case _: Throwable => () }
     spark.stop()
     println(line)
     System.out.flush()
