@@ -18,6 +18,7 @@ run / fork := true
 // graft.Bench's JSON line the literal last line of output. Failures still
 // print normally ([error] + non-zero exit).
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Pass the forked JVM's stdout/stderr through verbatim instead of routing
 // them via sbt's logger: the logger prefixes every stdout line with
 // "[info] " (and stderr with "[error] "), which corrupts the bench's

@@ -34,12 +34,30 @@ object Gates {
     * (the 100 TB shape), which is what the all-twins mode wants primary. */
   val RankedSmallInputMaxBytes = "spark.graft.ranked.smallInputMaxBytes"
 
+  /** termFrequencies exchange-shape gate (r13): at or below this many
+    * estimated input bytes (×4 decompression factor) the corpus keeps the
+    * local fanOut shape (narrow aggregated exchanges); above it, documents
+    * are repartitioned BY ID pre-explode so one document-sized exchange
+    * serves the tf agg and every per-doc consumer. 0 = id-keyed always
+    * (the 100 TB shape, all-twins primary). */
+  val CorpusTfSmallInputMaxBytes = "spark.graft.corpus.tfSmallInputMaxBytes"
+
+  /** Streaming memory-state-store gate (r13): >0 (default 1) = the
+    * engine's bounded-replay AvailableNow streaming queries run on the
+    * process-memory state-store provider
+    * ([[org.apache.spark.sql.graft.MemoryStateStoreProvider]] — no
+    * per-batch delta-file commits; no cross-process recovery, which
+    * bounded replays with fresh checkpoints never need). 0 = the durable
+    * default provider, the long-lived-stream / 100 TB posture the
+    * all-twins mode forces primary. */
+  val StreamMemoryStateStore = "spark.graft.stream.memoryStateStore"
+
   /** Every guard the all-twins mode must force to 0 — extend this list
     * when a new driver shortcut gains a guard, and the suite gate follows
     * automatically. */
   val All: Seq[String] = Seq(DedupKernelMaxCorpusRows, DedupDriverEdgeLimit,
     ReachDriverEdgeLimit, BasketRescanMaxInputBytes, RankedSmallInputMaxBytes,
-    GraphDriverEdgeLimit)
+    GraphDriverEdgeLimit, StreamMemoryStateStore, CorpusTfSmallInputMaxBytes)
 
   /** Effective guard value: the session conf wins over the call-site
     * default, so a whole suite can repoint every guard without threading
