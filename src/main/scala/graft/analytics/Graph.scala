@@ -111,11 +111,18 @@ object Graph {
     val lim = math.min(graft.core.Gates.effectiveLimit(edges.sparkSession,
       graft.core.Gates.GraphDriverEdgeLimit, 2000000L),
       (Int.MaxValue - 1).toLong) // a raised guard must not wrap limit+1
-    if (integral && lim > 0) {
+    // Gate on a cheap count() BEFORE collecting (r13, dupClusters' pattern):
+    // the limit(lim+1) collect alone would pull up to lim+1 rows (default
+    // 2,000,001 × 4 long cols — a multi-hundred-MB transient driver
+    // allocation) for every integral-typed graph just to discover an
+    // oversize graph doesn't qualify. `e` is localCheckpoint'd (immutable),
+    // so count-then-collect has no TOCTOU and the collect runs only when
+    // the kernel will actually be attempted.
+    if (integral && lim > 0 && e.count() <= lim) {
       val buf = e.select(col("src").cast("long"), col("dst").cast("long"),
           col("w"), col("outw"))
-        .limit(lim.toInt + 1).collect()
-      val clean = buf.length <= lim &&
+        .collect()
+      val clean =
         buf.forall(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) &&
           !r.isNullAt(3))
       if (clean) {

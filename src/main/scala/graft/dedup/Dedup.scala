@@ -319,7 +319,13 @@ object Dedup {
     // is NOT taken: it would rest on an upper bound for the text ratio,
     // and a wrong guess there is an executor-memory hazard, not a lost
     // scan. Small corpora keep the exact octet measurement.
-    val statsBytes = df.queryExecution.analyzed.stats.sizeInBytes
+    // Estimate from the PROJECTED text column, not the full input width
+    // (r13): the gate and the octet measure must bound the same quantity.
+    // A wide input whose bulk is non-text columns would otherwise trip the
+    // skip-scan shortcut and silently forgo a broadcast its text actually
+    // fits — conservative, but a lost optimization for wide schemas.
+    val statsBytes =
+      df.select(col(textCol)).queryExecution.analyzed.stats.sizeInBytes
     val inputBytes =
       if (statsBytes * 2 >= SetsBroadcastMaxInputBytes) statsBytes * 2
       else BigInt(

@@ -65,10 +65,24 @@ object Ranked {
     * end-to-end, and RankedSpec/PlanRegressionSpec pin both shapes. */
   val SmallInputMaxBytesDefault: Long = 64L << 20
 
+  /** Decompression safety factor on the size estimate (r13). For a parquet
+    * scan the analyzed-plan estimate is the COMPRESSED file size, and
+    * columnar text/fact data commonly decompresses 4-10×: a table just
+    * under the 64 MiB gate could be half a GiB raw and still take the
+    * plain |groups|-task window — the exact cliff the decomposition
+    * removes. Multiplying the estimate errs toward the ranged (scale)
+    * path, the same discipline jaccardPairs applies to its compressed
+    * estimate; estimates that are already raw-size (LogicalRDD, join
+    * outputs) only get MORE conservative. Net gate: ~16 MiB compressed ≈
+    * up to ~160 MiB raw on the plain path, which one spilling window sort
+    * handles without an executor-memory hazard. */
+  private val DecompressionSafetyFactor = 4
+
   private[operators] def useRanged(df: DataFrame): Boolean = {
     val limit = graft.core.Gates.effectiveLimit(df.sparkSession,
       graft.core.Gates.RankedSmallInputMaxBytes, SmallInputMaxBytesDefault)
-    df.queryExecution.analyzed.stats.sizeInBytes > BigInt(limit)
+    df.queryExecution.analyzed.stats.sizeInBytes *
+      DecompressionSafetyFactor > BigInt(limit)
   }
 
   /** Resolve the range count: 0 (the default) means "the session's

@@ -249,6 +249,14 @@ object AdvancedQueries {
         // eager jobs. Same non-replicated-block recovery semantics as
         // eager. Same-session A/B (tools/Scd2AB): 1.04 → 0.85s,
         // identical 4500 rows.
+        // PRECONDITION (r13 note): before h's blocks are cached, the two
+        // plan branches reading it may compute its partitions
+        // independently, so the lazy/eager parity holds only while
+        // scd2Merge stays fully DETERMINISTIC per input partition (it is:
+        // hash joins + deterministic expressions, no sampling/rand/limit).
+        // CdcSpec's "scd2Merge lazy-checkpoint fold is deterministic"
+        // canary pins this; if scd2Merge ever gains a nondeterministic
+        // step, restore the eager checkpoint here.
         Cdc.scd2Merge(h, batchSnapshot(i), Seq("user_id"), asOf = i.toLong)
           .localCheckpoint(false)
       }

@@ -66,12 +66,37 @@ object Corpus {
     * A/B in tools/CorpusProbe: q60 0.88→0.82s at sf0.1, identical rows —
     * small here, but the exchange this removes is posting-sized at any
     * scale. */
-  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.repartition(col(idCol))
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Shape gate (r13, closing the r12 verdict's q76/q91 question): the
+    // id-keyed exchange is the AT-SCALE shape (one document-sized exchange
+    // replaces a posting-sized one and serves every per-doc consumer), but
+    // locally the full-text repartition costs more than the narrow
+    // aggregated exchange it saves (driver-artifact + builder runs agreed:
+    // q76 −9%, q91 −15% in r12). Below the small-corpus gate (compressed
+    // estimate × 4 decompression factor, the Ranked discipline) keep the
+    // r11 fanOut shape; above it — any real corpus — take the id-keyed
+    // exchange. 0 forces id-keyed always (the 100 TB posture, what the
+    // all-twins suite runs primary).
+    val limit = graft.core.Gates.effectiveLimit(docs.sparkSession,
+      graft.core.Gates.CorpusTfSmallInputMaxBytes, SmallCorpusMaxBytesDefault)
+    val idKeyed =
+      docs.queryExecution.analyzed.stats.sizeInBytes * 4 > BigInt(limit)
+    val prepped =
+      if (idKeyed) docs.repartition(col(idCol))
+      else graft.core.Parallelize.fanOut(docs)
+    prepped
       .select(col(idCol).as("id"),
         explode(TextOps.tokens(col(textCol))).as("term"))
       .groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Default small-corpus gate for [[termFrequencies]]' exchange shape —
+    * same magnitude and decompression discipline as Ranked's plain-window
+    * gate (≈16 MiB compressed ≈ up to ~160 MiB raw text on the local
+    * shape; the r12 10× stress corpus sits right at the boundary by
+    * design of the measurement, see OPTIMIZATION_r13.md). */
+  val SmallCorpusMaxBytesDefault: Long = 64L << 20
 
   /** (id, term, tf, df, tfidf): tfidf = tf * ln((N + 1) / (df + 1)). The
     * +1 smoothing bounds the weight away from negative values; a term

@@ -87,6 +87,23 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("pagerank bounces an over-limit graph to the distributed loop (count gate)") {
+    // r13: the kernel gates on a cheap count() of the materialized edge
+    // list BEFORE collecting (a 2M-row limit+1 collect just to discover
+    // the graph is oversize was a multi-hundred-MB driver allocation).
+    // An edge count over the guard must take the distributed path and
+    // still compute correct ranks.
+    val edges = Seq((1, 2, 10L), (2, 3, 10L), (3, 1, 10L)).toDF("src", "dst", "w")
+    val expected = Graph.pagerank(edges, 3).as[(Int, Long)].collect().toMap
+    spark.conf.set(graft.core.Gates.GraphDriverEdgeLimit, "2")
+    try {
+      val out = Graph.pagerank(edges, 3)
+      assert(!out.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+        "3 edges over a guard of 2 must run distributed")
+      assert(out.as[(Int, Long)].collect().toMap == expected)
+    } finally spark.conf.unset(graft.core.Gates.GraphDriverEdgeLimit)
+  }
+
   test("pagerank driver kernel refuses NULL keys/weights to the distributed loop") {
     // A NULL src/dst/weight has join/agg semantics the kernel does not
     // reimplement — the collected buffer must bounce such graphs to the

@@ -42,7 +42,7 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
-  test("jaccardPairs: statless input skips the sizing scan, shuffle path agrees") {
+  test("jaccardPairs: stats-less input skips the sizing scan, shuffle path agrees") {
     // r12: when 2x the analyzed size estimate already exceeds the
     // broadcast gate, the octet sizing scan is skipped and the shuffle
     // verification path runs. A localCheckpoint'd input has no stats

@@ -63,6 +63,41 @@ class CdcSpec extends SparkSpec {
     assert(byKey(3L).map(_.getAs[Long]("effective_from")) == Seq(20L))
   }
 
+  test("scd2Merge lazy-checkpoint fold is deterministic (q71 precondition)") {
+    // q71 folds three scd2Merge batches with LAZY localCheckpoints; before
+    // h's blocks are cached, scd2Merge's two reads of h (cur/closed
+    // filters) can compute h's partitions INDEPENDENTLY, so the lazy/eager
+    // parity rests on scd2Merge being fully deterministic per input
+    // partition. This canary pins that precondition: two independent
+    // evaluations of the same lazy fold must agree row-for-row, and the
+    // history must stay internally consistent (exactly one current row per
+    // key). If scd2Merge ever gains a nondeterministic step (sampling,
+    // tie-breaking row_number, rand), this has a real chance to diverge —
+    // restore q71's eager checkpoints in that case.
+    import spark.implicits._
+    def batch(i: Int) = Cdc.addContentHash(
+      (0L until 40L).map(k => (k, s"p${(k + i) % 7}")).toDF("id", "payload"),
+      Seq("id", "payload"))
+    val schema = batch(0)
+      .withColumn("effective_from", lit(null).cast("long"))
+      .withColumn("effective_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true)).schema
+    def fold() = {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      (0 until 3).foldLeft(empty) { (h, i) =>
+        Cdc.scd2Merge(h, batch(i), Seq("id"), asOf = i.toLong)
+          .localCheckpoint(false)
+      }
+    }
+    val a = rows(fold()).map(_.toString).sorted
+    val b = rows(fold()).map(_.toString).sorted
+    assert(a == b, "two evaluations of the lazy scd2 fold diverged")
+    val multiCurrent = fold().filter(col("is_current"))
+      .groupBy(col("id")).count().filter(col("count") =!= 1).count()
+    assert(multiCurrent == 0, "exactly one current row per key")
+  }
+
   test("classifyChanges tags inserts and hash-diff updates") {
     val old = Cdc.snapshot(oldDf, Seq("id"), Seq("ts"))
     val got = rows(Cdc.classifyChanges(old, newDf, Seq("id")))
