@@ -74,9 +74,13 @@ object Corpus {
     // aggregated exchange it saves (driver-artifact + builder runs agreed:
     // q76 −9%, q91 −15% in r12). Below the small-corpus gate (compressed
     // estimate × 4 decompression factor, the Ranked discipline) keep the
-    // r11 fanOut shape; above it — any real corpus — take the id-keyed
-    // exchange. 0 forces id-keyed always (the 100 TB posture, what the
-    // all-twins suite runs primary).
+    // r11 fanOut shape; above it take the id-keyed exchange. Crossover
+    // measured in tools/CorpusProbe2 (same-session alternating, parity
+    // true): at 0.57 MiB compressed fanOut wins (q76 0.77 vs 0.90s, q91
+    // 1.09 vs 1.16); at 5.6 MiB id-keyed already wins (q60 2.45 vs 2.73,
+    // q91 2.90 vs 3.48); at 16.6 MiB decisively (q60 2.78 vs 6.05, q76
+    // 1.78 vs 3.45). 0 forces id-keyed always (the 100 TB posture, what
+    // the all-twins suite runs primary).
     val limit = graft.core.Gates.effectiveLimit(docs.sparkSession,
       graft.core.Gates.CorpusTfSmallInputMaxBytes, SmallCorpusMaxBytesDefault)
     val idKeyed =
@@ -91,12 +95,13 @@ object Corpus {
       .agg(count(lit(1)).as("tf"))
   }
 
-  /** Default small-corpus gate for [[termFrequencies]]' exchange shape —
-    * same magnitude and decompression discipline as Ranked's plain-window
-    * gate (≈16 MiB compressed ≈ up to ~160 MiB raw text on the local
-    * shape; the r12 10× stress corpus sits right at the boundary by
-    * design of the measurement, see OPTIMIZATION_r13.md). */
-  val SmallCorpusMaxBytesDefault: Long = 64L << 20
+  /** Default small-corpus gate for [[termFrequencies]]' exchange shape:
+    * 8 MiB against the ×4-factored estimate ⇒ corpora up to ~2 MiB
+    * compressed (≈ up to ~20 MiB raw text) keep the local fanOut shape.
+    * Set from the measured crossover above (fanOut wins at 0.57 MiB,
+    * id-keyed from 5.6 MiB up), erring toward the scale shape inside the
+    * unmeasured band. */
+  val SmallCorpusMaxBytesDefault: Long = 8L << 20
 
   /** (id, term, tf, df, tfidf): tfidf = tf * ln((N + 1) / (df + 1)). The
     * +1 smoothing bounds the weight away from negative values; a term

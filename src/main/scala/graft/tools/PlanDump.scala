@@ -22,6 +22,14 @@ object PlanDump {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.Sessions.local("plan-dump",
       extraConf = Map("spark.sql.adaptive.enabled" -> "false"))
+    // Optional session confs (r13), e.g. gate keys, so BOTH sides of a
+    // size-gated shape can be dumped from one tree:
+    // SPARK_GRAFT_CONF="spark.graft.corpus.tfSmallInputMaxBytes=0"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
         case Some(fn) =>

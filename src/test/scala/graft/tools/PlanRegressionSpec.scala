@@ -226,6 +226,22 @@ class PlanRegressionSpec extends AnyFunSuite {
       "small inputs must take the single-exchange plain window")
   }
 
+  test("q60: tf exchange shape flips with the corpus size gate (r13)") {
+    // Above the gate (forced via 0) the documents are repartitioned BY ID
+    // before the explode — one document-sized exchange serves the tf agg
+    // and the per-doc window. Below it (the default at test sf) the
+    // repartition must NOT appear: the local fanOut shape's narrow
+    // aggregated exchanges win at this size (CorpusProbe2).
+    spark.conf.set(graft.core.Gates.CorpusTfSmallInputMaxBytes, "0")
+    val idKeyed = try plan("q60_tfidf")
+    finally spark.conf.unset(graft.core.Gates.CorpusTfSmallInputMaxBytes)
+    assert(idKeyed.contains("hashpartitioning(doc_id"),
+      "scale shape must exchange documents by id pre-explode")
+    val local = plan("q60_tfidf")
+    assert(!local.contains("hashpartitioning(doc_id"),
+      "small corpora must keep the fanOut shape (no doc-id exchange)")
+  }
+
   test("Ranked consumers: no fact-buffering window shape can silently return") {
     // q72/q94/q99/q107/q131 route their rank / running-sum through the
     // range-partitioned Ranked primitives. The shape that must NEVER come
