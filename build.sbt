@@ -11,19 +11,39 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
-// The round driver tail-parses the bench's one-line JSON from the combined
-// sbt output; sbt's "[success] Total time..." banner printed AFTER the
-// forked JVM's last line broke that parse in rounds 11 and 12
-// (BENCH_rNN.json "parsed": null). Suppressing the banner makes
-// graft.Bench's JSON line the literal last line of output. Failures still
-// print normally ([error] + non-zero exit).
-Global / showSuccess := false
-Global / excludeLintKeys += showSuccess
 // Pass the forked JVM's stdout/stderr through verbatim instead of routing
 // them via sbt's logger: the logger prefixes every stdout line with
 // "[info] " (and stderr with "[error] "), which corrupts the bench's
 // parse-me JSON line whenever sbt logs to a non-terminal.
 run / outputStrategy := Some(StdoutOutput)
+// The round driver tail-parses the bench's one-line JSON from the combined
+// sbt output; sbt's "[success] Total time..." banner printed AFTER the
+// forked JVM's last line broke that parse in rounds 11 and 12
+// (BENCH_rNN.json "parsed": null). The banner itself is left alone (other
+// tooling may look for it) — instead, a shutdown hook in sbt's OWN JVM
+// re-prints the bench's JSON line as the absolute last line of output,
+// but ONLY when this very invocation produced it (graft.Bench mirrors the
+// printed line to BENCH_line.json; the hook fires iff that file's mtime
+// is newer than this sbt process's start). compile/test invocations don't
+// touch the file, so their output is unchanged.
+val benchLineLastWordHook: Unit =
+  if (System.getProperty("graft.benchLineHook") == null) {
+    System.setProperty("graft.benchLineHook", "1")
+    val benchLine = new java.io.File("BENCH_line.json").getAbsoluteFile
+    val sbtStart = System.currentTimeMillis()
+    java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        if (benchLine.isFile && benchLine.lastModified() >= sbtStart) {
+          val src = scala.io.Source.fromFile(benchLine)
+          val line = try src.mkString.trim finally src.close()
+          if (line.startsWith("{") && line.endsWith("}")) {
+            System.out.println(line)
+            System.out.flush()
+          }
+        }
+      } catch { case _: Throwable => () }
+    }))
+  }
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
