@@ -92,6 +92,23 @@ class MemoryStateStoreSpec extends SparkSpec {
     } finally p.close()
   }
 
+  test("StateStore.stop (the bench's per-rep quiesce) drains the registry") {
+    // The bench quiesces between reps via Bridge.stopStateStores(), which
+    // closes every loaded provider; close() must drop the provider's
+    // registry entry, so NO state survives from one rep to the next —
+    // every timed rep recomputes from the parquet inputs.
+    val chk = graft.core.Scratch.tempDir("memstore").toString
+    val p = freshProvider(chk)
+    val s = p.getStore(0, None)
+    s.put(row(1), row(10), StateStore.DEFAULT_COL_FAMILY_NAME)
+    s.commit()
+    assert(MemoryStateStoreProvider.registeredStores >= 1)
+    p.close()
+    Bridge.stopStateStores() // idempotent with close(); drains any residue
+    assert(MemoryStateStoreProvider.registeredStores == 0,
+      "a bench rep must not inherit state from the previous one")
+  }
+
   test("streaming agg and dedup: memory provider matches the durable default") {
     import spark.implicits._
     val dir = graft.core.Scratch.tempDir("memstream")
