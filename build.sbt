@@ -25,7 +25,11 @@ run / outputStrategy := Some(StdoutOutput)
 // but ONLY when this very invocation produced it (graft.Bench mirrors the
 // printed line to BENCH_line.json; the hook fires iff that file's mtime
 // is newer than this sbt process's start). compile/test invocations don't
-// touch the file, so their output is unchanged.
+// touch the file, so their output is unchanged. KNOWN LIMIT: the hook
+// fires at sbt-JVM exit, i.e. it serves batch invocations (`sbt -batch
+// "runMain graft.Bench"`, the driver's mode); in a long-lived sbt shell /
+// sbtn server the re-print lands at server exit, not after the command —
+// read BENCH_line.json directly in that mode.
 val benchLineLastWordHook: Unit =
   if (System.getProperty("graft.benchLineHook") == null) {
     System.setProperty("graft.benchLineHook", "1")

@@ -35,9 +35,11 @@ def main(base_path, close_path):
     close = json.load(open(close_path))["queries"]
     print("| query | baseline s | closing s | disposition |")
     print("|---|---|---|---|")
-    for q in sorted(base):
+    for q in sorted(set(base) | set(close)):
         d = CHANGED.get(q, "audited — r12 ExplainAudit disposition stands; drift-band delta only")
-        print(f"| {q} | {base[q]:.2f} | {close[q]:.2f} | {d} |")
+        b = f"{base[q]:.2f}" if q in base else "—"
+        c = f"{close[q]:.2f}" if q in close else "—"
+        print(f"| {q} | {b} | {c} | {d} |")
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2])

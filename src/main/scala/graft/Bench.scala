@@ -22,6 +22,14 @@ object Bench {
     // (Kryo and the explicit AQE flags were in Sessions.local only).
     val spark = graft.core.Sessions.local(appName = "graft-bench", cores = cpus)
     graft.core.Scratch.cleanStale()
+    // Remove any previous run's fixed-file line BEFORE timing starts: a
+    // crashed run must leave NO BENCH_line.json rather than a stale one a
+    // harness could mistake for this run's result (the file is rewritten
+    // at the end of every completed run, filtered or not — it mirrors the
+    // printed line exactly, so a reader can tell a filtered run by its
+    // queries-key count).
+    try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get("BENCH_line.json"))
+    catch { case _: Throwable => () }
 
 
     /** Release everything a query parked in the block manager. Queries are

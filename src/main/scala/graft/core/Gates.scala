@@ -59,6 +59,14 @@ object Gates {
     ReachDriverEdgeLimit, BasketRescanMaxInputBytes, RankedSmallInputMaxBytes,
     GraphDriverEdgeLimit, StreamMemoryStateStore, CorpusTfSmallInputMaxBytes)
 
+  /** Decompression safety factor applied to compressed (parquet-scan)
+    * size estimates by the size gates that must err toward their SCALE
+    * path (Ranked's plain-window gate, Corpus' tf-shape gate): columnar
+    * data commonly decompresses 4-10×, so comparing a compressed estimate
+    * against a raw-sized threshold would under-gate by that ratio. One
+    * shared constant so the two gates can't drift apart on recalibration. */
+  val DecompressionSafetyFactor = 4
+
   /** Effective guard value: the session conf wins over the call-site
     * default, so a whole suite can repoint every guard without threading
     * knobs through callers. */

@@ -75,14 +75,13 @@ object Ranked {
     * estimate; estimates that are already raw-size (LogicalRDD, join
     * outputs) only get MORE conservative. Net gate: ~16 MiB compressed ≈
     * up to ~160 MiB raw on the plain path, which one spilling window sort
-    * handles without an executor-memory hazard. */
-  private val DecompressionSafetyFactor = 4
-
+    * handles without an executor-memory hazard. (Factor shared with the
+    * Corpus tf-shape gate via [[graft.core.Gates.DecompressionSafetyFactor]].) */
   private[operators] def useRanged(df: DataFrame): Boolean = {
     val limit = graft.core.Gates.effectiveLimit(df.sparkSession,
       graft.core.Gates.RankedSmallInputMaxBytes, SmallInputMaxBytesDefault)
     df.queryExecution.analyzed.stats.sizeInBytes *
-      DecompressionSafetyFactor > BigInt(limit)
+      graft.core.Gates.DecompressionSafetyFactor > BigInt(limit)
   }
 
   /** Resolve the range count: 0 (the default) means "the session's

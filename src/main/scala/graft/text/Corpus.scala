@@ -83,8 +83,8 @@ object Corpus {
     // the all-twins suite runs primary).
     val limit = graft.core.Gates.effectiveLimit(docs.sparkSession,
       graft.core.Gates.CorpusTfSmallInputMaxBytes, SmallCorpusMaxBytesDefault)
-    val idKeyed =
-      docs.queryExecution.analyzed.stats.sizeInBytes * 4 > BigInt(limit)
+    val idKeyed = docs.queryExecution.analyzed.stats.sizeInBytes *
+      graft.core.Gates.DecompressionSafetyFactor > BigInt(limit)
     val prepped =
       if (idKeyed) docs.repartition(col(idCol))
       else graft.core.Parallelize.fanOut(docs)

@@ -25,10 +25,14 @@ object PlanDump {
     // Optional session confs (r13), e.g. gate keys, so BOTH sides of a
     // size-gated shape can be dumped from one tree:
     // SPARK_GRAFT_CONF="spark.graft.corpus.tfSmallInputMaxBytes=0"
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.nonEmpty)
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k.trim, v.trim)
+    // (comma-separated k=v pairs; values containing commas aren't
+    // supported — none of the gate keys need them)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").map(_.trim)
+      .filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k.trim, v.trim)
+          case _ => println(s"IGNORED malformed SPARK_GRAFT_CONF entry: $kv")
+        }
       })
     names.foreach { name =>
       SparkEntry.queries.get(name) match {

@@ -45,6 +45,10 @@ class MemoryStateStoreProvider extends StateStoreProvider {
   private var keySchema: StructType = _
   private var valueSchema: StructType = _
   private var retain = 2
+  // Guarded by `this`: a straggler task's commit() racing close() must not
+  // resurrect the registry entry after the quiesce removed it (the entry
+  // would leak for the process lifetime — nothing closes twice).
+  private var providerClosed = false
 
   override def init(stateStoreId: StateStoreId, keySchema: StructType,
                     valueSchema: StructType,
@@ -77,7 +81,11 @@ class MemoryStateStoreProvider extends StateStoreProvider {
     * (see getStore) — acceptable, since unload-while-active only happens
     * when a partition migrates executors, which the cross-process rule
     * above already declares unsupported. */
-  override def close(): Unit = registry.remove(regKey(id))
+  override def close(): Unit = synchronized {
+    providerClosed = true
+    registry.remove(regKey(id))
+    ()
+  }
 
   override def getStore(version: Long, uniqueId: Option[String]): StateStore = {
     require(version >= 0, s"invalid state version $version")
@@ -120,6 +128,17 @@ class MemoryStateStoreProvider extends StateStoreProvider {
       if (colFamilyName != StateStore.DEFAULT_COL_FAMILY_NAME)
         throw StateStoreErrors.multipleColumnFamiliesNotSupported(ProviderName)
 
+    /** Mutations are only legal while UPDATING (HDFSBackedStateStore's
+      * posture): after commit() the working map IS the registered version,
+      * so a zombie task writing through it would corrupt committed state
+      * the next batch loads — fail loudly instead. Reads (get/iterator)
+      * stay legal after commit (operators consume output iterators after
+      * the commit callback). */
+    private def requireUpdating(op: String): Unit =
+      require(!committed && !aborted,
+        s"cannot $op a state store that is already " +
+          s"${if (committed) "committed" else "aborted"}")
+
     override def id: StateStoreId = MemoryStateStoreProvider.this.id
     override def version: Long = loadedVersion
 
@@ -156,6 +175,7 @@ class MemoryStateStoreProvider extends StateStoreProvider {
     override def put(key: UnsafeRow, value: UnsafeRow,
                      colFamilyName: String): Unit = {
       requireDefaultCf(colFamilyName)
+      requireUpdating("put to")
       require(value != null, "Cannot put a null value")
       // copy: callers reuse the row buffers they pass in
       map.put(key.copy(), value.copy())
@@ -169,6 +189,7 @@ class MemoryStateStoreProvider extends StateStoreProvider {
 
     override def remove(key: UnsafeRow, colFamilyName: String): Unit = {
       requireDefaultCf(colFamilyName)
+      requireUpdating("remove from")
       map.remove(key)
       ()
     }
@@ -193,12 +214,21 @@ class MemoryStateStoreProvider extends StateStoreProvider {
       throw StateStoreErrors.multipleColumnFamiliesNotSupported(ProviderName)
 
     override def commit(): Long = {
-      require(!committed && !aborted,
-        s"cannot commit a state store that is already ${if (committed) "committed" else "aborted"}")
-      val versions = versionsFor(MemoryStateStoreProvider.this.id)
-      versions.synchronized {
-        versions.put(newVersion, map)
-        while (versions.size > retain) versions.pollFirstEntry()
+      requireUpdating("commit")
+      MemoryStateStoreProvider.this.synchronized {
+        // A commit landing after close() (straggler task racing the
+        // quiesce) must not resurrect the registry entry: the query is
+        // being torn down and nothing would ever remove it again. The
+        // task-level commit still succeeds — its output was produced —
+        // the state is simply not retained, matching "this process no
+        // longer serves this store".
+        if (!providerClosed) {
+          val versions = versionsFor(MemoryStateStoreProvider.this.id)
+          versions.synchronized {
+            versions.put(newVersion, map)
+            while (versions.size > retain) versions.pollFirstEntry()
+          }
+        }
       }
       committed = true
       newVersion
